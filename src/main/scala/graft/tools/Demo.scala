@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.core.{EventTable, VersionedTable}
+import graft.ops.{AsOfJoin, Examples}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Example usage of the engine's public API against the driver testdata —
+  * the reference pipeline shape (examples → as-of features → as-of target)
+  * re-targeted at the `events` table. Run:
+  * `sbt "runMain graft.tools.Demo /root/testdata/sf0.001"`
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = EventTable(
+      graft.sources.Tables.events(spark, sfDir), "ts", Some("user_id"))
+
+    // Example generation: two consecutive error events for a user.
+    val examples = Examples.generate(
+      events,
+      windowAgg = count(when(col("event_type") === "error", lit(1))),
+      lookback = 1,
+      trigger = _ === 2,
+      labelDelay = "INTERVAL 1 HOUR",
+      orderCols = Seq("event_id"))
+
+    // Feature: cumulative error value per user; target: cumulative purchases.
+    val features = VersionedTable.fromEvents(
+      events.where(col("event_type") === "error"), "user_id",
+      sum(col("value")) -> "err_value")
+    val target = VersionedTable.fromEvents(
+      events.where(col("event_type") === "purchase"), "user_id",
+      count(lit(1)) -> "purchases")
+
+    val out = AsOfJoin.asof(
+      AsOfJoin.asof(examples, "_entity", "_prediction_time", features),
+      "_entity", "_label_time", target)
+
+    println(s"[demo] examples=${examples.count()} joined=${out.count()}")
+    out.orderBy("_prediction_time").show(10, truncate = false)
+    out.explain("formatted")
+    spark.stop()
+  }
+}
