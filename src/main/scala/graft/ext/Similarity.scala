@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.9).
+  *
+  * Scale design: brute-force cosine is the exact baseline — O(|probes| *
+  * |corpus|) with the probe side broadcast, so the corpus never shuffles.
+  * The bucketed variant (IVF-style: compare only within a coarse bucket)
+  * is the 100 TB path: a same-key shuffle join, with bucket granularity
+  * controlling the candidate volume. Dot products are left-to-right folds
+  * over the array (deterministic; identical to the DuckDB oracle).
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns as a sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id [, extra cols], v: array<double>, nrm) from an embeddings table. */
+  def prepared(emb: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb.select((Seq(col("vec_id")) ++ extra.map(col) :+ v.as("v")): _*)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Exact top-k cosine neighbors of each probe over the whole corpus.
+    * Probes are broadcast; the corpus side streams — no corpus shuffle
+    * until the final per-probe top-k (a tiny aggregation). */
+  def cosineTopK(emb: DataFrame, probeFilter: Column, k: Int): DataFrame = {
+    val p = prepared(emb)
+    val q = p.where(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val c = p.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val sims = c.crossJoin(broadcast(q))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos"))
+    sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`
+    * (IVF with pre-assigned coarse cells). One shuffle on the bucket key. */
+  def bucketedNN(emb: DataFrame, bucketCol: String): DataFrame = {
+    val p = prepared(emb, Seq(bucketCol))
+    val a = p.select(col("vec_id"), col(bucketCol), col("v"), col("nrm"))
+    val b = p.select(col("vec_id").as("nn_cand"), col(bucketCol).as("__b"),
+      col("v").as("bv"), col("nrm").as("bnrm"))
+    val sims = a.join(b, col(bucketCol) === col("__b") && col("nn_cand") =!= col("vec_id"))
+      .select(col("vec_id"), col(bucketCol), col("nn_cand"),
+        (dot(col("v"), col("bv")) / (col("nrm") * col("bnrm"))).as("cos"))
+    sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_cand"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col(bucketCol), col("nn_cand").as("nn_id"),
+        round(col("cos"), 6).as("sim"))
+  }
+}

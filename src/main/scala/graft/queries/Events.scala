@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.{EventTable, VersionedTable}
+import graft.ops.{AsOfJoin, Examples}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's own surface re-targeted at the driver's `events` table:
+  * OVER-window example generation (A3/P3/P5), versioned tables (A1/A2),
+  * the two as-of joins on two time axes (J1/J2, T5), plus event-stream
+  * extensions (tumbling windows, sessionization, JSON props). */
+object Events {
+
+  /** Shared oracle CTE: example rows = second consecutive error event per
+    * user (the reference's "defeat_count = 2" OVER-window, App.java:64-77). */
+  private val examplesSql = """
+    SELECT user_id AS _entity, ts AS _prediction_time,
+           ts + INTERVAL 1 HOUR AS _label_time
+    FROM (SELECT user_id, ts,
+                 count(CASE WHEN event_type = 'error' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS streak
+          FROM events)
+    WHERE streak = 2"""
+
+  private def eventTable(s: SparkSession, dir: String): EventTable =
+    EventTable(Tables.events(s, dir), "ts", Some("user_id"))
+
+  private def examples(s: SparkSession, dir: String): DataFrame =
+    Examples.generate(
+      eventTable(s, dir),
+      windowAgg = count(when(col("event_type") === "error", lit(1))),
+      lookback = 1,
+      trigger = _ === 2,
+      labelDelay = "INTERVAL 1 HOUR",
+      orderCols = Seq("event_id"))
+
+  /** Flagship: examples as-of-joined to cumulative error value at
+    * _prediction_time and cumulative purchase count at _label_time —
+    * the full reference pipeline shape on real data. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventTable(s, dir)
+    val features = VersionedTable.fromEvents(
+      ev.where(col("event_type") === "error"), "user_id",
+      sum(expr("cast(round(value * 100) as bigint)")) -> "err_cents")
+    val target = VersionedTable.fromEvents(
+      ev.where(col("event_type") === "purchase"), "user_id",
+      count(lit(1)) -> "purchases")
+    AsOfJoin.asof(
+      AsOfJoin.asof(examples(s, dir), "_entity", "_prediction_time", features),
+      "_entity", "_label_time", target)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_examples", Some(examplesSql), (s, dir) => examples(s, dir)),
+
+    QueryDef(
+      "q_flagship",
+      Some(s"""
+        WITH ex AS ($examplesSql)
+        SELECT _entity, _prediction_time, _label_time,
+          (SELECT CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) FROM events e
+            WHERE e.user_id = ex._entity AND e.event_type = 'error'
+              AND e.ts <= ex._prediction_time) AS err_cents,
+          (SELECT CAST(sum(1) AS BIGINT) FROM events p
+            WHERE p.user_id = ex._entity AND p.event_type = 'purchase'
+              AND p.ts <= ex._label_time) AS purchases
+        FROM ex"""),
+      (s, dir) => flagship(s, dir)),
+
+    // ---- semi-structured props (JSON-in-string) --------------------------
+    QueryDef(
+      "q_json",
+      Some("""
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50"""),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .where(col("k") > 50)
+        .select("event_id", "event_type", "k")),
+
+    // ---- tumbling window aggregation -------------------------------------
+    QueryDef(
+      "q_hourly",
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2"""),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("value_cents"))
+        .select(
+          col("window.start").as("hour_start"), col("event_type"),
+          col("n"), col("value_cents"))),
+
+    // ---- sessionization (30-minute inactivity gap) -----------------------
+    QueryDef(
+      "q_sessions",
+      Some("""
+        WITH d AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid"""),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events")))
+  )
+}

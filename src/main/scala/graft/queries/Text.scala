@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.ext.{Dedup, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup extension queries over `documents`
+  * (SURVEY.md §2.9). Oracle SQL mirrors the Spark expressions exactly —
+  * same regexes, same integer/double operation order. */
+object Text {
+
+  /** Shared oracle CTEs: token arrays and distinct 3-gram shingles.
+    * `range(1, len-1)` == Spark's guarded `sequence(1, size-2)`. */
+  private val shinglesCte = """
+    t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                 i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                      || ' ' || list_extract(toks, i + 2))
+               ELSE [] END) AS shingle
+           FROM t),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup ------------------------------------------------------
+    QueryDef(
+      "q_exact_dedup",
+      Some("""
+        SELECT text, min(doc_id) AS keep_id, count(*) AS copies
+        FROM documents GROUP BY text"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))),
+
+    // ---- normalized-fingerprint dedup -------------------------------------
+    QueryDef(
+      "q_norm_dedup",
+      Some("""
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_id, count(*) AS copies
+        FROM documents GROUP BY 1"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))),
+
+    // ---- n-gram Jaccard near-dup (exact all-pairs) -------------------------
+    QueryDef(
+      "q_jaccard_neardup",
+      Some(s"""
+        WITH $shinglesCte,
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      (s, dir) => Dedup.jaccardNearDup(Tables.load(s, dir, "documents"), 0.7)),
+
+    // ---- MinHash-LSH near-dup (banded candidates, verified) ---------------
+    QueryDef(
+      "q_minhash_lsh",
+      Some(s"""
+        WITH $shinglesCte,
+        sig AS (SELECT doc_id, i, min(md5(shingle || '#' || i)) AS sig
+                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 3 AS band,
+                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      (s, dir) => Dedup.minhashNearDup(
+        Tables.load(s, dir, "documents"), 0.7, bands = 3, rowsPerBand = 3)),
+
+    // ---- token statistics per language ------------------------------------
+    QueryDef(
+      "q_token_stats",
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).cast("bigint").as("total_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))),
+
+    // ---- language-ID heuristic (stopword n-gram scores) --------------------
+    QueryDef(
+      "q_langid",
+      Some("""
+        SELECT doc_id, s_en, s_de, s_fr, s_es,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'other'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM (SELECT doc_id,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\b(?:der|die|und|das|ist)\b')) AS s_de,
+                len(regexp_extract_all(lower(text), '\b(?:le|la|et|les|des)\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\b(?:el|los|y|que|una)\b')) AS s_es
+              FROM documents)"""),
+      (s, dir) => {
+        val scored = TextOps.LangStopwords.foldLeft(Tables.load(s, dir, "documents")) {
+          case (df, (l, pat)) => df.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
+        }
+        scored.select(
+          col("doc_id"), col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+          when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "other")
+            .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es").as("predicted"))
+      }),
+
+    // ---- quality scoring ----------------------------------------------------
+    QueryDef(
+      "q_quality",
+      Some("""
+        SELECT doc_id, n_tokens, alpha_chars,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(alpha_chars AS DOUBLE) / n_tokens AS mean_token_chars
+        FROM (SELECT doc_id,
+                len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+                len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS n_stop,
+                CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alpha_chars
+              FROM documents)
+        WHERE n_tokens > 0"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.matchCount(col("text"), TextOps.LangStopwords.head._2).as("n_stop"),
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long").as("alpha_chars"))
+        .where(col("n_tokens") > 0)
+        .select(
+          col("doc_id"), col("n_tokens"), col("alpha_chars"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (col("alpha_chars").cast("double") / col("n_tokens")).as("mean_token_chars"))),
+
+    // ---- multimodal metadata (binary payload plumbing, oracle-checkable) ---
+    QueryDef(
+      "q_mm_meta",
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(length(text) AS BIGINT) AS n_cp,
+               octet_length(CAST(text AS BLOB)) = length(text) AS is_ascii
+        FROM documents"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          length(col("text")).cast("long").as("n_cp"),
+          (octet_length(col("text")) === length(col("text"))).as("is_ascii")))
+  )
+}

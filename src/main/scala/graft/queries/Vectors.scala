@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.ext.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity-search extension queries over `embeddings` (64-dim float
+  * vectors). Dot products are sequential left-to-right folds on both sides;
+  * similarities are rounded to 6 decimals in the OUTPUT only (ranking uses
+  * the raw value — random-vector gaps are far larger than any FP noise). */
+object Vectors {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force cosine top-k (probes broadcast over the corpus) ------
+    QueryDef(
+      "q_cosine_topk",
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+              FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        r AS (SELECT qid, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM s)
+        SELECT qid, cid, round(cos, 6) AS sim FROM r WHERE rn <= 5"""),
+      (s, dir) => Similarity.cosineTopK(
+        Tables.load(s, dir, "embeddings"), col("vec_id") < 10, 5)),
+
+    // ---- bucketed (IVF-style) nearest neighbor within label cells ---------
+    QueryDef(
+      "q_ivf_nn",
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        s AS (SELECT a.vec_id, a.label, b.vec_id AS nn_cand,
+                     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+              FROM n a JOIN n b ON a.label = b.label AND b.vec_id <> a.vec_id),
+        r AS (SELECT vec_id, label, nn_cand, cos,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_cand) AS rn
+              FROM s)
+        SELECT vec_id, label, nn_cand AS nn_id, round(cos, 6) AS sim
+        FROM r WHERE rn = 1"""),
+      (s, dir) => Similarity.bucketedNN(Tables.load(s, dir, "embeddings"), "label"))
+  )
+}
