@@ -20,25 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** One row per distinct document shingle: (doc_id, shingle). */
-  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(
-      col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
+  /** One row per distinct document shingle: (doc_id, shingle).
+    * posexplode + lead() instead of a transform() lambda: higher-order
+    * functions run interpreted per element (and would re-inline the token
+    * regexp into every element_at reference), while the window formulation
+    * stays inside whole-stage codegen. One shuffle on doc_id. */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(w))
+    tok
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
+      .where(col("__full"))
+      .select("doc_id", "shingle")
       .distinct()
+  }
 
   /** Shingle-set sizes per doc. */
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
   /** Exact Jaccard over candidate pairs: join both docs' shingle sets.
-    * `pairs` must have columns (doc_a, doc_b). */
+    * `pairs` must have columns (doc_a, doc_b) and is assumed small relative
+    * to the corpus (candidates from LSH) — it broadcasts, so only the
+    * (doc_b, shingle) equi-join shuffles. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sz = shingleSizes(sh)
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = a.join(broadcast(pairs), Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
@@ -48,11 +62,17 @@ object Dedup {
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
   }
 
-  /** All-pairs n-gram Jaccard near-duplicates above `threshold`.
-    * Pair generation via shingle self-join (exact); at scale prefer
-    * [[minhashNearDup]] which prunes candidates first. */
+  /** All-pairs n-gram Jaccard near-duplicates above `threshold` — exact,
+    * via the direct shingle self-join. Pair volume is sum over shingles of
+    * freq^2, which is benign while shingle frequency is bounded (this
+    * corpus: max 25). At web scale with hot shingles, [[minhashNearDup]]
+    * is the candidate-pruned path; a prefix-filter (AllPairs/PPJoin)
+    * variant was measured here and lost — its candidate re-verification
+    * rejoins every shingle of every candidate doc (~8x the rows of the
+    * direct join on this distribution). */
   def jaccardNearDup(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = docShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = shingleSizes(sh)
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -68,21 +88,24 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature components: for hash index i, sig_i(doc) =
-    * min over shingles of md5(shingle || '#' || i). Lexicographic min over
-    * fixed-width lowercase hex == numeric min over the 128-bit hash. */
+  /** MinHash signatures in ONE aggregation pass (single shuffle on doc_id,
+    * no per-hash row explosion): sig_i(doc) = min over shingles of
+    * md5(shingle || '#' || i). Lexicographic min over fixed-width lowercase
+    * hex == numeric min over the 128-bit hash. Output: doc_id, sig_0..n-1. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val withI = sh.select(
-      col("doc_id"), col("shingle"),
-      explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-    withI
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("shingle"), lit("#"), col("i")))).as("sig"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(col("shingle"), lit("#"), lit(i.toString)))).as(s"sig_$i"))
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** MinHash-LSH near-dup: band signatures into `bands` buckets of
     * `rowsPerBand`, bucket-join for candidates, then verify with exact
-    * Jaccard >= threshold. Fully deterministic (md5 hash family). */
+    * Jaccard >= threshold. Fully deterministic (md5 hash family).
+    *
+    * Plan shape at scale: shingles (1 shuffle) → signatures (1 shuffle,
+    * 9 tiny string columns per doc) → band rows (narrow) → bucket
+    * self-join on (band, bkey) → exact-Jaccard verification only for the
+    * few candidates (broadcast of the candidate set). */
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double,
@@ -90,16 +113,19 @@ object Dedup {
       rowsPerBand: Int = 3,
       n: Int = 3): DataFrame = {
     val sh = docShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh, bands * rowsPerBand)
-    // band key: md5 of the concatenated sigs of the band (i order is fixed
-    // by constructing each band column explicitly — no order-by-in-agg).
-    val bandKeys = sigs
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-        min(when(col("i") % rowsPerBand === r, col("sig")))): _*)).as("bkey"))
-    val l = bandKeys.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val r = bandKeys.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
+    }
+    val bandRows = sigs.select(
+      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val candidates = l.join(r, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
