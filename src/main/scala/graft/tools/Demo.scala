@@ -48,6 +48,23 @@ object Demo {
     println(s"[demo] examples=${examples.count()} joined=${out.count()}")
     out.orderBy("_prediction_time").show(10, truncate = false)
     out.explain("formatted")
+
+    // Streaming surface: same pipeline over a file stream (one pass).
+    graft.sources.Tables.prepare(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val sq = graft.streaming.StreamingFlagship(stream)
+      .writeStream.format("memory").queryName("demo_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    println(s"[demo] streaming examples emitted=${spark.table("demo_stream").count()}" +
+      s" (pre-watermark-horizon examples still pending by design)")
+    spark.table("demo_stream").orderBy("_prediction_time").show(5, truncate = false)
     spark.stop()
   }
 }
