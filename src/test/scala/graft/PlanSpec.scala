@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.VersionedTable
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that make the engine viable at
+  * 100 TB must hold structurally, not accidentally: parquet filter pushdown,
+  * column pruning, broadcast of small dimensions, and the as-of join's
+  * single-shuffle guarantee. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String = {
+    val df = graft.queries.Registry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_expr pushes its predicates into the parquet scan") {
+    val df = graft.queries.Registry.queries("q_filter_expr")(spark, sfDir)
+    val pushed = df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_discount,0.07)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,10.0)"), pushed)
+  }
+
+  test("q_token_stats prunes unused document columns from the scan") {
+    val p = planString("q_token_stats")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text"))
+    assert(!readSchema.contains("doc_id"), readSchema)
+    assert(!readSchema.contains("source"), readSchema)
+  }
+
+  test("q_top_customers broadcasts the customer dimension") {
+    val p = planString("q_top_customers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_nation_revenue broadcasts nation and region") {
+    val p = planString("q_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("as-of join is a single shuffle over union(probes, versions)") {
+    import spark.implicits._
+    val probes = Seq((ts("02:00"), "k1")).toDF("t", "k")
+    val versions = VersionedTable(
+      Seq((ts("01:00"), "k1", 1L)).toDF("_change_time", "_entity", "v"),
+      "_entity", "_change_time", Seq("v"))
+    val joined = AsOfJoin.asof(probes, "k", "t", versions)
+    def countShuffles(p: SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeExec => 1
+        case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+        case _ => 0
+      }
+      self + p.children.map(countShuffles).sum
+    }
+    val n = countShuffles(joined.queryExecution.executedPlan)
+    assert(n === 1, joined.queryExecution.executedPlan.toString.take(3000))
+  }
+}
