@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns as a sequential fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProduct]]); same sequential fold semantics as
+    * the HOF form below, ~an order of magnitude faster per row. */
+  def dot(a: Column, b: Column): Column = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.functions.VectorExpressions.register(spark)
+    call_function("graft_dot", a, b)
+  }
+
+  /** Reference HOF formulation (kept for parity testing: bit-identical). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id [, extra cols], v: array<double>, nrm) from an embeddings table. */

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * The composable alternative — aggregate(zip_with(a, b, _*_), 0.0, _+_) —
+  * runs the lambda interpreter per element and allocates an intermediate
+  * array; this expression is a tight codegen'd loop over the unsafe array
+  * data. The accumulation order is the same sequential left-to-right fold,
+  * so results are bit-identical to the HOF form (and to the DuckDB oracle).
+  *
+  * Null array elements are treated as 0 (embeddings carry none).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers must pass array<double> (cast first); Spark 4 hides the
+  // ExpectsInputTypes/AbstractDataType machinery from external packages
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    acc += $a.getDouble(i) * $b.getDouble(i);
+         |  }
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Register graft_dot in the session's function registry (idempotent),
+    * making it available to both the Column API and spark.sql. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+}

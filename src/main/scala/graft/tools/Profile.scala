@@ -42,6 +42,14 @@ object Profile {
     time("jaccardNearDup full")(full.count())
     val mh = Dedup.minhashNearDup(docs, 0.7)
     time("minhashNearDup full")(mh.count())
+    val ev = Tables.events(spark, sfDir)
+    time("events scan")(ev.write.format("noop").mode("overwrite").save())
+    val qj = graft.queries.Registry.queries("q_json")(spark, sfDir)
+    time("q_json 1st")(qj.write.format("noop").mode("overwrite").save())
+    time("q_json 2nd")(qj.write.format("noop").mode("overwrite").save())
+    val qj2 = ev.withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k"))
+      .where(col("k") > 50).select("event_id", "event_type", "k")
+    time("q_json from_json")(qj2.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
