@@ -30,7 +30,12 @@ object Bench {
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache() // drop persisted intermediates of prior queries
+      // settle between queries: drop persisted intermediates of the prior
+      // query and absorb the (async) unpersist + GC churn outside the
+      // timed region, so it doesn't land on whichever query runs next
+      spark.catalog.clearCache()
+      System.gc()
+      spark.range(1000).count()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

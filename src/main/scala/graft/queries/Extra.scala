@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.ext.{Similarity, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Second-wave coverage: distinct aggregates, ROLLUP, embedding near-dup
+  * pairs, TF-IDF. */
+object Extra {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- distinct aggregates + min/max ------------------------------------
+    QueryDef(
+      "q_agg_distinct",
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag"""),
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))),
+
+    // ---- ROLLUP (grouping sets) -------------------------------------------
+    QueryDef(
+      "q_rollup",
+      Some("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""),
+      (s, dir) => Tables.load(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).cast("bigint").as("total_cents"))),
+
+    // ---- embedding-cosine near-dup pairs (bucketed by label) --------------
+    QueryDef(
+      "q_embed_neardup",
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(cos, 6) AS sim FROM s WHERE cos >= 0.4"""),
+      (s, dir) => {
+        val p = Similarity.prepared(Tables.load(s, dir, "embeddings"), Seq("label"))
+        val a = p.select(col("vec_id").as("vec_a"), col("label"), col("v"), col("nrm"))
+        val b = p.select(col("vec_id").as("vec_b"), col("label").as("__l"),
+          col("v").as("bv"), col("nrm").as("bnrm"))
+        a.join(b, col("label") === col("__l") && col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            (Similarity.dot(col("v"), col("bv")) / (col("nrm") * col("bnrm"))).as("cos"))
+          .where(col("cos") >= 0.4)
+          .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
+      }),
+
+    // ---- TF-IDF over a bounded doc subset ---------------------------------
+    QueryDef(
+      "q_tfidf",
+      Some("""
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+               WHERE doc_id < 50 GROUP BY doc_id, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        val tf = tok.where(col("doc_id") < 50)
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+              .as("tfidf"))
+      })
+  )
+}

@@ -22,7 +22,8 @@ final case class QueryDef(
 
 object Registry {
   lazy val all: Seq[QueryDef] =
-    Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++ SparkOnly.defs
+    Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++
+      Extra.defs ++ SparkOnly.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
