@@ -133,14 +133,14 @@ object Dedup {
     jaccardFor(candidates, sh).where(col("jaccard") >= threshold)
   }
 
-  /** SimHash (64-bit) from token sets using xxhash64 — Spark-native scale
-    * path (no portable oracle; verified by rows-only check + unit tests).
-    * simhash bit b = sign of sum over tokens of (bit_b(xxhash64(token))*2-1).
-    */
+  /** SimHash (64-bit) over distinct 3-gram shingles using xxhash64 —
+    * Spark-native scale path (no portable oracle; verified by rows-only
+    * check + unit tests). simhash bit b = sign of sum over shingles of
+    * (bit_b(xxhash64(shingle))*2-1). Shingles, not unigrams: on a small
+    * shared vocabulary unigram sets overlap heavily across unrelated docs
+    * and the signature stops discriminating. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(
-      col("doc_id"),
-      explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    val tok = docShingles(docs).withColumnRenamed("shingle", "token")
     val bits = tok
       .select(
         col("doc_id"), xxhash64(col("token")).as("h"),

@@ -39,6 +39,12 @@ object AsOfJoin {
     * @param right      versioned table supplying values
     * @param inclusive  version at exactly asOfTime visible? (reference: yes)
     * @param joinType   "left" (NULL values when no version) or "inner"
+    * @param nullKeyBypass  route NULL-key probes around the shuffle (they
+    *                   can only ever produce NULL values). All NULL keys
+    *                   hash to ONE partition — at scale a few percent of
+    *                   null keys becomes a straggler; the bypass trades a
+    *                   second (IsNull/IsNotNull-pushed) scan of the probe
+    *                   side for eliminating it.
     */
   def asof(
       left: DataFrame,
@@ -46,8 +52,31 @@ object AsOfJoin {
       asOfTime: String,
       right: VersionedTable,
       inclusive: Boolean = true,
-      joinType: String = "left"): DataFrame = {
+      joinType: String = "left",
+      nullKeyBypass: Boolean = false): DataFrame = {
     require(Seq("left", "inner").contains(joinType), s"joinType=$joinType")
+    if (nullKeyBypass) {
+      val merged = asofImpl(left.where(col(leftKey).isNotNull), leftKey, asOfTime,
+        right, inclusive, joinType)
+      if (joinType == "inner") return merged // NULL-key probes never match
+      val valueType = right.df.select(struct(right.valueCols.map(col): _*))
+        .schema.head.dataType
+      val nullRows = left.where(col(leftKey).isNull)
+        .withColumn("__asof", lit(null).cast(valueType))
+        .select((left.columns.map(col) ++
+          right.valueCols.map(c => col("__asof").getField(c).as(c))).toSeq: _*)
+      return merged.unionByName(nullRows)
+    }
+    asofImpl(left, leftKey, asOfTime, right, inclusive, joinType)
+  }
+
+  private def asofImpl(
+      left: DataFrame,
+      leftKey: String,
+      asOfTime: String,
+      right: VersionedTable,
+      inclusive: Boolean,
+      joinType: String): DataFrame = {
     val overlap = right.valueCols.toSet.intersect(left.columns.toSet)
     require(overlap.isEmpty, s"value columns collide with probe columns: $overlap")
 
@@ -87,5 +116,82 @@ object AsOfJoin {
       left.columns.map(c => col("__probe").getField(c).as(c)) ++
         right.valueCols.map(c => col("__asof").getField(c).as(c))
     kept.select(outCols.toSeq: _*)
+  }
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** Broadcast as-of join: when the versioned table is small (dimension-
+    * sized feature tables against petabytes of probes), collect it once,
+    * broadcast per-key time-sorted arrays, and answer each probe with a
+    * binary search inside a mapPartitions pass — ZERO shuffle of the probe
+    * side, no sort, preserving the probes' partitioning for downstream
+    * operators. Same semantics as [[asof]] (verified equal in tests).
+    *
+    * @param maxRows guard against collecting an unexpectedly large table */
+  def asofBroadcast(
+      left: DataFrame,
+      leftKey: String,
+      asOfTime: String,
+      right: VersionedTable,
+      inclusive: Boolean = true,
+      joinType: String = "left",
+      maxRows: Long = 2000000L): DataFrame = {
+    require(Seq("left", "inner").contains(joinType), s"joinType=$joinType")
+    val spark = left.sparkSession
+    val nVals = right.valueCols.size
+
+    val versionRows = right.df
+      .select((Seq(col(right.keyCol), col(right.timeCol)) ++ right.valueCols.map(col)): _*)
+      .limit((maxRows + 1).toInt)
+      .collect()
+    require(versionRows.length <= maxRows,
+      s"versioned table exceeds asofBroadcast maxRows=$maxRows; use asof()")
+
+    val byKey: Map[Any, (Array[Long], Array[Array[Any]])] = versionRows
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(r => toMicros(r.getTimestamp(1)))
+        (k, (sorted.map(r => toMicros(r.getTimestamp(1))),
+          sorted.map(r => Array.tabulate[Any](nVals)(i => r.get(i + 2)))))
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+
+    val keyIdx = left.schema.fieldIndex(leftKey)
+    val timeIdx = left.schema.fieldIndex(asOfTime)
+    val inclusiveFlag = inclusive
+    val inner = joinType == "inner"
+    val nullValues = Array.fill[Any](nVals)(null)
+
+    val valueFields = {
+      val bySchema = right.df.schema
+      right.valueCols.map(c => bySchema(bySchema.fieldIndex(c)).copy(nullable = true))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(left.schema.fields ++ valueFields)
+
+    val rdd = left.rdd.mapPartitions { rows =>
+      val m = bc.value
+      rows.flatMap { r =>
+        val vals: Array[Any] =
+          if (r.isNullAt(keyIdx) || r.isNullAt(timeIdx)) nullValues
+          else m.get(r.get(keyIdx)) match {
+            case None => nullValues
+            case Some((times, values)) =>
+              val t = toMicros(r.getAs[java.sql.Timestamp](timeIdx))
+              // rightmost index with times(i) <= t (inclusive) / < t
+              var lo = 0; var hi = times.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                val ok = if (inclusiveFlag) times(mid) <= t else times(mid) < t
+                if (ok) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              if (ans >= 0) values(ans) else nullValues
+          }
+        if (inner && (vals eq nullValues)) Iterator.empty
+        else Iterator.single(org.apache.spark.sql.Row.fromSeq(r.toSeq ++ vals))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -81,6 +81,32 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
   }
 
+  test("asofBroadcast equals the union-merge asof (left and inner, both boundaries)") {
+    val p = probes(("00:30", "k1"), ("01:00", "k1"), ("02:30", "k1"),
+      ("04:00", "k1"), ("01:30", "k2"), ("09:00", "zz"))
+    for (inc <- Seq(true, false); jt <- Seq("left", "inner")) {
+      val viaShuffle = AsOfJoin.asof(p, "k", "t", versions(), inc, jt)
+        .collect().map(_.toSeq).toSet
+      val viaBroadcast = AsOfJoin.asofBroadcast(p, "k", "t", versions(), inc, jt)
+        .collect().map(_.toSeq).toSet
+      assert(viaShuffle === viaBroadcast, s"inclusive=$inc joinType=$jt")
+    }
+  }
+
+  test("nullKeyBypass routes NULL-key probes around the shuffle with equal results") {
+    import spark.implicits._
+    val p = Seq((ts("02:00"), "k1"), (ts("02:00"), null), (ts("04:00"), null))
+      .toDF("t", "k")
+    val plain = AsOfJoin.asof(p, "k", "t", versions()).collect().map(_.toSeq).toSet
+    val bypass = AsOfJoin.asof(p, "k", "t", versions(), nullKeyBypass = true)
+      .collect().map(_.toSeq).toSet
+    assert(plain === bypass)
+    assert(bypass.size === 3)
+    val inner = AsOfJoin.asof(p, "k", "t", versions(), joinType = "inner",
+      nullKeyBypass = true).collect()
+    assert(inner.length === 1)
+  }
+
   test("ties at the same change instant collapse to the full cumulative value") {
     import spark.implicits._
     val events = Seq(
