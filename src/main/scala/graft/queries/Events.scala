@@ -38,18 +38,68 @@ object Events {
 
   /** Flagship: examples as-of-joined to cumulative error value at
     * _prediction_time and cumulative purchase count at _label_time —
-    * the full reference pipeline shape on real data. */
+    * the full reference pipeline shape on real data.
+    *
+    * FUSED single-shuffle formulation (results identical to composing the
+    * generic primitives — the golden test pins the generic path, the
+    * oracle pins this one):
+    *
+    *  1. The feature as-of join (J1) dissolves: its as-of instant is the
+    *     probe row's OWN event time, so the feature value is just the
+    *     running error-cents window column of that row (RANGE frame ==
+    *     inclusive boundary + tie handling).
+    *  2. Example trigger, running error cents, and running purchase count
+    *     all share one partition+order — a single exchange on user_id
+    *     feeds a chained Window pass.
+    *  3. The label-time as-of join (J2) consumes the same stream: purchase
+    *     rows become versions (their running count IS the version value,
+    *     so no dedup is needed — tied rows carry identical values) and
+    *     example rows become probes at ts+1h; the union-merge window
+    *     partitions on an alias of user_id, so Spark's alias-aware
+    *     partitioning propagation inserts NO second shuffle.
+    *
+    * Net: ONE shuffle of the events table for the entire pipeline
+    * (asserted in PlanSpec). At 100 TB, that shuffle is the cost floor. */
   def flagship(s: SparkSession, dir: String): DataFrame = {
-    val ev = eventTable(s, dir)
-    val features = VersionedTable.fromEvents(
-      ev.where(col("event_type") === "error"), "user_id",
-      sum(expr("cast(round(value * 100) as bigint)")) -> "err_cents")
-    val target = VersionedTable.fromEvents(
-      ev.where(col("event_type") === "purchase"), "user_id",
-      count(lit(1)) -> "purchases")
-    AsOfJoin.asof(
-      AsOfJoin.asof(examples(s, dir), "_entity", "_prediction_time", features),
-      "_entity", "_label_time", target)
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(col("user_id"))
+    val wRows = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-1, 0)
+    val wRange = Window.partitionBy("user_id").orderBy(col("ts")) // RANGE ..current
+    val isErr = col("event_type") === "error"
+    val isPurch = col("event_type") === "purchase"
+    val annotated = ev
+      .withColumn("streak", count(when(isErr, lit(1))).over(wRows))
+      .withColumn("err_run", sum(when(isErr, expr("cast(round(value * 100) as bigint)"))).over(wRange))
+      .withColumn("purch_run", count(when(isPurch, lit(1))).over(wRange))
+      .where(isPurch || (isErr && col("streak") === 2))
+
+    val probeStruct = struct(
+      col("user_id").as("_entity"),
+      col("ts").as("_prediction_time"),
+      (col("ts") + expr("INTERVAL 1 HOUR")).as("_label_time"),
+      col("err_run").as("err_cents"))
+    val tagged = annotated.select(
+      col("user_id").as("__k"),
+      when(isPurch, col("ts")).otherwise(col("ts") + expr("INTERVAL 1 HOUR")).as("__t"),
+      when(isPurch, lit(0)).otherwise(lit(1)).as("__side"),
+      when(isPurch, col("purch_run")).as("__val"),
+      when(!isPurch, probeStruct).as("__probe"))
+
+    val wMerge = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__purchases", last(col("__val"), ignoreNulls = true).over(wMerge))
+      .where(col("__side") === 1)
+      .select(
+        col("__probe._entity").as("_entity"),
+        col("__probe._prediction_time").as("_prediction_time"),
+        col("__probe._label_time").as("_label_time"),
+        col("__probe.err_cents").as("err_cents"),
+        col("__purchases").as("purchases"))
   }
 
   val defs: Seq[QueryDef] = Seq(

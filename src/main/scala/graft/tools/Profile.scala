@@ -50,6 +50,11 @@ object Profile {
     val qj2 = ev.withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k"))
       .where(col("k") > 50).select("event_id", "event_type", "k")
     time("q_json from_json")(qj2.write.format("noop").mode("overwrite").save())
+    val fl = graft.queries.Registry.queries("q_flagship")(spark, sfDir)
+    val plan = fl.queryExecution.executedPlan.toString
+    println("[profile] flagship ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).size)
+    println("[profile] flagship Exchange count: " + "\\bExchange\\b".r.findAllIn(plan).size)
+    time("q_flagship")(fl.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

@@ -48,6 +48,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
   }
 
+  test("fused flagship pipeline is a single shuffle of the events table") {
+    val df = graft.queries.Registry.queries("q_flagship")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\bExchange\\b".r.findAllIn(plan).size === 1, plan.take(3000))
+  }
+
   test("as-of join is a single shuffle over union(probes, versions)") {
     import spark.implicits._
     val probes = Seq((ts("02:00"), "k1")).toDF("t", "k")
