@@ -67,6 +67,79 @@ object Extra {
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
       }),
 
+    // ---- window-function family (lag/lead/rank/running max) ---------------
+    QueryDef(
+      "q_window_funcs",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               CAST(row_number() OVER w AS INT) AS rn,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               max(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .where(col("o_custkey") < 100)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            row_number().over(w).as("rn"),
+            dense_rank().over(w).as("drnk"),
+            max(col("o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("run_max"))
+      }),
+
+    // ---- string functions --------------------------------------------------
+    QueryDef(
+      "q_string_funcs",
+      Some("""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               substr(p_name, 1, 10) AS name10,
+               concat(p_brand, ':', p_type) AS bt,
+               CAST(length(p_name) AS INT) AS name_len,
+               CASE WHEN p_size >= 30 THEN 'large'
+                    WHEN p_size >= 10 THEN 'medium'
+                    ELSE 'small' END AS size_class,
+               replace(p_type, ' ', '_') AS type_u
+        FROM part WHERE p_name LIKE '%a%'"""),
+      (s, dir) => Tables.load(s, dir, "part")
+        .where(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("bt"),
+          length(col("p_name")).as("name_len"),
+          when(col("p_size") >= 30, "large")
+            .when(col("p_size") >= 10, "medium")
+            .otherwise("small").as("size_class"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"))),
+
+    // ---- date/time extraction ----------------------------------------------
+    QueryDef(
+      "q_dates",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2"""),
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).cast("bigint").as("cents"))),
+
     // ---- TF-IDF over a bounded doc subset ---------------------------------
     QueryDef(
       "q_tfidf",

@@ -25,6 +25,8 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count()
 
+    time("tokens only")(docs.select(col("doc_id"), explode(graft.ext.TextOps.tokens(col("text"))).as("t")).write.format("noop").mode("overwrite").save())
+    time("tokens repart")(docs.repartition(8).select(col("doc_id"), explode(graft.ext.TextOps.tokens(col("text"))).as("t")).write.format("noop").mode("overwrite").save())
     val sh = Dedup.docShingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("shingles materialize")(sh.count())
