@@ -1,0 +1,150 @@
+package graft.api
+
+import graft.core.{EventTable, VersionedTable}
+import graft.ops.{AsOfJoin, Examples}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing facade mirroring the reference program's shape
+  * (App.java:38-87): register event tables, declare time-agnostic
+  * feature/target aggregations (they become versioned tables), generate
+  * training examples with a trailing-window trigger, and point-in-time
+  * join on any time axis. A reference user's program ports statement for
+  * statement:
+  *
+  * {{{
+  * val g = Graft(spark)
+  * val games = g.events("GamePlay", gamesDf, time = "ts", key = "user")
+  * val features = g.versioned(games, where = "won = false",
+  *   "sum(duration)" -> "loss_duration")                    // App.java:47
+  * val target = g.versioned(purchases, "count(1)" -> "cnt") // App.java:52
+  * val examples = g.examples(games,                          // App.java:64-77
+  *   windowAgg = "count(nullif(won, true))", lookback = 1,
+  *   trigger = "= 2", labelDelay = "INTERVAL 1 HOUR")
+  * val training = g.pointInTimeJoin(                         // App.java:200-233
+  *   g.pointInTimeJoin(examples, "_prediction_time", features),
+  *   "_label_time", target)
+  * }}}
+  */
+final case class Graft(spark: SparkSession) {
+
+  private val versionedRegistry =
+    scala.collection.mutable.Map.empty[String, VersionedTable]
+
+  /** Make a versioned table addressable from [[sql]] temporal joins (and
+    * as a plain view for ordinary SQL). */
+  def registerVersioned(name: String, vt: VersionedTable): VersionedTable = {
+    versionedRegistry(name.toLowerCase) = vt
+    vt.df.createOrReplaceTempView(name)
+    vt
+  }
+
+  private val TemporalJoin = (
+    "(?is)\\s*SELECT\\s+(.*?)\\s+FROM\\s+(\\w+)\\s+" +
+      "LEFT\\s+JOIN\\s+(\\w+)\\s+FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+      "(\\w+)\\.(\\w+)\\s+AS\\s+(\\w+)\\s+" +
+      "ON\\s+(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*").r
+
+  /** Run SQL, accepting the reference's event-time temporal-join syntax
+    * (`LEFT JOIN V FOR SYSTEM_TIME AS OF p.t AS v ON p.k = v.k`,
+    * App.java:200-205/228-233) against versioned tables registered with
+    * [[registerVersioned]]. A leading `WITH name AS (...)` is registered
+    * as a temp view. Everything else passes through to spark.sql. */
+  def sql(query: String): DataFrame = {
+    var rest = query.trim
+    val With = "(?is)\\s*WITH\\s+(\\w+)\\s+AS\\s*\\(".r
+    With.findPrefixMatchOf(rest).foreach { m =>
+      // find the matching close paren of the CTE body
+      var depth = 1
+      var i = m.end
+      while (depth > 0 && i < rest.length) {
+        rest.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      spark.sql(rest.substring(m.end, i - 1)).createOrReplaceTempView(m.group(1))
+      rest = rest.substring(i)
+    }
+    rest match {
+      case TemporalJoin(selectList, probe, ver, tAlias, tCol, vAlias, k1t, k1c, k2t, k2c) =>
+        require(tAlias.equalsIgnoreCase(probe),
+          s"as-of time must reference the probe table: $tAlias vs $probe")
+        val vt = versionedRegistry.getOrElse(ver.toLowerCase,
+          throw new IllegalArgumentException(
+            s"$ver is not a registered versioned table (registerVersioned)"))
+        val probeDf = spark.table(probe)
+        val probeKey =
+          if (k1t.equalsIgnoreCase(probe)) k1c
+          else if (k2t.equalsIgnoreCase(probe)) k2c
+          else throw new IllegalArgumentException(s"ON must reference $probe")
+        val joined = AsOfJoin.asof(probeDf, probeKey, tCol, vt)
+        val exprs = selectList.split(",").map(_.trim).flatMap {
+          case s if s.equalsIgnoreCase(s"$probe.*") || s == "*" => probeDf.columns.toSeq
+          case s =>
+            Seq(s.replaceAll(s"(?i)\\b$probe\\.", "").replaceAll(s"(?i)\\b$vAlias\\.", ""))
+        }
+        joined.selectExpr(exprs.toIndexedSeq: _*)
+      case _ => spark.sql(rest)
+    }
+  }
+
+  /** Register an event table (reference: createTemporaryView + watermark
+    * schema, App.java:99-122). */
+  def events(name: String, df: DataFrame, time: String, key: String): EventTable = {
+    val et = EventTable(df, time, Some(key))
+    et.createOrReplaceTempView(name)
+    et
+  }
+
+  /** A time-agnostic aggregation over an event table, materialized as a
+    * versioned table: one row per (key, change instant) with the value the
+    * aggregate had as of that instant (inclusive). Aggregates are SQL
+    * expression strings, e.g. "sum(duration)" -> "loss_duration". */
+  def versioned(
+      events: EventTable,
+      aggs: (String, String)*): VersionedTable =
+    versionedWhere(events, where = null, aggs: _*)
+
+  def versionedWhere(
+      events: EventTable,
+      where: String,
+      aggs: (String, String)*): VersionedTable = {
+    val key = events.keyCol.getOrElse(
+      throw new IllegalArgumentException("versioned() needs a keyed EventTable"))
+    val filtered = if (where == null) events else events.where(expr(where))
+    VersionedTable.fromEvents(
+      filtered, key,
+      aggs.map { case (sql, name) => (expr(sql): Column) -> name }: _*)
+  }
+
+  /** Training-example generation (reference: OVER-window + filter,
+    * App.java:64-77). `trigger` is a SQL comparison applied to the window
+    * aggregate's value, e.g. "= 2". */
+  def examples(
+      events: EventTable,
+      windowAgg: String,
+      lookback: Int,
+      trigger: String,
+      labelDelay: String): DataFrame =
+    Examples.generate(
+      events,
+      windowAgg = expr(windowAgg),
+      lookback = lookback,
+      trigger = agg => expr(s"__agg ${trigger.trim}"),
+      labelDelay = labelDelay)
+
+  /** Event-time point-in-time join (reference: FOR SYSTEM_TIME AS OF,
+    * App.java:200-205/228-233). The time axis is a parameter: join the
+    * same probes to different versioned tables at different instants. */
+  def pointInTimeJoin(
+      probes: DataFrame,
+      asOfTime: String,
+      versioned: VersionedTable,
+      probeKey: String = "_entity",
+      inclusive: Boolean = true,
+      joinType: String = "left"): DataFrame =
+    AsOfJoin.asof(probes, probeKey, asOfTime, versioned, inclusive, joinType)
+}

@@ -49,6 +49,22 @@ object Demo {
     out.orderBy("_prediction_time").show(10, truncate = false)
     out.explain("formatted")
 
+    // Facade surface: the reference's program shape + its temporal-join SQL.
+    val g = graft.api.Graft(spark)
+    val ev2 = g.events("events_v", events.df, time = "ts", key = "user_id")
+    g.registerVersioned("ErrFeatures",
+      g.versionedWhere(ev2, "event_type = 'error'",
+        "sum(cast(round(value*100) as bigint))" -> "err_cents"))
+    g.sql("SELECT user_id AS _entity, ts AS _prediction_time FROM events_v WHERE event_type = 'purchase'")
+      .createOrReplaceTempView("probes")
+    val viaSql = g.sql("""
+      SELECT probes.*, f.err_cents
+      FROM probes
+      LEFT JOIN ErrFeatures FOR SYSTEM_TIME AS OF probes._prediction_time AS f
+      ON probes._entity = f._entity""")
+    println(s"[demo] facade temporal-join rows=${viaSql.count()}")
+    viaSql.orderBy("_prediction_time").show(3, truncate = false)
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
