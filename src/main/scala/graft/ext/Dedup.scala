@@ -25,7 +25,12 @@ object Dedup {
     * functions run interpreted per element (and would re-inline the token
     * regexp into every element_at reference), while the window formulation
     * stays inside whole-stage codegen. One shuffle on doc_id. */
-  def docShingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docShinglesRaw(docs, n).distinct()
+
+  /** Shingles WITHOUT set-dedup (positional multiset). Enough for MinHash
+    * signatures: min(hash) over a multiset equals min over its set. */
+  def docShinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -36,7 +41,6 @@ object Dedup {
         lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
       .where(col("__full"))
       .select("doc_id", "shingle")
-      .distinct()
   }
 
   /** Shingle-set sizes per doc. */
@@ -112,25 +116,36 @@ object Dedup {
       bands: Int = 3,
       rowsPerBand: Int = 3,
       n: Int = 3): DataFrame = {
-    val sh = docShingles(docs, n)
+    // signatures from the raw multiset (no set-dedup shuffle needed);
+    // exact-Jaccard verification dedups only the candidate docs' shingles
+    val raw = docShinglesRaw(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(sh, bands * rowsPerBand)
+    val sigs = minhashSignatures(raw, bands * rowsPerBand)
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         md5(concat_ws(",", (0 until rowsPerBand).map(r =>
           col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
     }
+    // band rows and candidates are tiny (docs x bands / a few hundred
+    // pairs) but their subtrees are expensive (the signature aggregation)
+    // and consumed multiple times (self-join sides, two broadcasts) —
+    // persist both so signatures are computed exactly once
     val bandRows = sigs.select(
       col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val candidates = l.join(r, Seq("band", "bkey"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    jaccardFor(candidates, sh).where(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
+    jaccardFor(candidates, shCand).where(col("jaccard") >= threshold)
   }
 
   /** SimHash (64-bit) over distinct 3-gram shingles using xxhash64 —
