@@ -150,6 +150,36 @@ object Events {
           col("window.start").as("hour_start"), col("event_type"),
           col("n"), col("value_cents"))),
 
+    // ---- STREAMING tumbling windows through the correctness gate ---------
+    // Executes as a real Structured Streaming query (file source,
+    // AvailableNow); append mode emits exactly the windows the watermark
+    // has finalized, which the oracle reproduces with a HAVING filter.
+    QueryDef(
+      "q_stream_hourly",
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""),
+      (s, dir) => {
+        graft.sources.Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = graft.streaming.StreamingOps.tumbling(
+          stream, "ts", "0 seconds", "1 hour",
+          Seq("event_type"), Seq(count(lit(1)).as("n")))
+          .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+        val qname = "q_stream_hourly_sink"
+        val q = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+      }),
+
     // ---- sessionization (30-minute inactivity gap) -----------------------
     QueryDef(
       "q_sessions",
