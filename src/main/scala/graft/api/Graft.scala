@@ -133,7 +133,9 @@ final case class Graft(spark: SparkSession) {
       events,
       windowAgg = expr(windowAgg),
       lookback = lookback,
-      trigger = agg => expr(s"__agg ${trigger.trim}"),
+      // Examples.generate names the window aggregate __agg; the trigger
+      // fragment compares against it (e.g. "__agg = 2")
+      trigger = _ => expr(s"__agg ${trigger.trim}"),
       labelDelay = labelDelay)
 
   /** Event-time point-in-time join (reference: FOR SYSTEM_TIME AS OF,

@@ -18,11 +18,8 @@ object Similarity {
   /** Dot product via the native codegen'd expression
     * ([[graft.functions.DotProduct]]); same sequential fold semantics as
     * the HOF form below, ~an order of magnitude faster per row. */
-  def dot(a: Column, b: Column): Column = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    graft.functions.VectorExpressions.register(spark)
-    call_function("graft_dot", a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(org.apache.spark.sql.SparkSession.active, a, b)
 
   /** Reference HOF formulation (kept for parity testing: bit-identical). */
   def dotHof(a: Column, b: Column): Column =

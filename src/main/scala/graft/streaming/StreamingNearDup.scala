@@ -33,13 +33,8 @@ object StreamingNearDup {
     * Matches the batch operator: tokens `[a-z0-9]+`, 3-gram shingles,
     * sig_i = min md5(shingle || '#' || i), bucket = band || md5(sigs). */
   def banded(docs: DataFrame, bands: Int = 3, rowsPerBand: Int = 3): DataFrame = {
-    val n = 3
-    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val shingleArr = when(size(col("__toks")) >= n,
-      transform(
-        sequence(lit(1), size(col("__toks")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + lit(k))): _*)))
-      .otherwise(array().cast("array<string>"))
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    val shingleArr = graft.ext.TextOps.shingles(col("__toks"))
     val sigCols = (0 until bands * rowsPerBand).map(i =>
       array_min(transform(col("__sh"), x => md5(concat(x, lit("#"), lit(i.toString)))))
         .as(s"__sig_$i"))
