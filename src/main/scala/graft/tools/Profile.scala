@@ -57,6 +57,7 @@ object Profile {
     println("[profile] flagship ReusedExchange count: " + "ReusedExchange".r.findAllIn(plan).size)
     println("[profile] flagship Exchange count: " + "\\bExchange\\b".r.findAllIn(plan).size)
     time("q_flagship")(fl.write.format("noop").mode("overwrite").save())
+    println("[profile] entry() smoke rows=" + graft.SparkEntry.entry(spark).count())
     spark.stop()
   }
 }
