@@ -94,12 +94,21 @@ object AsOfJoin {
       lit(probeSide).as("__side"),
       probeStruct.as("__probe"),
       lit(null).cast(valueType).as("__val"))
-    val versions = right.df.select(
-      col(right.keyCol).as("__k"),
-      col(right.timeCol).as("__t"),
-      lit(verSide).as("__side"),
-      lit(null).cast(probeType).as("__probe"),
-      valueStruct.as("__val"))
+    // SQL equality-join semantics: NULL keys never match, so NULL-key (or
+    // NULL-time) version rows must not feed NULL-key probes — without this
+    // filter Window.partitionBy(__k) would group them together and a
+    // NULL-key probe could pick up a NULL-key version's values, diverging
+    // from the reference's LEFT JOIN ... ON a.k = b.k and from the
+    // nullKeyBypass/asofBroadcast paths. NULL-key probes still flow through
+    // (their partition now holds no versions → NULL values, as required).
+    val versions = right.df
+      .where(col(right.keyCol).isNotNull && col(right.timeCol).isNotNull)
+      .select(
+        col(right.keyCol).as("__k"),
+        col(right.timeCol).as("__t"),
+        lit(verSide).as("__side"),
+        lit(null).cast(probeType).as("__probe"),
+        valueStruct.as("__val"))
 
     val w = Window
       .partitionBy(col("__k"))

@@ -99,7 +99,11 @@ object StreamingAsOf {
         val kept =
           if (covered.isEmpty) vs
           else {
-            val newest = covered.maxBy(v => (v._1, v._2))
+            // same tie rule as lookup(): among equal change times the
+            // LAST-APPENDED version wins (ListState preserves append order),
+            // so answers cannot change after a prune fires.
+            val maxTs = covered.iterator.map(_._1).max
+            val newest = covered.filter(_._1 == maxTs).last
             newest +: vs.filter(_._1 > wmUs)
           }
         if (kept.size < vs.size) versions.put(kept.toArray)
