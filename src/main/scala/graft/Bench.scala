@@ -28,6 +28,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     graft.sources.Tables.events(spark, sfDir).limit(10).collect()
+    // touch every other input once so parquet footer reads + reader init
+    // land in the warm-up, not on whichever query reads the table first
+    Seq("documents", "embeddings", "orders", "customer", "nation", "region",
+      "supplier", "part")
+      .foreach(t => graft.sources.Tables.load(spark, sfDir, t).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle between queries: drop persisted intermediates of the prior

@@ -150,38 +150,55 @@ object Dedup {
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS and pick a
     * survivor per cluster (min doc_id): connected components via iterative
-    * min-label propagation to fixpoint over (pairs + reversed + self
-    * loops). Iteration count is O(component diameter) — near-dup clusters
-    * are near-cliques in practice, so 1-2 rounds; each round is one
-    * shuffle-join + aggregate. (At extreme scale the large-star/small-star
-    * formulation halves rounds further; not needed here.)
+    * min-label propagation to fixpoint, restricted to the PAIR-INCIDENT
+    * subgraph — near-dups are a small fraction of any corpus, so singleton
+    * docs never enter the iteration and are stitched back with one final
+    * left join. Iteration count is O(component diameter) (near-cliques:
+    * 1-2 rounds); each round is one shuffle-join + aggregate, and
+    * convergence is detected by a one-row label-sum aggregate (labels only
+    * ever decrease, so an unchanged sum IS the fixpoint — no per-round
+    * change-detection join). The expensive Jaccard pair generation is
+    * persisted so it runs exactly once. (At extreme scale the
+    * large-star/small-star formulation halves rounds further.)
     * Output: (doc_id, cluster_root, keep). */
   def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
     val pairs = jaccardNearDup(docs, threshold).select("doc_a", "doc_b")
-    val nodes = docs.select(col("doc_id"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .union(nodes.select(col("doc_id"), col("doc_id")))
-      .toDF("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("doc_id").as("a"), col("doc_id").as("m"))
+    val incident = pairs.select(col("doc_a").as("n"))
+      .union(pairs.select(col("doc_b").as("n"))).distinct()
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .union(incident.select(col("n").as("a"), col("n").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-loops put each node's own id into its neighborhood min, so the
+    // first aggregation already IS round 1 of propagation
+    var labels = edges.groupBy("a").agg(min("b").as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // decimal sum: overflow-proof even for 10^12-scale ids on billions of
+    // incident nodes
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("m").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val next = edges
         .join(labels.select(col("a").as("b"), col("m")), Seq("b"))
         .groupBy("a").agg(min("m").as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next
-        .join(labels.withColumnRenamed("m", "old"), "a")
-        .where(col("m") =!= col("old"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    labels.select(
-      col("a").as("doc_id"), col("m").as("cluster_root"),
-      (col("a") === col("m")).as("keep"))
+    pairs.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels.select(col("a").as("doc_id"), col("m")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("m"), col("doc_id")).as("cluster_root"),
+        (coalesce(col("m"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
   /** SimHash (64-bit) over distinct 3-gram shingles using xxhash64 —
@@ -192,15 +209,17 @@ object Dedup {
     * and the signature stops discriminating. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docShingles(docs).withColumnRenamed("shingle", "token")
-    val bits = tok
+    // 64 per-bit vote sums as ONE aggregation (single shuffle on doc_id,
+    // no 64x row explosion): bit b votes +1/-1 by bit b of xxhash64(token)
+    val h = xxhash64(col("token"))
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+    tok
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(
-        col("doc_id"), xxhash64(col("token")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("v"))
-    bits
-      .groupBy("doc_id")
-      .agg(sum(expr("if(v > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))"))
-        .cast("long").as("simhash"))
+        col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 }

@@ -1,13 +1,13 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, IvfKMeans, Multimodal, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Operators with no ANSI-SQL oracle (driver records a rows-only check):
-  * SimHash near-dup signatures, the multimodal feature-extraction plumbing
-  * (stub decoder — see [[graft.ext.Multimodal.decodeStub]]), and
-  * KMeans-bucketed approximate nearest neighbor. */
+  * SimHash near-dup signatures and learned-quantizer approximate nearest
+  * neighbor (centroids are data-dependent, so no static oracle SQL can
+  * reproduce them). */
 object SparkOnly {
 
   val defs: Seq[QueryDef] = Seq(
@@ -17,33 +17,35 @@ object SparkOnly {
       None,
       (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents"))),
 
-    QueryDef(
-      "q_mm_features",
-      None,
-      (s, dir) => Multimodal.extractFeatures(
-        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
-
-    // IVF ANN with a LEARNED coarse quantizer: seeded KMeans assigns each
-    // vector to a centroid cell; neighbor search runs only within the
-    // cell (one shuffle on the cell id). The 100 TB path: centroids train
-    // on a sample, assignment is a broadcast map-side pass, candidate
-    // volume is |cell|^2 instead of n^2. Deterministic via fixed seed,
-    // but KMeans is not ANSI-expressible -> rows-only check.
+    // IVF ANN with a LEARNED coarse quantizer: sample-trained KMeans cells
+    // (driver-side Lloyd's on a TakeOrdered sample — the 100 TB design:
+    // no cluster-wide training jobs), assignment as a broadcast map-side
+    // expression pass, neighbor search only within the cell (one shuffle
+    // on the cell id; candidate volume |cell|^2 instead of n^2).
     QueryDef(
       "q_ivf_kmeans",
       None,
       (s, dir) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val emb = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val withVec = emb.withColumn("features", array_to_vector(col("v")))
-        val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5).fit(withVec)
-        val assigned = model.transform(withVec)
-          .select(col("vec_id"), col("v").as("embedding"), col("prediction").as("cell"))
-        // reuse the bucketed-NN operator with the learned cell as bucket
-        Similarity.bucketedNN(
-          assigned.select(col("vec_id"), col("embedding"), col("cell")), "cell")
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val centroids = IvfKMeans.trainCentroids(emb, k = 8)
+        // persist: cell is an expression-derived join key; see
+        // Similarity.multiProbeNN for why the barrier is load-bearing
+        val assigned = IvfKMeans.assignCells(emb, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Similarity.bucketedNN(assigned, "cell")
+      }),
+
+    // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
+    // just its own — recovers recall lost at cell boundaries. Corpus side
+    // stays single-cell (one shuffle on cell); the probe side explodes to
+    // nprobe rows per query before the same cell-equi-join.
+    QueryDef(
+      "q_ivf_multiprobe",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val centroids = IvfKMeans.trainCentroids(emb, k = 8)
+        Similarity.multiProbeNN(emb, centroids, nprobe = 2, k = 3)
       })
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, TextOps}
+import graft.ext.{Dedup, Multimodal, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -198,6 +198,48 @@ object Text {
           col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
           length(col("text")).cast("long").as("n_cp"),
-          (octet_length(col("text")) === length(col("text"))).as("is_ascii")))
+          (octet_length(col("text")) === length(col("text"))).as("is_ascii"))),
+
+    // ---- multimodal feature extraction (stub decoder, full oracle) --------
+    // The decode step is a deterministic byte-level stub (no codecs in the
+    // container — graft.ext.Multimodal.decodeStub), which makes it fully
+    // ANSI-expressible: DuckDB re-derives width/height/per-bucket byte
+    // means from hex(encode(text)). Bucket means are exact on both sides:
+    // integer byte sums stay < 2^53, so double accumulation order is
+    // irrelevant, and the single final division uses identical operands.
+    QueryDef(
+      "q_mm_features",
+      Some {
+        val fCols = (0 until Multimodal.featureDim).map { j =>
+          s"COALESCE(CAST(sum(CASE WHEN bkt=$j THEN byte END) AS DOUBLE)" +
+            s"/NULLIF(count(CASE WHEN bkt=$j THEN 1 END),0), 0.0) AS f$j"
+        }.mkString(",\n                ")
+        val fSel = (0 until Multimodal.featureDim)
+          .map(j => s"COALESCE(f.f$j, 0.0) AS f$j").mkString(", ")
+        s"""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        e AS (SELECT doc_id, hx, n, unnest(range(n)) AS i FROM b),
+        v AS (SELECT doc_id, i % ${Multimodal.featureDim} AS bkt,
+                     ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT AS byte
+              FROM e),
+        f AS (SELECT doc_id,
+                $fCols
+              FROM v GROUP BY doc_id)
+        SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
+               16 + CASE WHEN b.n >= 1 THEN ('0x' || substr(b.hx,1,2))::INT & 63 ELSE 0 END AS width,
+               16 + CASE WHEN b.n >= 2 THEN ('0x' || substr(b.hx,3,2))::INT & 63 ELSE 0 END AS height,
+               $fSel
+        FROM b LEFT JOIN f USING (doc_id)"""
+      },
+      (s, dir) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))
+        feats.select(
+          (Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++
+            (0 until Multimodal.featureDim).map(j =>
+              element_at(col("features"), j + 1).as(s"f$j"))): _*)
+      })
   )
 }

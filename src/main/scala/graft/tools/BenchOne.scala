@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Replicates Bench.scala's exact conditions for a subset of queries:
+  * bench-one <sfDir> <cpus> <query...>  — for chasing per-query wall-clock
+  * without running the whole registry. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = args(1)
+    val names = args.drop(2)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.prepare(spark)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      System.gc()
+      spark.range(1000).count()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[benchone] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    spark.stop()
+  }
+}
