@@ -69,4 +69,57 @@ class StreamingAsOfSpec extends AnyFunSuite with SparkSpec {
     assert(got.size === expected.size)
     assert(got === expected)
   }
+
+  test("answers are stable across prune for duplicate-timestamp versions") {
+    import spark.implicits._
+    // Two versions of key 1 with the SAME change time (10') arrive in
+    // SEPARATE micro-batches. Probe P1 covers that instant and is answered
+    // by its timer, whose lookup sees the full duplicate list and whose
+    // prune then collapses it to ONE kept version. Probe P2 covers the
+    // same duplicate-version window but arrives after the prune, so its
+    // lookup sees only the kept version. Both answers must be the
+    // LAST-APPENDED value 200 — the lookup() and prune tie rules must
+    // agree, or the answer would silently change across the prune
+    // (regression for the prune keeping `.last` among equal change times).
+    // Note the watermark contract bounds what "after the prune" can mean:
+    // rows at or below the late-events watermark are dropped by Spark
+    // before reaching the processor (verified here by construction: every
+    // row stays inside the 60' allowed lateness when its batch runs).
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[AsOfInput]
+    val out = StreamingAsOf(
+      input.toDF().withWatermark("ts", "60 minutes").as[AsOfInput])
+    val query = out.writeStream.format("memory").queryName("asof_prune")
+      .outputMode("append").start()
+    try {
+      // batch 1: first version (ts=10', v=100)
+      input.addData(Seq(AsOfInput(1L, t(10), 0, 100L, -1L)))
+      query.processAllAvailable()
+      // batch 2: duplicate-timestamp version (ts=10', v=200) — appended
+      // later, so it must win — plus probe P1 at 30' (ahead of the
+      // watermark: buffers with a timer at 30')
+      input.addData(Seq(
+        AsOfInput(1L, t(10), 0, 200L, -1L),
+        AsOfInput(1L, t(30), 1, 0L, 1L)))
+      query.processAllAvailable()
+      // sentinel at 95' -> watermark 35' -> P1's timer fires: answer from
+      // the full duplicate list, then the prune keeps exactly one of the
+      // two ts=10' versions
+      input.addData(Seq(AsOfInput(-999L, t(95), 0, 0L, -1L)))
+      query.processAllAvailable()
+      // P2 at 40' (above watermark 35', so not late): buffers, then the
+      // second sentinel fires its timer — this lookup runs against the
+      // PRUNED state
+      input.addData(Seq(AsOfInput(1L, t(40), 1, 0L, 2L)))
+      query.processAllAvailable()
+      input.addData(Seq(AsOfInput(-999L, t(200), 0, 0L, -1L)))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("asof_prune").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> Some(200L), 2L -> Some(200L)))
+  }
 }
