@@ -214,12 +214,33 @@ object Dedup {
     val h = xxhash64(col("token"))
     val votes = (0 until 64).map(b =>
       sum(shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
-    tok
-      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(
-        col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).cast("long").as("simhash"))
+    combineBits(tok.groupBy("doc_id").agg(votes.head, votes.tail: _*))
   }
+
+  /** Portable SimHash: same banded-vote construction, but the 64 bits come
+    * from the 16 hex digits of md5(shingle) (4 bits each) instead of
+    * xxhash64 — reproducible in any engine with md5, which buys a DuckDB
+    * oracle at the cost of the slower hash. [[simhash]] stays the scale
+    * path. */
+  def simhashPortable(docs: DataFrame): DataFrame = {
+    val m = docShingles(docs).select(col("doc_id"), md5(col("shingle")).as("m"))
+    // materialize the 16 digit values once (md5 is referenced 16x; the
+    // multi-reference keeps CollapseProject from re-inlining it per digit)
+    val digits = m.select(
+      col("doc_id") +: (0 until 16).map(i =>
+        expr(s"cast(conv(substr(m, ${i + 1}, 1), 16, 10) as int)").as(s"d$i")): _*)
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b"))
+    combineBits(digits.groupBy("doc_id").agg(votes.head, votes.tail: _*))
+  }
+
+  /** (doc_id, v0..v63 vote sums) -> (doc_id, simhash): set bit b when the
+    * vote is positive. Disjoint bit contributions sum without overflow
+    * (bit 63's contribution IS Long.MinValue, two's complement). */
+  private def combineBits(voteSums: DataFrame): DataFrame =
+    voteSums.select(
+      col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("simhash"))
 }

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Third-wave coverage: time-range join, exact statistical aggregates, and
+  * streaming sessionization through the correctness gate.
+  *
+  * Parity notes: all variance/correlation math is derived from EXACT
+  * integer sums (cents / hour-of-day), so the only floating-point ops are
+  * the final divisions/sqrts, written with identical operand order on both
+  * sides. Intermediate products stay < 2^63 through sf0.1; at larger SFs
+  * the sums would need DECIMAL(38) on the Spark side (DuckDB already
+  * accumulates in HUGEINT).
+  */
+object Advanced {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- equi + time-range join ------------------------------------------
+    // Attribution shape: for every purchase, the same user's error events
+    // in the preceding hour. Catalyst plans the equality on user_id as the
+    // join key (one shuffle each side) with the range as a join residual —
+    // the scalable form of an interval join when a key exists. (Keyless
+    // interval joins would bucketize time into band keys first.)
+    QueryDef(
+      "q_range_join",
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+               count(e.ts) AS n_errors,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS err_cents
+        FROM events p LEFT JOIN events e
+          ON e.user_id = p.user_id AND e.event_type = 'error'
+         AND e.ts > p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2, 3"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"))
+        val e = ev.where(col("event_type") === "error")
+          .select(col("user_id").as("__u"), col("ts").as("ets"),
+            expr("cast(round(value * 100) as bigint)").as("cents"))
+        p.join(e,
+            col("user_id") === col("__u") &&
+              col("ets") > col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+              col("ets") <= col("purchase_ts"),
+            "left")
+          .groupBy("purchase_id", "user_id", "purchase_ts")
+          .agg(
+            count(col("ets")).as("n_errors"),
+            sum(col("cents")).cast("bigint").as("err_cents"))
+      }),
+
+    // ---- exact statistical aggregates ------------------------------------
+    // Median (exact interpolated percentile), sample variance, and the
+    // value/hour-of-day correlation — all reconstructed from exact integer
+    // sums so both engines do the identical final FP ops.
+    QueryDef(
+      "q_stats",
+      Some("""
+        WITH a AS (SELECT event_type, user_id,
+                          CAST(round(value * 100) AS BIGINT) AS c,
+                          CAST(hour(ts) AS BIGINT) AS h
+                   FROM events),
+        g AS (SELECT event_type, count(*) AS n,
+                     count(DISTINCT user_id) AS n_users,
+                     CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS sc2,
+                     CAST(sum(h) AS BIGINT) AS sh, CAST(sum(h*h) AS BIGINT) AS sh2,
+                     CAST(sum(c*h) AS BIGINT) AS sch
+              FROM a GROUP BY event_type),
+        m AS (SELECT event_type, quantile_cont("value", 0.5) AS med FROM events GROUP BY event_type)
+        SELECT g.event_type, g.n, g.n_users,
+               round(m.med, 6) AS median_value,
+               round(CAST(g.n*g.sc2 - g.sc*g.sc AS DOUBLE) / (g.n*(g.n-1)) / 10000.0, 6) AS var_value,
+               round(CAST(g.n*g.sch - g.sc*g.sh AS DOUBLE)
+                 / (sqrt(CAST(g.n*g.sc2 - g.sc*g.sc AS DOUBLE)) * sqrt(CAST(g.n*g.sh2 - g.sh*g.sh AS DOUBLE))), 6)
+                 AS corr_value_hour
+        FROM g JOIN m ON m.event_type = g.event_type"""),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("value"),
+          expr("cast(round(value * 100) as bigint)").as("c"),
+          hour(col("ts")).cast("bigint").as("h"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr("percentile(value, 0.5)").as("med"),
+          sum(col("c")).as("sc"), sum(col("c") * col("c")).as("sc2"),
+          sum(col("h")).as("sh"), sum(col("h") * col("h")).as("sh2"),
+          sum(col("c") * col("h")).as("sch"))
+        .select(
+          col("event_type"), col("n"), col("n_users"),
+          round(col("med"), 6).as("median_value"),
+          round(expr("cast(n*sc2 - sc*sc as double)") / (col("n") * (col("n") - 1)) / 10000.0, 6)
+            .as("var_value"),
+          round(expr("cast(n*sch - sc*sh as double)")
+            / (sqrt(expr("cast(n*sc2 - sc*sc as double)")) * sqrt(expr("cast(n*sh2 - sh*sh as double)"))), 6)
+            .as("corr_value_hour"))),
+
+    // ---- STREAMING sessionization through the correctness gate -----------
+    // Same shape as q_stream_hourly: a real Structured Streaming query
+    // (file source, AvailableNow, append mode); the watermark finalizes a
+    // session once it passes session_end = last event + gap, which the
+    // oracle reproduces with a HAVING against max(ts).
+    QueryDef(
+      "q_stream_sessions",
+      Some("""
+        WITH d AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+        HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)"""),
+      (s, dir) => {
+        graft.sources.Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val agg = graft.streaming.StreamingOps.sessionized(
+          stream, "ts", "0 seconds", "30 minutes",
+          Seq("user_id"), Seq(count(lit(1)).as("n_events")))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+        val qname = "q_stream_sessions_sink"
+        val q = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+      })
+  )
+}

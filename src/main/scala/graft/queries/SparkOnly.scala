@@ -5,15 +5,16 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Operators with no ANSI-SQL oracle (driver records a rows-only check):
-  * SimHash near-dup signatures and learned-quantizer approximate nearest
-  * neighbor (centroids are data-dependent, so no static oracle SQL can
-  * reproduce them). */
+  * learned-quantizer approximate nearest neighbor (centroids are
+  * data-dependent, so no static oracle SQL can reproduce them) and the
+  * xxhash64 SimHash scale variant (the md5-portable variant is
+  * oracle-checked as q_simhash in [[Text]]). */
 object SparkOnly {
 
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
-      "q_simhash",
+      "q_simhash_fast",
       None,
       (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents"))),
 

@@ -200,6 +200,30 @@ object Text {
           length(col("text")).cast("long").as("n_cp"),
           (octet_length(col("text")) === length(col("text"))).as("is_ascii"))),
 
+    // ---- SimHash (portable md5 bit source, full oracle) -------------------
+    // 64-bit SimHash over distinct 3-gram shingles; bit b of the signature
+    // is the sign of the vote sum over shingles of bit b of md5(shingle)
+    // (hex digit b/4, bit b%4). Bit 63's contribution is Long.MinValue on
+    // both sides (DuckDB rejects 1::BIGINT << 63, so the oracle spells the
+    // two's-complement value out).
+    QueryDef(
+      "q_simhash",
+      Some(s"""
+        WITH $shinglesCte,
+        md AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+        dig AS (SELECT doc_id, i, ('0x' || substr(m, CAST(i+1 AS BIGINT), 1))::INT AS dv
+                FROM md, range(16) r(i)),
+        bits AS (SELECT doc_id, i*4 + b AS bit, ((dv >> b) & 1)*2 - 1 AS vote
+                 FROM dig, range(4) rb(b)),
+        v AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN
+                 CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(bit AS INT) END
+                 ELSE 0 END) AS BIGINT) AS simhash
+        FROM v GROUP BY doc_id"""),
+      (s, dir) => Dedup.simhashPortable(Tables.load(s, dir, "documents"))),
+
     // ---- multimodal feature extraction (stub decoder, full oracle) --------
     // The decode step is a deterministic byte-level stub (no codecs in the
     // container — graft.ext.Multimodal.decodeStub), which makes it fully

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ext.{Dedup, IvfKMeans, Similarity}
+import graft.sources.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the third-wave operators: portable SimHash parity
+  * properties, multi-probe IVF vs single-cell NN, and the time-range join. */
+class AdvancedSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("portable (md5) simhash separates near-dups from random pairs like the xxhash64 one") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sims = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearDupPairs = Dedup.jaccardNearDup(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nearDupPairs.nonEmpty)
+    assert(nearDupPairs.forall { case (a, b) => hamming(sims(a), sims(b)) <= 12 })
+    val ids = sims.keys.toArray.sorted.take(40)
+    val nearSet = nearDupPairs.toSet
+    val randomDists = for {
+      a <- ids; b <- ids if a < b && !nearSet.contains((a, b))
+    } yield hamming(sims(a), sims(b))
+    assert(randomDists.sum.toDouble / randomDists.length > 20.0)
+  }
+
+  test("identical documents get identical portable simhash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines and parquet"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+  }
+
+  test("multiProbeNN with nprobe=1, k=1 equals bucketedNN over the same learned cells") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val centroids = IvfKMeans.trainCentroids(emb, k = 4)
+    val assigned = IvfKMeans.assignCells(emb, centroids).persist()
+    val viaBucket = Similarity.bucketedNN(assigned, "cell")
+      .select("vec_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaProbe = Similarity.multiProbeNN(emb, centroids, nprobe = 1, k = 1)
+      .select("qid", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assigned.unpersist()
+    assert(viaProbe === viaBucket)
+  }
+
+  test("multi-probe recall: nprobe=2 finds neighbors at least as close as nprobe=1") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val centroids = IvfKMeans.trainCentroids(emb, k = 4)
+    def best(nprobe: Int) = Similarity.multiProbeNN(emb, centroids, nprobe, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val one = best(1)
+    val two = best(2)
+    assert(two.keySet.size >= one.keySet.size) // more cells -> never fewer answered probes
+    one.foreach { case (q, sim1) => assert(two(q) >= sim1 - 1e-9, s"probe $q lost recall") }
+  }
+
+  test("time-range join counts exactly the events inside the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, ts("10:00"), 7L, "error", 1.0),    // inside (10:30 - 1h, 10:30]
+      (2L, ts("10:30"), 7L, "purchase", 0.0), // the probe
+      (3L, ts("09:30"), 7L, "error", 2.0),    // boundary: exactly -1h -> excluded (strict >)
+      (4L, ts("10:30"), 7L, "error", 4.0),    // boundary: exactly at purchase -> included
+      (5L, ts("11:00"), 7L, "error", 8.0),    // after -> excluded
+      (6L, ts("10:15"), 9L, "error", 16.0))   // other user -> excluded
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val e = ev.where(col("event_type") === "error")
+      .select(col("user_id").as("__u"), col("ts").as("ets"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val got = p.join(e,
+        col("user_id") === col("__u") &&
+          col("ets") > col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+          col("ets") <= col("purchase_ts"), "left")
+      .groupBy("purchase_id").agg(count(col("ets")).as("n"), sum(col("cents")).as("c"))
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 2L)   // events 1 and 4
+    assert(got.head.getLong(2) === 500L) // 100 + 400 cents
+  }
+}
