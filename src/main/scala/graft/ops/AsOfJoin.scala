@@ -127,6 +127,45 @@ object AsOfJoin {
     kept.select(outCols.toSeq: _*)
   }
 
+  /** Catalyst-native formulation: plans a [[graft.plans.AsOfJoinNode]] that
+    * the injected strategy compiles to [[graft.plans.AsOfMergeJoinExec]] —
+    * hash co-partitioning + per-key (key, time) sort come from
+    * EnsureRequirements (so bucketed/pre-partitioned inputs skip the
+    * shuffle entirely, and AQE manages skew), and the join itself is a
+    * two-pointer merge per partition. Same semantics as [[asof]] (pinned in
+    * AsOfMergeSpec). */
+  def asofMerge(
+      left: DataFrame,
+      leftKey: String,
+      asOfTime: String,
+      right: VersionedTable,
+      inclusive: Boolean = true,
+      joinType: String = "left"): DataFrame = {
+    require(Seq("left", "inner").contains(joinType), s"joinType=$joinType")
+    val overlap = right.valueCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"value columns collide with probe columns: $overlap")
+    val spark = left.sparkSession
+    graft.plans.GraftPlanner.ensure(spark)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the version side: probes and versions often derive
+    // from the SAME source (self-as-of), which would otherwise alias
+    val rAnalyzed = right.df.queryExecution.analyzed
+    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(aliases, rAnalyzed)
+    val rOut = aliases.map(_.toAttribute)
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(sys.error(s"no column $name"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan.output, leftKey), attr(lPlan.output, asOfTime),
+      attr(rOut, right.keyCol), attr(rOut, right.timeCol),
+      right.valueCols.map(attr(rOut, _)),
+      inclusive, joinType == "inner")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+
   private def toMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 

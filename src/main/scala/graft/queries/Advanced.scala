@@ -99,6 +99,31 @@ object Advanced {
             / (sqrt(expr("cast(n*sc2 - sc*sc as double)")) * sqrt(expr("cast(n*sh2 - sh*sh as double)"))), 6)
             .as("corr_value_hour"))),
 
+    // ---- Catalyst-native as-of merge join --------------------------------
+    // Same as-of semantics as the union-merge operator, but through the
+    // custom logical node + SparkStrategy + AsOfMergeJoinExec physical
+    // operator (graft.plans): co-partitioned two-pointer merge, pinned
+    // against the DuckDB correlated-subquery oracle.
+    QueryDef(
+      "q_asof_merge",
+      Some("""
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+          (SELECT CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             FROM events e
+            WHERE e.user_id = p.user_id AND e.event_type = 'error'
+              AND e.ts <= p.ts) AS err_cents
+        FROM events p WHERE p.event_type = 'purchase'"""),
+      (s, dir) => {
+        import graft.core.{EventTable, VersionedTable}
+        val events = graft.core.EventTable(Tables.events(s, dir), "ts", Some("user_id"))
+        val features = VersionedTable.fromEvents(
+          events.where(col("event_type") === "error"), "user_id",
+          sum(expr("cast(round(value * 100) as bigint)")) -> "err_cents")
+        val probes = events.df.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        graft.ops.AsOfJoin.asofMerge(probes, "user_id", "ts", features)
+      }),
+
     // ---- STREAMING sessionization through the correctness gate -----------
     // Same shape as q_stream_hourly: a real Structured Streaming query
     // (file source, AvailableNow, append mode); the watermark finalizes a

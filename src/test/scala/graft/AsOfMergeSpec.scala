@@ -1,0 +1,117 @@
+package graft
+
+import graft.core.{EventTable, VersionedTable}
+import graft.ops.AsOfJoin
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Catalyst-native as-of merge join ([[graft.plans.AsOfMergeJoinExec]])
+  * must be result-identical to the union-merge [[AsOfJoin.asof]] on every
+  * boundary/joinType combination, NULL handling included, and must compile
+  * to the expected plan shape (co-partitioned sort-merge; no shuffle on a
+  * pre-partitioned probe side). */
+class AsOfMergeSpec extends AnyFunSuite with SparkSpec {
+
+  private def versions(): VersionedTable = {
+    import spark.implicits._
+    val df = Seq(
+      (ts("01:00"), "k1", 10L),
+      (ts("02:00"), "k1", 20L),
+      (ts("02:00"), "k1", 25L), // duplicate change instant: later row wins
+      (ts("03:00"), "k1", 30L),
+      (ts("01:30"), "k2", 5L)
+    ).toDF("_change_time", "_entity", "v")
+    VersionedTable(df, "_entity", "_change_time", Seq("v"))
+  }
+
+  private def probes(rows: (String, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (t, k) => (ts(t), k) }.toDF("t", "k")
+  }
+
+  test("asofMerge equals asof on all boundary/joinType combinations") {
+    val p = probes(("00:30", "k1"), ("01:00", "k1"), ("02:00", "k1"),
+      ("02:30", "k1"), ("04:00", "k1"), ("01:30", "k2"), ("09:00", "zz"))
+    for (inc <- Seq(true, false); jt <- Seq("left", "inner")) {
+      val expected = AsOfJoin.asof(p, "k", "t", versions(), inc, jt)
+        .collect().map(_.toSeq).toSet
+      val got = AsOfJoin.asofMerge(p, "k", "t", versions(), inc, jt)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"inclusive=$inc joinType=$jt")
+    }
+  }
+
+  test("duplicate change instants: the later version row wins (inclusive)") {
+    val got = AsOfJoin.asofMerge(probes(("02:00", "k1")), "k", "t", versions())
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(2) === 25L)
+  }
+
+  test("NULL-key and NULL-time probes and versions are inert") {
+    import spark.implicits._
+    val vdf = Seq(
+      (Option(ts("01:00")), Option("k1"), 10L),
+      (Option(ts("01:00")), Option.empty[String], 99L),
+      (Option.empty[java.sql.Timestamp], Option("k1"), 77L)
+    ).toDF("_change_time", "_entity", "v")
+    val vt = VersionedTable(vdf, "_entity", "_change_time", Seq("v"))
+    val p = Seq(
+      (Option(ts("02:00")), Option("k1")),
+      (Option(ts("02:00")), Option.empty[String]),
+      (Option.empty[java.sql.Timestamp], Option("k1")))
+      .toDF("t", "k")
+    val got = AsOfJoin.asofMerge(p, "k", "t", vt).collect().map(_.toSeq).toSet
+    val expected = AsOfJoin.asof(p, "k", "t", vt).collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(got === Set(
+      Seq(ts("02:00"), "k1", 10L),
+      Seq(ts("02:00"), null, null),
+      Seq(null, "k1", null)))
+    val inner = AsOfJoin.asofMerge(p, "k", "t", vt, joinType = "inner").collect()
+    assert(inner.length === 1)
+  }
+
+  test("self-as-of (probes and versions from the same source) analyzes cleanly") {
+    import spark.implicits._
+    val ev = Seq((ts("01:00"), "k1", 1L), (ts("02:00"), "k1", 2L))
+      .toDF("ts", "k", "x")
+    val vt = VersionedTable.fromEvents(
+      EventTable(ev, "ts", Some("k")), "k", sum(col("x")) -> "s")
+    val p = ev.select(col("ts").as("t"), col("k"))
+    val got = AsOfJoin.asofMerge(p, "k", "t", vt).collect().map(_.toSeq).toSet
+    assert(got === Set(Seq(ts("01:00"), "k1", 1L), Seq(ts("02:00"), "k1", 3L)))
+  }
+
+  test("asofMerge equals asof on sf0.001 events (real data, both time axes)") {
+    val events = EventTable(Tables.events(spark, "/root/testdata/sf0.001"), "ts", Some("user_id"))
+    val features = VersionedTable.fromEvents(
+      events.where(col("event_type") === "error"), "user_id",
+      sum(expr("cast(round(value * 100) as bigint)")) -> "err_cents")
+    val p = events.df.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("later"))
+    for (timeCol <- Seq("ts", "later")) {
+      val expected = AsOfJoin.asof(p, "user_id", timeCol, features)
+        .collect().map(_.toSeq).toSet
+      val got = AsOfJoin.asofMerge(p, "user_id", timeCol, features)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"timeCol=$timeCol")
+    }
+  }
+
+  test("plan shape: merge exec present; pre-partitioned probe side adds no probe shuffle") {
+    val p = probes(("02:00", "k1"), ("04:00", "k1")).repartition(col("k"))
+    val df = AsOfJoin.asofMerge(p, "k", "t", versions())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    // one exchange for the version side; the probe side reuses its
+    // existing hash partitioning (repartition's own exchange is below it)
+    val joinPart = plan.substring(plan.indexOf("AsOfMergeJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(joinPart).size
+    assert(exchanges === 2, s"expected probe repartition + version exchange only:\n$plan")
+    assert(df.count() === 2)
+  }
+}
