@@ -99,6 +99,86 @@ object Advanced {
             / (sqrt(expr("cast(n*sc2 - sc*sc as double)")) * sqrt(expr("cast(n*sh2 - sh*sh as double)"))), 6)
             .as("corr_value_hour"))),
 
+    // ---- exact top-k frequent tokens (corpus vocabulary head) ------------
+    QueryDef(
+      "q_top_tokens",
+      Some("""
+        WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                     FROM documents),
+        f AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        r AS (SELECT token, freq,
+                     row_number() OVER (ORDER BY freq DESC, token) AS rn
+              FROM f)
+        SELECT token, freq, CAST(rn AS INT) AS rn FROM r WHERE rn <= 25"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.load(s, dir, "documents")
+          .select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("freq").desc, col("token"))))
+          .where(col("rn") <= 25)
+      }),
+
+    // ---- deterministic content-hash sampling -----------------------------
+    // Reproducible corpus sampling (the standard trick for train/eval
+    // splits at scale): keep a document iff a prefix of md5(text) falls
+    // under a threshold — portable across engines, stable across runs,
+    // and consistent for duplicate texts.
+    QueryDef(
+      "q_sample",
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(text), 1, 2) < '20'"""),
+      (s, dir) => Tables.load(s, dir, "documents")
+        .where(substring(md5(col("text")), 1, 2) < "20")
+        .select("doc_id", "lang", "n_chars")),
+
+    // ---- sliding (hopping) windows ---------------------------------------
+    // 1-hour windows every 30 minutes: each event lands in exactly two
+    // windows; the oracle reproduces Spark's epoch-aligned window grid
+    // with date_trunc + a half-hour offset.
+    QueryDef(
+      "q_sliding",
+      Some("""
+        WITH e AS (SELECT ts, value,
+                          date_trunc('hour', ts)
+                            + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                                   ELSE INTERVAL 0 MINUTE END AS t30
+                   FROM events),
+        x AS (SELECT ts, value,
+                     unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win_start
+              FROM e)
+        SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM x GROUP BY 1, 2"""),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .select(
+          col("window.start").as("win_start"), col("window.end").as("win_end"),
+          col("n"), col("cents"))),
+
+    // ---- pivot (per-user event-type counts) ------------------------------
+    QueryDef(
+      "q_pivot",
+      Some("""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id"""),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)), // pivot yields NULL for absent cells; DuckDB count gives 0
+
     // ---- Catalyst-native as-of merge join --------------------------------
     // Same as-of semantics as the union-merge operator, but through the
     // custom logical node + SparkStrategy + AsOfMergeJoinExec physical
