@@ -33,6 +33,19 @@ object Bench {
     Seq("documents", "embeddings", "orders", "customer", "nation", "region",
       "supplier", "part")
       .foreach(t => graft.sources.Tables.load(spark, sfDir, t).count())
+    // warm the hot codegen/JIT paths on tiny slices: the tokenizer
+    // regex + shingle window, md5/xxhash hashing, and the graft_dot
+    // expression otherwise all land on the alphabetically-first query
+    // that uses them (measured: +5s on q_dup_clusters, cold vs warm)
+    locally {
+      import org.apache.spark.sql.functions._
+      val d64 = graft.sources.Tables.load(spark, sfDir, "documents").limit(64)
+      graft.ext.Dedup.docShingles(d64)
+        .select(md5(col("shingle")), xxhash64(col("shingle"))).count()
+      val e64 = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
+      val v = col("embedding").cast("array<double>")
+      e64.select(graft.ext.Similarity.dot(v, v)).count()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // settle between queries: drop persisted intermediates of the prior
