@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   *   "_label_time", target)
   * }}}
   */
-final case class Graft(spark: SparkSession) {
+final case class Graft(spark: SparkSession, nativeAsOf: Boolean = true) {
 
   private val versionedRegistry =
     scala.collection.mutable.Map.empty[String, VersionedTable]
+
+  /** The as-of engine behind [[sql]] and [[pointInTimeJoin]]: the
+    * Catalyst-native merge operator by default ([[AsOfJoin.asofMerge]],
+    * graft.plans), or the union-merge composition with
+    * `Graft(spark, nativeAsOf = false)`. Result-identical (AsOfMergeSpec). */
+  private def asofImpl(
+      probes: DataFrame, key: String, time: String, vt: VersionedTable,
+      inclusive: Boolean = true, joinType: String = "left"): DataFrame =
+    if (nativeAsOf) AsOfJoin.asofMerge(probes, key, time, vt, inclusive, joinType)
+    else AsOfJoin.asof(probes, key, time, vt, inclusive, joinType)
 
   /** Make a versioned table addressable from [[sql]] temporal joins (and
     * as a plain view for ordinary SQL). */
@@ -80,7 +90,7 @@ final case class Graft(spark: SparkSession) {
           if (k1t.equalsIgnoreCase(probe)) k1c
           else if (k2t.equalsIgnoreCase(probe)) k2c
           else throw new IllegalArgumentException(s"ON must reference $probe")
-        val joined = AsOfJoin.asof(probeDf, probeKey, tCol, vt)
+        val joined = asofImpl(probeDf, probeKey, tCol, vt)
         val exprs = selectList.split(",").map(_.trim).flatMap {
           case s if s.equalsIgnoreCase(s"$probe.*") || s == "*" => probeDf.columns.toSeq
           case s =>
@@ -148,5 +158,5 @@ final case class Graft(spark: SparkSession) {
       probeKey: String = "_entity",
       inclusive: Boolean = true,
       joinType: String = "left"): DataFrame =
-    AsOfJoin.asof(probes, probeKey, asOfTime, versioned, inclusive, joinType)
+    asofImpl(probes, probeKey, asOfTime, versioned, inclusive, joinType)
 }

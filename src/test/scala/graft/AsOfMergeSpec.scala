@@ -102,6 +102,22 @@ class AsOfMergeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("both sides pre-partitioned by key: EnsureRequirements adds NO extra exchange") {
+    import org.apache.spark.sql.functions.col
+    val p = probes(("02:00", "k1"), ("04:00", "k1")).repartition(col("k"))
+    val vdf = versions()
+    val vt = graft.core.VersionedTable(
+      vdf.df.repartition(col("_entity")), vdf.keyCol, vdf.timeCol, vdf.valueCols)
+    val df = AsOfJoin.asofMerge(p, "k", "t", vt)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly the two repartition exchanges the caller asked for — the
+    // join's distribution requirement is satisfied by both, so a bucketed
+    // or pre-shuffled pipeline pays zero additional shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, plan)
+    assert(df.count() === 2)
+  }
+
   test("plan shape: merge exec present; pre-partitioned probe side adds no probe shuffle") {
     val p = probes(("02:00", "k1"), ("04:00", "k1")).repartition(col("k"))
     val df = AsOfJoin.asofMerge(p, "k", "t", versions())
