@@ -120,6 +120,41 @@ object Events {
         FROM ex"""),
       (s, dir) => flagship(s, dir)),
 
+    // ---- STREAMING flagship through the correctness gate -----------------
+    // The whole reference pipeline as a REAL streaming query
+    // (flatMapGroupsWithState per-user state, event-time timeout for label
+    // maturation): append mode emits exactly the examples whose label time
+    // the watermark has passed, which the oracle reproduces by filtering
+    // the batch flagship to matured label times.
+    QueryDef(
+      "q_stream_flagship",
+      Some(s"""
+        WITH ex AS ($examplesSql)
+        SELECT _entity, _prediction_time, _label_time,
+          (SELECT CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) FROM events e
+            WHERE e.user_id = ex._entity AND e.event_type = 'error'
+              AND e.ts <= ex._prediction_time) AS err_cents,
+          (SELECT CAST(sum(1) AS BIGINT) FROM events p
+            WHERE p.user_id = ex._entity AND p.event_type = 'purchase'
+              AND p.ts <= ex._label_time) AS purchases
+        FROM ex
+        WHERE _label_time <= (SELECT max(ts) FROM events)"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val out = graft.streaming.StreamingFlagship(stream)
+        val qname = "q_stream_flagship_sink"
+        val q = out.toDF().writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+      }),
+
     // ---- semi-structured props (JSON-in-string) --------------------------
     QueryDef(
       "q_json",
