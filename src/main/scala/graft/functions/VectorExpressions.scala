@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -62,16 +62,141 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 8-bit scalar quantization encoder: array<double> vector -> BinaryType
+  * codes, code_d = round((x_d - lo_d) / step_d) clamped to [0, 255].
+  * lo/step are per-dimension literal arrays (trained driver-side on a
+  * sample — see [[graft.ext.Quantize]]). 8x smaller corpus vectors are the
+  * point: at 100 TB the NN corpus becomes memory-resident 64 B/vector
+  * instead of 512 B. */
+case class SQ8Encode(vec: Expression, lo: Expression, step: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = lo
+  override def third: Expression = step
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_sq8_encode"
+
+  override def nullSafeEval(v: Any, l: Any, s: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val loA = l.asInstanceOf[ArrayData]
+    val stA = s.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val st = stA.getDouble(i)
+      val c =
+        if (st == 0.0) 0L
+        else Math.round((x.getDouble(i) - loA.getDouble(i)) / st)
+      out(i) = Math.max(0L, Math.min(255L, c)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, l, s) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val st = ctx.freshName("st")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $v.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $st = $s.getDouble($i);
+         |  long $c = $st == 0.0 ? 0L :
+         |    java.lang.Math.round(($v.getDouble($i) - $l.getDouble($i)) / $st);
+         |  $out[$i] = (byte) java.lang.Math.max(0L, java.lang.Math.min(255L, $c));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, lo = s, step = t)
+}
+
+/** Asymmetric quantized dot product: full-precision query vector against
+  * SQ8 codes, dot = sum_d q_d * (lo_d + step_d * code_d). One codegen'd
+  * loop over the byte array — the first-pass scorer for quantized NN;
+  * exact re-ranking then touches only the surviving candidates. */
+case class SQ8Dot(query: Expression, codes: Expression, lo: Expression, step: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = query
+  override def second: Expression = codes
+  override def third: Expression = lo
+  override def fourth: Expression = step
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_dot"
+
+  override def nullSafeEval(q: Any, c: Any, l: Any, s: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[Array[Byte]]
+    val loA = l.asInstanceOf[ArrayData]
+    val stA = s.asInstanceOf[ArrayData]
+    val n = Math.min(qv.numElements(), cd.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += qv.getDouble(i) * (loA.getDouble(i) + stA.getDouble(i) * (cd(i) & 0xff))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, l, s) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($q.numElements(), $c.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $q.getDouble($i) *
+         |    ($l.getDouble($i) + $s.getDouble($i) * (double) ($c[$i] & 0xff));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(query = f, codes = s, lo = t, step = q)
+}
+
 object VectorExpressions {
 
-  /** Register graft_dot in the session's function registry (idempotent),
-    * making it available to both the Column API and spark.sql. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the graft expressions in the session's function registry
+    * (idempotent), making them available to both the Column API and
+    * spark.sql. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sq8_encode", exprs => SQ8Encode(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sq8_dot", exprs => SQ8Dot(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+  }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  def sq8Encode(spark: SparkSession, v: Column, lo: Column, step: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sq8_encode", v, lo, step)
+  }
+
+  def sq8Dot(spark: SparkSession, q: Column, codes: Column, lo: Column, step: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sq8_dot", q, codes, lo, step)
   }
 }

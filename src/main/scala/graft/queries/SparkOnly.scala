@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, IvfKMeans, Multimodal, Similarity}
+import graft.ext.{Dedup, IvfKMeans, Multimodal, Quantize, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,20 @@ object SparkOnly {
         val assigned = IvfKMeans.assignCells(emb, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Similarity.bucketedNN(assigned, "cell")
+      }),
+
+    // SQ8 quantized search + exact re-rank: 8-bit scalar-quantized corpus
+    // (8x smaller resident vectors — the 100 TB memory budget), asymmetric
+    // first-pass scoring via the graft_sq8_dot codegen kernel, exact
+    // re-ranking only for the short candidate list. Quantizer params are
+    // data-dependent -> rows-only check; recall pinned in QuantizeSpec.
+    QueryDef(
+      "q_sq8_rerank",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val sq = Quantize.train(emb)
+        Quantize.rerankTopK(emb, sq, col("vec_id") < 10, k = 5, rerank = 15)
       }),
 
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
