@@ -54,6 +54,33 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert("\\bExchange\\b".r.findAllIn(plan).size === 1, plan.take(3000))
   }
 
+  test("q_range_join plans the user_id equality as the join key (SMJ/SHJ, not NL)") {
+    val p = planString("q_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_sample prunes to the filter + projection columns only") {
+    val p = planString("q_sample")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text")) // md5 filter input
+    assert(!readSchema.contains("source"), readSchema)
+  }
+
+  test("q_sq8_rerank: kernels stay native expressions, probes broadcast, scan pruned") {
+    val df = graft.queries.Registry.queries("q_sq8_rerank")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the quantized scorer runs as the native expression (not a UDF shim)
+    assert(plan.contains("graft_sq8_dot("), plan.take(2000))
+    assert(plan.contains("graft_sq8_encode("), plan.take(2000))
+    // the tiny probe side broadcasts; the corpus never shuffles pre-top-k
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("label"), readSchema)
+  }
+
   test("as-of join is a single shuffle over union(probes, versions)") {
     import spark.implicits._
     val probes = Seq((ts("02:00"), "k1")).toDF("t", "k")
