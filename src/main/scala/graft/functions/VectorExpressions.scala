@@ -170,6 +170,168 @@ case class SQ8Dot(query: Expression, codes: Expression, lo: Expression, step: Ex
     copy(query = f, codes = s, lo = t, step = q)
 }
 
+/** Product-quantization encoder: split the vector into `m` contiguous
+  * subspaces of `dsub` dims; per subspace emit the id (one byte) of the
+  * nearest codebook centroid. `codebook` is a flattened literal
+  * array<double> laid out [sub][centroid][dim] (trained driver-side on a
+  * sample — [[graft.ext.ProductQuantize]]). m bytes per vector: 64x
+  * smaller than the double vector at m=8. */
+case class PQEncode(vec: Expression, codebook: Expression, m: Int, k: Int, dsub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var cid = 0
+      while (cid < k) {
+        var d = 0.0; var j = 0
+        val base = (s * k + cid) * dsub
+        while (j < dsub) {
+          val t = x.getDouble(s * dsub + j) - c.getDouble(base + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+        cid += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val cid = ctx.freshName("cid")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |byte[] $out = new byte[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $cid = 0; $cid < $k; $cid++) {
+         |    double $d = 0.0;
+         |    int $base = ($s * $k + $cid) * $dsub;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double $t = $v.getDouble($s * $dsub + $j) - $cb.getDouble($base + $j);
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $cid; }
+         |  }
+         |  $out[$s] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
+/** PQ asymmetric-distance dot: full-precision query against PQ codes,
+  * dot = sum over subspaces of q_sub . centroid[sub][code_sub]. The
+  * classic ADC formulation with the table lookups fused into one loop. */
+case class PQAdcDot(query: Expression, codes: Expression, codebook: Expression, k: Int, dsub: Int)
+    extends TernaryExpression {
+
+  override def first: Expression = query
+  override def second: Expression = codes
+  override def third: Expression = codebook
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_dot"
+
+  override def nullSafeEval(q: Any, c: Any, cb: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val cd = c.asInstanceOf[Array[Byte]]
+    val cbA = cb.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    while (s < cd.length) {
+      val base = (s * k + (cd(s) & 0xff)) * dsub
+      var j = 0
+      while (j < dsub) {
+        acc += qv.getDouble(s * dsub + j) * cbA.getDouble(base + j)
+        j += 1
+      }
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, cb) => {
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      s"""
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $c.length; $s++) {
+         |  int $base = ($s * $k + ($c[$s] & 0xff)) * $dsub;
+         |  for (int $j = 0; $j < $dsub; $j++) {
+         |    $acc += $q.getDouble($s * $dsub + $j) * $cb.getDouble($base + $j);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(query = f, codes = s, codebook = t)
+}
+
+/** Squared norm of a PQ reconstruction: subspaces are disjoint coordinate
+  * blocks, so ||recon||^2 = sum over subspaces of ||centroid[sub][code]||^2
+  * — one lookup per subspace in a per-(sub, centroid) table. */
+case class PQNormSq(codes: Expression, normSq: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = normSq
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_normsq"
+
+  override def nullSafeEval(c: Any, t: Any): Any = {
+    val cd = c.asInstanceOf[Array[Byte]]
+    val tab = t.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var s = 0
+    while (s < cd.length) { acc += tab.getDouble(s * k + (cd(s) & 0xff)); s += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $c.length; $s++) {
+         |  $acc += $t.getDouble($s * $k + ($c[$s] & 0xff));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, normSq = r)
+}
+
 object VectorExpressions {
 
   /** Register the graft expressions in the session's function registry
@@ -183,6 +345,15 @@ object VectorExpressions {
       "graft_sq8_encode", exprs => SQ8Encode(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_sq8_dot", exprs => SQ8Dot(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    def i(e: Expression): Int = e.eval().asInstanceOf[Int]
+    reg.createOrReplaceTempFunction(
+      "graft_pq_encode", exprs =>
+        PQEncode(exprs(0), exprs(1), i(exprs(2)), i(exprs(3)), i(exprs(4))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_dot", exprs =>
+        PQAdcDot(exprs(0), exprs(1), exprs(2), i(exprs(3)), i(exprs(4))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_normsq", exprs => PQNormSq(exprs(0), exprs(1), i(exprs(2))), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -198,5 +369,24 @@ object VectorExpressions {
   def sq8Dot(spark: SparkSession, q: Column, codes: Column, lo: Column, step: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_sq8_dot", q, codes, lo, step)
+  }
+
+  import org.apache.spark.sql.functions.lit
+
+  def pqEncode(spark: SparkSession, v: Column, codebook: Column, m: Int, k: Int, dsub: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_pq_encode", v, codebook, lit(m), lit(k), lit(dsub))
+  }
+
+  def pqDot(spark: SparkSession, q: Column, codes: Column, codebook: Column, k: Int, dsub: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_pq_dot", q, codes, codebook, lit(k), lit(dsub))
+  }
+
+  def pqNormSq(spark: SparkSession, codes: Column, normSq: Column, k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_normsq", codes, normSq, lit(k))
   }
 }

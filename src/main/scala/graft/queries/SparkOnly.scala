@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, IvfKMeans, Multimodal, Quantize, Similarity}
+import graft.ext.{Dedup, IvfKMeans, Multimodal, ProductQuantize, Quantize, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,19 @@ object SparkOnly {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val sq = Quantize.train(emb)
         Quantize.rerankTopK(emb, sq, col("vec_id") < 10, k = 5, rerank = 15)
+      }),
+
+    // Product quantization + exact re-rank: m=8 subspace codebooks, 8 B
+    // codes per vector (64x smaller — the coarser, further-compressed
+    // sibling of q_sq8_rerank), ADC first pass via the graft_pq_dot
+    // kernel, exact re-rank for the candidate list.
+    QueryDef(
+      "q_pq_rerank",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val pq = ProductQuantize.train(emb)
+        ProductQuantize.rerankTopK(emb, pq, col("vec_id") < 10, k = 5, rerank = 25)
       }),
 
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
