@@ -65,6 +65,22 @@ object Demo {
     println(s"[demo] facade temporal-join rows=${viaSql.count()}")
     viaSql.orderBy("_prediction_time").show(3, truncate = false)
 
+    // Catalyst-native as-of: same semantics through the custom operator
+    // (AsOfJoinNode -> AsOfMergeJoinExec); plan shows the merge exec.
+    val native = AsOfJoin.asofMerge(
+      AsOfJoin.asofMerge(examples, "_entity", "_prediction_time", features),
+      "_entity", "_label_time", target)
+    println(s"[demo] native as-of merge rows=${native.count()}" +
+      s" (plan has AsOfMergeJoin: ${native.queryExecution.executedPlan.toString.contains("AsOfMergeJoin")})")
+
+    // Quantized similarity search: SQ8 + exact re-rank over embeddings.
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val sq8 = graft.ext.Quantize.train(emb)
+    val nn = graft.ext.Quantize.rerankTopK(emb, sq8, col("vec_id") < 3, k = 3, rerank = 10)
+    println(s"[demo] sq8 rerank top-3 for 3 probes:")
+    nn.orderBy("qid", "sim").show(9, truncate = false)
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
