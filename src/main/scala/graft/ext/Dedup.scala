@@ -161,8 +161,16 @@ object Dedup {
     * persisted so it runs exactly once. (At extreme scale the
     * large-star/small-star formulation halves rounds further.)
     * Output: (doc_id, cluster_root, keep). */
-  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val pairs = jaccardNearDup(docs, threshold).select("doc_a", "doc_b")
+  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame =
+    resolveClusters(docs, jaccardNearDup(docs, threshold).select("doc_a", "doc_b"))
+
+  /** Cluster resolution given an explicit near-dup pair set (columns
+    * doc_a, doc_b) — the connected-components half of [[duplicateClusters]],
+    * reusable with ANY candidate generator (Jaccard, MinHash, SimHash
+    * radius, embedding cosine) and property-tested against a union-find
+    * reference in AdvancedSpec. */
+  def resolveClusters(docs: DataFrame, pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val incident = pairs.select(col("doc_a").as("n"))
       .union(pairs.select(col("doc_b").as("n"))).distinct()

@@ -63,6 +63,43 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     one.foreach { case (q, sim1) => assert(two(q) >= sim1 - 1e-9, s"probe $q lost recall") }
   }
 
+  test("duplicateClusters equals a reference union-find on random pair graphs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val nDocs = 60
+      val nPairs = 10 + rng.nextInt(25)
+      // random "near-dup pair" graph, including chains and larger comps
+      val pairs = Seq.fill(nPairs) {
+        val a = rng.nextInt(nDocs).toLong
+        val b = rng.nextInt(nDocs).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+
+      // reference: classic union-find with min-root relabeling
+      val parent = Array.tabulate(nDocs)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until nDocs).map(i => i.toLong -> find(i).toLong).toMap
+
+      // operator under test, with the pair generation stubbed to the same
+      // random pairs (jaccard itself is oracle-pinned elsewhere)
+      val docs = (0 until nDocs).map(_.toLong).toDF("doc_id")
+      val pairsDf = pairs.toDF("doc_a", "doc_b")
+      val got = graft.ext.Dedup.resolveClusters(docs, pairsDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial pairs=$pairs")
+      // keep flag: true exactly for cluster roots
+      val keeps = graft.ext.Dedup.resolveClusters(docs, pairsDf)
+        .where(col("keep")).collect().map(_.getLong(0)).toSet
+      assert(keeps === expected.values.toSet, s"trial $trial")
+    }
+  }
+
   test("time-range join counts exactly the events inside the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
