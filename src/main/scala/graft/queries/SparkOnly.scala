@@ -50,6 +50,21 @@ object SparkOnly {
         Quantize.rerankTopK(emb, sq, col("vec_id") < 10, k = 5, rerank = 15)
       }),
 
+    // Compression-ratio quality signal (deflate length / raw length) —
+    // the classic corpus-filter heuristic: boilerplate compresses away,
+    // high-entropy noise doesn't. Deterministic but engine-specific
+    // (DuckDB has no deflate) -> rows-only; behavior pinned in unit tests.
+    QueryDef(
+      "q_compress_quality",
+      None,
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(
+          col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          round(graft.functions.CompressionRatio(s, col("text")), 6).as("compress_ratio"))
+      }),
+
     // Product quantization + exact re-rank: m=8 subspace codebooks, 8 B
     // codes per vector (64x smaller — the coarser, further-compressed
     // sibling of q_sq8_rerank), ADC first pass via the graft_pq_dot

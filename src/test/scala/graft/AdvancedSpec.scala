@@ -100,6 +100,28 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compression-ratio quality signal orders texts by entropy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "spam spam spam " * 50),                                     // boilerplate
+      (2L, "The quick brown fox jumps over the lazy dog. " +
+        "A different sentence with varied vocabulary follows here."),   // prose
+      (3L, Seq.fill(600)(rng.nextPrintableChar()).mkString))            // noise
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      graft.functions.CompressionRatio(spark, col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) < 0.1, s"boilerplate ratio ${got(1L)}")
+    assert(got(2L) > got(1L) && got(2L) < got(3L), got.toString)
+    assert(got(3L) > 0.7, s"noise ratio ${got(3L)}")
+    // deterministic + matches a direct call
+    val direct = graft.functions.CompressionRatio.ratio(
+      ("spam spam spam " * 50).getBytes("UTF-8"))
+    assert(got(1L) === direct)
+  }
+
   test("time-range join counts exactly the events inside the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
