@@ -179,6 +179,39 @@ object Advanced {
         .agg(count(lit(1)))
         .na.fill(0L)), // pivot yields NULL for absent cells; DuckDB count gives 0
 
+    // ---- value histogram (fixed-width buckets, clamped top bucket) -------
+    QueryDef(
+      "q_histogram",
+      Some("""
+        SELECT event_type,
+               CAST(least(floor("value" / 25.0), 19) AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM events WHERE "value" IS NOT NULL
+        GROUP BY 1, 2"""),
+      (s, dir) => Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(
+          col("event_type"),
+          least(floor(col("value") / 25.0), lit(19L)).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- sorted array aggregation (stringified) --------------------------
+    // collect_set + sort, emitted as a joined string: deterministic under
+    // any partitioning, and scalar output keeps the driver's
+    // pandas-based compare happy (it cannot sort array columns).
+    QueryDef(
+      "q_array_agg",
+      Some("""
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id"""),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))),
+
     // ---- Catalyst-native as-of merge join --------------------------------
     // Same as-of semantics as the union-merge operator, but through the
     // custom logical node + SparkStrategy + AsOfMergeJoinExec physical
