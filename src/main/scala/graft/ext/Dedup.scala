@@ -160,9 +160,17 @@ object Dedup {
     * change-detection join). The expensive Jaccard pair generation is
     * persisted so it runs exactly once. (At extreme scale the
     * large-star/small-star formulation halves rounds further.)
-    * Output: (doc_id, cluster_root, keep). */
+    * Output: (doc_id, cluster_root, keep).
+    *
+    * Pairs come from [[minhashNearDup]] — LSH candidate generation followed
+    * by exact-Jaccard verification of candidates only — NOT the all-pairs
+    * shingle self-join: at 100 TB the quadratic join is the one unshippable
+    * plan, while band-bucketing keeps candidate volume tunable via
+    * (bands, rowsPerBand). Verified pairs are exact Jaccard >= threshold,
+    * so clusters match the all-pairs generator whenever LSH recall is 1
+    * (this corpus: identical, pinned by q_minhash_lsh == q_jaccard_neardup). */
   def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame =
-    resolveClusters(docs, jaccardNearDup(docs, threshold).select("doc_a", "doc_b"))
+    resolveClusters(docs, minhashNearDup(docs, threshold).select("doc_a", "doc_b"))
 
   /** Cluster resolution given an explicit near-dup pair set (columns
     * doc_a, doc_b) — the connected-components half of [[duplicateClusters]],
@@ -183,9 +191,14 @@ object Dedup {
     var labels = edges.groupBy("a").agg(min("b").as("m"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // decimal sum: overflow-proof even for 10^12-scale ids on billions of
-    // incident nodes
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("m").cast("decimal(38,0)"))).first().getDecimal(0)
+    // incident nodes. sum over ZERO rows is NULL (empty pair set — clean
+    // corpus or high threshold): map it to 0 so the fixpoint check still
+    // converges instead of NPEing, and every doc falls out as a singleton
+    // via the final left join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("m").cast("decimal(38,0)"))).first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -78,11 +78,20 @@ object Similarity {
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos"))
-    sims
+    val topk = sims
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
       .where(col("rn") <= k)
       .select(col("qid"), col("cid").as("nn_id"), round(col("cos"), 6).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (|probes| x k)-row result while the inputs are still
+    // cached, then release them — library callers must not inherit corpus-
+    // sized cached blocks. The returned frame stays persisted (it is the
+    // small output); callers may unpersist it when done.
+    topk.count()
+    corpus.unpersist()
+    probes.unpersist()
+    topk
   }
 
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`

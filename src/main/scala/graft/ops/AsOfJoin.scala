@@ -148,19 +148,32 @@ object AsOfJoin {
     graft.plans.GraftPlanner.ensure(spark)
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(out: Seq[Attribute], name: String): Attribute =
+      out.find(a => resolver(a.name, name)).getOrElse(sys.error(s"no column $name"))
     val lPlan = left.queryExecution.analyzed
     // fresh exprIds on the version side: probes and versions often derive
-    // from the SAME source (self-as-of), which would otherwise alias
+    // from the SAME source (self-as-of), which would otherwise alias.
+    // Prune to exactly (key, time, values) while we're at it — the node's
+    // `references` claims its whole right child, so Catalyst's generic
+    // column pruning can't narrow a wide versioned table for us.
     val rAnalyzed = right.df.queryExecution.analyzed
-    val aliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val needed = (Seq(right.keyCol, right.timeCol) ++ right.valueCols).distinct
+    val aliases = needed.map { n => val a = attr(rAnalyzed.output, n); Alias(a, a.name)() }
     val rPlan = Project(aliases, rAnalyzed)
     val rOut = aliases.map(_.toAttribute)
-    def attr(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(sys.error(s"no column $name"))
+    val lk = attr(lPlan.output, leftKey)
+    val lt = attr(lPlan.output, asOfTime)
+    val rk = attr(rOut, right.keyCol)
+    val rt = attr(rOut, right.timeCol)
+    // fail at plan time, not as a ClassCastException inside the merge ordering
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: $leftKey is ${lk.dataType}, ${right.keyCol} is ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: $asOfTime is ${lt.dataType}, ${right.timeCol} is ${rt.dataType}")
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
-      attr(lPlan.output, leftKey), attr(lPlan.output, asOfTime),
-      attr(rOut, right.keyCol), attr(rOut, right.timeCol),
+      lk, lt, rk, rt,
       right.valueCols.map(attr(rOut, _)),
       inclusive, joinType == "inner")
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)

@@ -150,9 +150,12 @@ case class AsOfMergeJoinExec(
         while (!rHas && rIter.hasNext) {
           val row = rIter.next()
           if (!row.isNullAt(rkIdx) && !row.isNullAt(rtIdx)) {
-            rKey = row.get(rkIdx, rkType)
-            rTime = row.get(rtIdx, rtType)
-            rRow = row.copy() // iterator rows are reused buffers
+            // copy FIRST and extract key/time from the copy: iterator rows
+            // are reused buffers, and a UTF8String/binary/decimal key read
+            // off the live row would silently mutate after the next next()
+            rRow = row.copy()
+            rKey = rRow.get(rkIdx, rkType)
+            rTime = rRow.get(rtIdx, rtType)
             rHas = true
           }
         }

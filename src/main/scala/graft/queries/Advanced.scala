@@ -111,13 +111,25 @@ object Advanced {
               FROM f)
         SELECT token, freq, CAST(rn AS INT) AS rn FROM r WHERE rn <= 25"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        Tables.load(s, dir, "documents")
+        // top-25 via orderBy+limit (plans as parallel TakeOrderedAndProject,
+        // partial per-partition top-k then a 25-row merge) — NOT a global
+        // row_number window, which would sort the entire vocabulary on ONE
+        // partition. The rank is then recovered over just the 25 survivors
+        // with a broadcast inequality self-join (25x25 rows; no WindowExec
+        // at all). Ordering is total (tokens distinct), so the count of
+        // rows sorting at-or-before each survivor IS its row_number.
+        val top = Tables.load(s, dir, "documents")
           .select(explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("freq"))
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("freq").desc, col("token"))))
-          .where(col("rn") <= 25)
+          .orderBy(col("freq").desc, col("token"))
+          .limit(25)
+        val peers = top.select(col("token").as("t2"), col("freq").as("f2"))
+        top.join(broadcast(peers),
+            col("f2") > col("freq") ||
+              (col("f2") === col("freq") && col("t2") <= col("token")))
+          .groupBy("token", "freq")
+          .agg(count(lit(1)).cast("int").as("rn"))
+          .select("token", "freq", "rn")
       }),
 
     // ---- deterministic content-hash sampling -----------------------------
@@ -276,13 +288,7 @@ object Advanced {
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
             col("n_events"))
-        val qname = "q_stream_sessions_sink"
-        val q = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
+        graft.streaming.StreamingOps.runToParquet(agg, "sessions")
       })
   )
 }

@@ -146,13 +146,7 @@ object Events {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         val out = graft.streaming.StreamingFlagship(stream)
-        val qname = "q_stream_flagship_sink"
-        val q = out.toDF().writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
+        graft.streaming.StreamingOps.runToParquet(out.toDF(), "flagship")
       }),
 
     // ---- semi-structured props (JSON-in-string) --------------------------
@@ -206,13 +200,7 @@ object Events {
           stream, "ts", "0 seconds", "1 hour",
           Seq("event_type"), Seq(count(lit(1)).as("n")))
           .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
-        val qname = "q_stream_hourly_sink"
-        val q = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.table(qname)
+        graft.streaming.StreamingOps.runToParquet(agg, "hourly")
       }),
 
     // ---- sessionization (30-minute inactivity gap) -----------------------

@@ -30,10 +30,16 @@ object SparkOnly {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val centroids = IvfKMeans.trainCentroids(emb, k = 8)
         // persist: cell is an expression-derived join key; see
-        // Similarity.multiProbeNN for why the barrier is load-bearing
+        // Similarity.multiProbeNN for why the barrier is load-bearing.
+        // Materialize the small top-1 result, then release the corpus-sized
+        // cache so the query doesn't leak blocks to the next one.
         val assigned = IvfKMeans.assignCells(emb, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Similarity.bucketedNN(assigned, "cell")
+        val nn = Similarity.bucketedNN(assigned, "cell")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nn.count()
+        assigned.unpersist()
+        nn
       }),
 
     // SQ8 quantized search + exact re-rank: 8-bit scalar-quantized corpus

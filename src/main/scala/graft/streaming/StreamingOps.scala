@@ -43,4 +43,29 @@ object StreamingOps {
       keys: Seq[String]): DataFrame =
     events.withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Drain a streaming DataFrame (AvailableNow) through a DISTRIBUTED sink
+    * and hand the result back as a batch DataFrame: each microbatch appends
+    * to parquet via foreachBatch — executors write their own partitions, so
+    * results never funnel through driver memory the way `format("memory")`
+    * buffers them. This is the S4 file-sink shape a 100 TB run uses; the
+    * read-back is for the correctness gate. */
+  def runToParquet(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
+    val q = df.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(dir)
+      }
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // zero-batch stream: no files were written; preserve the schema
+    val wrote = new java.io.File(dir).listFiles()
+      .exists(f => f.getName.endsWith(".parquet"))
+    if (wrote) spark.read.schema(df.schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+  }
 }

@@ -100,6 +100,22 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("resolveClusters on an EMPTY pair set yields all-singleton clusters") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0L until 7L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.resolveClusters(docs, noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === 7)
+    got.foreach { case (id, root, keep) =>
+      assert(root === id && keep, s"doc $id should be its own singleton root")
+    }
+    // and the keep filter returns everything
+    assert(graft.ext.Dedup.resolveClusters(docs, noPairs)
+      .where(col("keep")).count() === 7)
+  }
+
   test("compression-ratio quality signal orders texts by entropy") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -118,6 +118,67 @@ class AsOfMergeSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("string keys on the pre-sorted zero-sort path survive iterator buffer reuse") {
+    import spark.implicits._
+    // Regression for the held-key bug: when BOTH children arrive already
+    // hash-partitioned and (key, time)-sorted, EnsureRequirements inserts
+    // no SortExec and the join consumes the alias-project's codegen output
+    // directly — a SINGLE reused UnsafeRow buffer. A version key extracted
+    // from that live buffer (instead of the copied row) silently mutates to
+    // the NEXT key after advance, so every probe whose versions are
+    // followed by another key's rows would mis-report as unmatched.
+    val n = 60
+    val vdf = (0 until n).flatMap { i =>
+      val k = f"key_$i%03d"
+      Seq((ts("01:00"), k, i * 10L), (ts("02:00"), k, i * 10L + 1))
+    }.toDF("_change_time", "_entity", "v")
+      .repartition(col("_entity"))
+      .sortWithinPartitions("_entity", "_change_time")
+    val vt = VersionedTable(vdf, "_entity", "_change_time", Seq("v"))
+    val p = (0 until n).map(i => (ts("05:00"), f"key_$i%03d")).toDF("t", "k")
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "t")
+    val df = AsOfJoin.asofMerge(p, "k", "t", vt)
+    val got = df.collect().map(r => r.getString(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // the scenario only bites with no re-sort above the version side:
+    // exactly the two caller repartition exchanges, no SortExec above them
+    // (unwrap AQE to see the plan that actually ran)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(finalPlan.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"test precondition broken — a side was re-sorted:\n$finalPlan")
+    (0 until n).foreach { i =>
+      assert(got(f"key_$i%03d") === i * 10L + 1, f"probe key_$i%03d lost its version")
+    }
+  }
+
+  test("key/time type mismatches fail at plan time, not execution time") {
+    import spark.implicits._
+    val vdf = Seq((ts("01:00"), 1L, 10L)).toDF("_change_time", "_entity", "v")
+    val vt = VersionedTable(vdf, "_entity", "_change_time", Seq("v"))
+    val p = Seq((ts("02:00"), 1)).toDF("t", "k") // int probe key vs long version key
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asofMerge(p, "k", "t", vt)
+    }
+    assert(ex.getMessage.contains("type mismatch"))
+  }
+
+  test("version side is pruned to (key, time, values) — wide columns never reach the join") {
+    import spark.implicits._
+    val vdf = Seq((ts("01:00"), "k1", 10L, "payload-that-should-be-pruned"))
+      .toDF("_change_time", "_entity", "v", "wide_extra")
+    val vt = VersionedTable(vdf, "_entity", "_change_time", Seq("v"))
+    val df = AsOfJoin.asofMerge(probes(("02:00", "k1")), "k", "t", vt)
+    val node = df.queryExecution.analyzed.collect {
+      case n: graft.plans.AsOfJoinNode => n
+    }.head
+    assert(node.right.output.map(_.name).toSet === Set("_entity", "_change_time", "v"),
+      s"unexpected version-side width: ${node.right.output}")
+    assert(df.collect().map(_.toSeq).toSet === Set(Seq(ts("02:00"), "k1", 10L)))
+  }
+
   test("plan shape: merge exec present; pre-partitioned probe side adds no probe shuffle") {
     val p = probes(("02:00", "k1"), ("04:00", "k1")).repartition(col("k"))
     val df = AsOfJoin.asofMerge(p, "k", "t", versions())
