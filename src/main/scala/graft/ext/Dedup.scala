@@ -242,17 +242,17 @@ object Dedup {
     * from the 16 hex digits of md5(shingle) (4 bits each) instead of
     * xxhash64 — reproducible in any engine with md5, which buys a DuckDB
     * oracle at the cost of the slower hash. [[simhash]] stays the scale
-    * path. */
+    * path. The digit extraction runs through the codegen'd
+    * [[graft.functions.Md5Sim64]] kernel (one digest + shifts per shingle,
+    * replacing 16 conv/substr string ops); bit-identical to the oracle's
+    * substr/conv formulation. */
   def simhashPortable(docs: DataFrame): DataFrame = {
-    val m = docShingles(docs).select(col("doc_id"), md5(col("shingle")).as("m"))
-    // materialize the 16 digit values once (md5 is referenced 16x; the
-    // multi-reference keeps CollapseProject from re-inlining it per digit)
-    val digits = m.select(
-      col("doc_id") +: (0 until 16).map(i =>
-        expr(s"cast(conv(substr(m, ${i + 1}, 1), 16, 10) as int)").as(s"d$i")): _*)
+    val spark = docs.sparkSession
+    val m = docShingles(docs)
+      .select(col("doc_id"), graft.functions.Md5Sim.apply(spark, col("shingle")).as("h"))
     val votes = (0 until 64).map(b =>
-      sum(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"v$b"))
-    combineBits(digits.groupBy("doc_id").agg(votes.head, votes.tail: _*))
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+    combineBits(m.groupBy("doc_id").agg(votes.head, votes.tail: _*))
   }
 
   /** (doc_id, v0..v63 vote sums) -> (doc_id, simhash): set bit b when the
