@@ -83,13 +83,18 @@ object Dedup {
     val inter = a.join(b, Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
+    val out = inter
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // materialize the (tiny) pair set, then release the corpus-sized
+    // shingle cache — callers get a lineage-free frame and no cached blocks
+    val pairs = Lineage.cut(out)
+    sh.unpersist()
+    pairs
   }
 
   /** MinHash signatures in ONE aggregation pass (single shuffle on doc_id,
@@ -145,7 +150,16 @@ object Dedup {
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi").distinct()
-    jaccardFor(candidates, shCand).where(col("jaccard") >= threshold)
+    // materialize verified pairs (tiny by construction), then release the
+    // corpus-sized intermediates — downstream consumers (cluster
+    // resolution, reporting) must not inherit cached blocks or a plan that
+    // re-embeds this whole DAG into every one of their actions
+    val verified = Lineage.cut(
+      jaccardFor(candidates, shCand).where(col("jaccard") >= threshold))
+    raw.unpersist()
+    bandRows.unpersist()
+    candidates.unpersist()
+    verified
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS and pick a
@@ -158,8 +172,9 @@ object Dedup {
     * convergence is detected by a one-row label-sum aggregate (labels only
     * ever decrease, so an unchanged sum IS the fixpoint — no per-round
     * change-detection join). The expensive Jaccard pair generation is
-    * persisted so it runs exactly once. (At extreme scale the
-    * large-star/small-star formulation halves rounds further.)
+    * materialized once with a lineage cut ([[Lineage.cut]]), so no round
+    * re-plans or re-runs it. (At extreme scale the large-star/small-star
+    * formulation halves rounds further.)
     * Output: (doc_id, cluster_root, keep).
     *
     * Pairs come from [[minhashNearDup]] — LSH candidate generation followed
@@ -168,9 +183,21 @@ object Dedup {
     * plan, while band-bucketing keeps candidate volume tunable via
     * (bands, rowsPerBand). Verified pairs are exact Jaccard >= threshold,
     * so clusters match the all-pairs generator whenever LSH recall is 1
-    * (this corpus: identical, pinned by q_minhash_lsh == q_jaccard_neardup). */
-  def duplicateClusters(docs: DataFrame, threshold: Double): DataFrame =
-    resolveClusters(docs, minhashNearDup(docs, threshold).select("doc_a", "doc_b"))
+    * (this corpus: identical, pinned by q_minhash_lsh == q_jaccard_neardup).
+    * LSH recall 1-(1-s^r)^b < 1 in general, so clusters can under-merge:
+    * tune it via (bands, rowsPerBand), or set exact=true to route through
+    * [[jaccardNearDup]] (recall 1 at quadratic candidate cost). */
+  def duplicateClusters(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 3,
+      rowsPerBand: Int = 3,
+      exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) jaccardNearDup(docs, threshold)
+      else minhashNearDup(docs, threshold, bands, rowsPerBand)
+    resolveClusters(docs, pairs.select("doc_a", "doc_b"))
+  }
 
   /** Cluster resolution given an explicit near-dup pair set (columns
     * doc_a, doc_b) — the connected-components half of [[duplicateClusters]],
@@ -178,18 +205,21 @@ object Dedup {
     * radius, embedding cosine) and property-tested against a union-find
     * reference in AdvancedSpec. */
   def resolveClusters(docs: DataFrame, pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lineage.cut, not persist: a cached plan still carries the whole
+    // upstream DAG (the LSH pipeline) for recompute, and the fixpoint loop
+    // would nest it one InMemoryRelation deeper per round — driver-side
+    // planning then dominates (measured 2-5 s per action on 256 pairs).
+    // Checkpointed frames keep every round's plan constant-size.
+    val pairs = Lineage.cut(pairsIn.select("doc_a", "doc_b"))
     val incident = pairs.select(col("doc_a").as("n"))
       .union(pairs.select(col("doc_b").as("n"))).distinct()
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .union(incident.select(col("n").as("a"), col("n").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Lineage.cut(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .union(incident.select(col("n").as("a"), col("n").as("b"))))
     // self-loops put each node's own id into its neighborhood min, so the
     // first aggregation already IS round 1 of propagation
-    var labels = edges.groupBy("a").agg(min("b").as("m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = Lineage.cut(edges.groupBy("a").agg(min("b").as("m")))
     // decimal sum: overflow-proof even for 10^12-scale ids on billions of
     // incident nodes. sum over ZERO rows is NULL (empty pair set — clean
     // corpus or high threshold): map it to 0 so the fixpoint check still
@@ -202,18 +232,14 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val next = edges
+      val next = Lineage.cut(edges
         .join(labels.select(col("a").as("b"), col("m")), Seq("b"))
-        .groupBy("a").agg(min("m").as("m"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .groupBy("a").agg(min("m").as("m")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
       labels = next
     }
-    edges.unpersist()
-    pairs.unpersist()
     docs.select(col("doc_id"))
       .join(labels.select(col("a").as("doc_id"), col("m")), Seq("doc_id"), "left")
       .select(

@@ -1,0 +1,30 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization barriers that TRUNCATE LINEAGE, not just cache it.
+  *
+  * `persist()` keeps the full recompute plan inside the resulting
+  * `InMemoryRelation`, so every downstream action still analyzes/optimizes
+  * the whole upstream tree — and iterative algorithms (connected
+  * components) nest those trees one level deeper per round, making
+  * driver-side planning the dominant cost (measured: 2-5 s PER ACTION on a
+  * 256-row cached pair set whose plan embedded the full MinHash-LSH DAG).
+  * Checkpointing replaces the plan with a `LogicalRDD` over the computed
+  * rows: constant-size plans per round, and on a real cluster it also
+  * bounds the recompute horizon after executor loss — the same reason
+  * GraphX checkpoints periodically inside Pregel.
+  */
+object Lineage {
+
+  /** Compute `df` now and return a frame backed by the materialized rows
+    * (plan = `LogicalRDD`). Uses a RELIABLE checkpoint (shared storage,
+    * survives executor loss) when the session has a checkpoint dir
+    * configured, else a local checkpoint (executor block storage — the
+    * right default for bounded intermediates like near-dup pair sets).
+    * Blocks are released by the ContextCleaner once the frame is
+    * unreferenced, so callers inherit no unpersist obligation. */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}

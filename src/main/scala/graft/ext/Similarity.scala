@@ -83,15 +83,15 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
       .where(col("rn") <= k)
       .select(col("qid"), col("cid").as("nn_id"), round(col("cos"), 6).as("sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (|probes| x k)-row result while the inputs are still
-    // cached, then release them — library callers must not inherit corpus-
-    // sized cached blocks. The returned frame stays persisted (it is the
-    // small output); callers may unpersist it when done.
-    topk.count()
+    // materialize the (|probes| x k)-row result with a lineage cut while
+    // the inputs are still cached, then release them — library callers
+    // inherit neither corpus-sized cached blocks nor an unpersist
+    // obligation (checkpoint blocks are freed by the ContextCleaner once
+    // the frame is unreferenced).
+    val out = Lineage.cut(topk)
     corpus.unpersist()
     probes.unpersist()
-    topk
+    out
   }
 
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`

@@ -31,13 +31,12 @@ object SparkOnly {
         val centroids = IvfKMeans.trainCentroids(emb, k = 8)
         // persist: cell is an expression-derived join key; see
         // Similarity.multiProbeNN for why the barrier is load-bearing.
-        // Materialize the small top-1 result, then release the corpus-sized
-        // cache so the query doesn't leak blocks to the next one.
+        // Lineage-cut the small top-1 result, then release the corpus-sized
+        // cache — the query leaks neither blocks nor an unpersist
+        // obligation to the next one.
         val assigned = IvfKMeans.assignCells(emb, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nn = Similarity.bucketedNN(assigned, "cell")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        nn.count()
+        val nn = graft.ext.Lineage.cut(Similarity.bucketedNN(assigned, "cell"))
         assigned.unpersist()
         nn
       }),

@@ -48,12 +48,21 @@ object StreamingOps {
     * and hand the result back as a batch DataFrame: each microbatch appends
     * to parquet via foreachBatch — executors write their own partitions, so
     * results never funnel through driver memory the way `format("memory")`
-    * buffers them. This is the S4 file-sink shape a 100 TB run uses; the
-    * read-back is for the correctness gate. */
-  def runToParquet(df: DataFrame, name: String): DataFrame = {
+    * buffers them.
+    *
+    * Sink location: `sinkDir` when given — the production S4 shape, shared
+    * storage the user designates; output stays there and the returned frame
+    * reads it. When omitted, a scratch dir under the session's warehouse
+    * dir (shared storage on a real cluster, unlike a driver-local temp
+    * path) is used, the bounded result is materialized off it, and the
+    * scratch dir is deleted — nothing leaks per run. */
+  def runToParquet(df: DataFrame, name: String, sinkDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_stream_$name").toString
+    val dir = sinkDir.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      s"$wh/graft_stream/${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+    }
     val q = df.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         batch.write.mode("append").parquet(dir)
@@ -62,10 +71,22 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // zero-batch stream: no files were written; preserve the schema
-    val wrote = new java.io.File(dir).listFiles()
-      .exists(f => f.getName.endsWith(".parquet"))
-    if (wrote) spark.read.schema(df.schema).parquet(dir)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+    val wrote = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+    if (sinkDir.isDefined) {
+      if (wrote) spark.read.schema(df.schema).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+    } else {
+      // scratch mode: materialize the (bounded, watermark-closed) result,
+      // then remove the scratch dir so repeated gate runs leave no residue
+      val out =
+        if (wrote) spark.read.schema(df.schema).parquet(dir).localCheckpoint()
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      out
+    }
   }
 }
