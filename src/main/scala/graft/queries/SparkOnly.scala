@@ -4,11 +4,14 @@ import graft.ext.{Dedup, IvfKMeans, Multimodal, ProductQuantize, Quantize, Simil
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Operators with no ANSI-SQL oracle (driver records a rows-only check):
-  * learned-quantizer approximate nearest neighbor (centroids are
-  * data-dependent, so no static oracle SQL can reproduce them) and the
-  * xxhash64 SimHash scale variant (the md5-portable variant is
-  * oracle-checked as q_simhash in [[Text]]). */
+/** Operators that are (mostly) Spark-native with weak or no ANSI-SQL
+  * oracle: Lloyd's-trained quantizers (q_ivf_kmeans / q_ivf_multiprobe /
+  * q_pq_rerank — centroids come from iterative training, which static
+  * oracle SQL cannot reproduce) and the xxhash64 SimHash scale variant
+  * (the md5-portable variant is oracle-checked as q_simhash in [[Text]]).
+  * q_sq8_rerank IS fully oracle-checked: its quantizer is closed-form
+  * (per-dim min/max over a deterministic sample), so DuckDB rebuilds the
+  * whole encode/score/re-rank pipeline. */
 object SparkOnly {
 
   val defs: Seq[QueryDef] = Seq(
@@ -44,11 +47,46 @@ object SparkOnly {
     // SQ8 quantized search + exact re-rank: 8-bit scalar-quantized corpus
     // (8x smaller resident vectors — the 100 TB memory budget), asymmetric
     // first-pass scoring via the graft_sq8_dot codegen kernel, exact
-    // re-ranking only for the short candidate list. Quantizer params are
-    // data-dependent -> rows-only check; recall pinned in QuantizeSpec.
+    // re-ranking only for the short candidate list. The quantizer is
+    // DETERMINISTIC (per-dim min/max over the first 2048 vectors by
+    // vec_id), so unlike the Lloyd's-trained IVF/PQ variants the full
+    // pipeline is reproducible in ANSI SQL: the oracle rebuilds lo/step
+    // from the same sample, re-encodes (same Math.round + clamp rules,
+    // step==0 -> lo), scores the dequantized corpus, and re-ranks.
     QueryDef(
       "q_sq8_rerank",
-      None,
+      Some("""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        samp AS (SELECT v FROM e ORDER BY vec_id LIMIT 2048),
+        sx AS (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM samp),
+        q AS (SELECT d, min(x) AS lo, (max(x) - min(x)) / 255.0 AS step
+              FROM sx GROUP BY d),
+        cx AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+        dqd AS (SELECT cx.vec_id, cx.d,
+                  CASE WHEN q.step = 0 THEN q.lo
+                       ELSE q.lo + q.step *
+                            least(255.0, greatest(0.0, round((cx.x - q.lo) / q.step)))
+                  END AS y
+                FROM cx JOIN q USING (d)),
+        dqv AS (SELECT vec_id, list(y ORDER BY d) AS dq FROM dqd GROUP BY vec_id),
+        c AS (SELECT vec_id, dq, sqrt(list_dot_product(dq, dq)) AS dqnrm FROM dqv),
+        probes AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        ap AS (SELECT p.qid, c.vec_id AS cid, p.qv, p.qnrm,
+                      list_dot_product(p.qv, c.dq) / (p.qnrm * c.dqnrm) AS acos
+               FROM c, probes p WHERE c.vec_id <> p.qid),
+        ar AS (SELECT qid, cid, qv, qnrm,
+                      row_number() OVER (PARTITION BY qid ORDER BY acos DESC, cid) AS rn
+               FROM ap),
+        cand AS (SELECT qid, cid, qv, qnrm FROM ar WHERE rn <= 15),
+        ex2 AS (SELECT cand.qid, cand.cid,
+                       list_dot_product(cand.qv, n.v) / (cand.qnrm * n.nrm) AS cos
+                FROM cand JOIN n ON n.vec_id = cand.cid),
+        r AS (SELECT qid, cid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM ex2)
+        SELECT qid, cid, round(cos, 6) AS sim FROM r WHERE rn <= 5"""),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val sq = Quantize.train(emb)
