@@ -44,6 +44,26 @@ object AsOfBench {
       .write.format("noop").mode("overwrite").save())
     time("broadcast   ")(AsOfJoin.asofBroadcast(probes, "user_id", "ts", vt)
       .write.format("noop").mode("overwrite").save())
+
+    // Synthetic large case: per-ROW kernel cost only shows once inputs dwarf
+    // fixed job overhead (20M probes / 2M versions over 200k keys — the
+    // shape of a wide-cluster partition at 100 TB).
+    val bigProbes = spark.range(20000000L)
+      .select((col("id") % 200000L).as("user_id"),
+        timestamp_micros(col("id") * 7L % 1000000000L).as("ts"),
+        col("id").as("payload"))
+      .persist()
+    val bigVersions = spark.range(2000000L)
+      .select((col("id") % 200000L).as("user_id"),
+        timestamp_micros(col("id") * 61L % 1000000000L).as("_time"),
+        (col("id") * 3L).as("feat"))
+      .persist()
+    bigProbes.count(); bigVersions.count()
+    val bigVt = VersionedTable(bigVersions, "user_id", "_time", Seq("feat"))
+    time("BIG union-merge ")(AsOfJoin.asof(bigProbes, "user_id", "ts", bigVt)
+      .write.format("noop").mode("overwrite").save())
+    time("BIG native merge")(AsOfJoin.asofMerge(bigProbes, "user_id", "ts", bigVt)
+      .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
