@@ -149,6 +149,33 @@ object Events {
         graft.streaming.StreamingOps.runToParquet(out.toDF(), "flagship")
       }),
 
+    // ---- changelog with retractions, replayed to state -------------------
+    // The reference's toChangelogStream (App.java:83) as a REAL streaming
+    // query: per-user error-cents aggregation drained through the
+    // +I/-U/+U changelog view, then FOLDED BACK into dynamic-table state
+    // (latest non-retraction per key). Replay is batching-invariant, so the
+    // oracle is simply the batch aggregation; the op-sequence semantics
+    // themselves are pinned under forced multi-batch execution in
+    // StreamingChangelogSpec.
+    QueryDef(
+      "q_stream_changelog",
+      Some("""
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS err_cents
+        FROM events WHERE event_type = 'error' GROUP BY user_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          .where(col("event_type") === "error")
+        val cl = graft.streaming.StreamingOps.changelog(
+          stream, "ts", "0 seconds", Seq("user_id"),
+          Seq(sum(expr("cast(round(value * 100) as bigint)")).as("err_cents")))
+        graft.streaming.StreamingOps.replayChangelog(cl, Seq("user_id"))
+      }),
+
     // ---- semi-structured props (JSON-in-string) --------------------------
     QueryDef(
       "q_json",

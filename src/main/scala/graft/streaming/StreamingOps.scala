@@ -44,6 +44,75 @@ object StreamingOps {
     events.withWatermark(timeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Changelog view of a continuous grouped aggregation WITH RETRACTION
+    * rows — the reference's `toChangelogStream` RowKind semantics
+    * (App.java:83): `+I` the first value emitted for a key, then for every
+    * change a `-U` retracting the prior value followed by a `+U` carrying
+    * the replacement. Spark's update output mode emits only the latest row
+    * per changed key, so the retraction half is reconstructed by diffing
+    * each microbatch against the running snapshot of the dynamic table:
+    * a per-batch `left` join of the (changed-keys-only) batch against the
+    * snapshot — both bounded by the key cardinality, not the event volume,
+    * so the diff scales like the aggregation state itself. Snapshot and
+    * log are advanced with [[graft.ext.Lineage.cut]] (constant-size plans
+    * across batches; no driver buffering — rows stay distributed).
+    *
+    * Output: (op, batch_id, keys*, values*). Within one batch a key
+    * contributes either one `+I` or a `-U`/`+U` pair; batches are atomic
+    * units for replay. [[replayChangelog]] folds the log back into the
+    * final dynamic-table state (tested equal to the batch aggregation). */
+  def changelog(
+      events: DataFrame, timeCol: String, delay: String,
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = events.sparkSession
+    val agg = runningAggregate(events, timeCol, delay, keys, aggs)
+    val valCols = agg.schema.fieldNames.filterNot(keys.contains).toSeq
+    val logSchema = StructType(
+      StructField("op", StringType, nullable = false) +:
+        StructField("batch_id", LongType, nullable = false) +: agg.schema.fields)
+    val snapshot = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], agg.schema))
+    val log = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val b = graft.ext.Lineage.cut(batch.toDF())
+        val prev = snapshot.get()
+        val prevRen = valCols.foldLeft(prev)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
+          .withColumn("__exists", lit(true))
+        val j = b.join(prevRen, keys, "left")
+        def outCols(op: String, old: Boolean) =
+          lit(op).as("op") +: lit(bid).as("batch_id") +:
+            (keys.map(col) ++ valCols.map(c => if (old) col(s"__old_$c").as(c) else col(c)))
+        val plusI = j.where(col("__exists").isNull).select(outCols("+I", old = false): _*)
+        val minusU = j.where(col("__exists").isNotNull).select(outCols("-U", old = true): _*)
+        val plusU = j.where(col("__exists").isNotNull).select(outCols("+U", old = false): _*)
+        log.set(graft.ext.Lineage.cut(
+          log.get().union(plusI).union(minusU).union(plusU)))
+        snapshot.set(graft.ext.Lineage.cut(
+          prev.join(b.select(keys.map(col): _*), keys, "left_anti").union(b)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    log.get()
+  }
+
+  /** Fold an op-tagged changelog (from [[changelog]]) back into dynamic-
+    * table state: the latest non-retraction row per key wins. */
+  def replayChangelog(cl: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cl.where(col("op") =!= "-U")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn", "op", "batch_id")
+  }
+
   /** Drain a streaming DataFrame (AvailableNow) through a DISTRIBUTED sink
     * and hand the result back as a batch DataFrame: each microbatch appends
     * to parquet via foreachBatch — executors write their own partitions, so
