@@ -66,6 +66,17 @@ object IvfKMeans {
 
   /** Train on a sample of `emb` (columns vec_id, embedding) and return the
     * centroids. */
+  /** Cell count for a corpus of `n` vectors: ~sqrt(n), clamped. A FIXED
+    * cell count is the classic IVF scaling mistake — corpus 10x => cell
+    * population 10x => within-cell candidate pairs 100x (measured: the x10
+    * amplified bench ran fixed-k IVF at ~n^2). With k ~ sqrt(n) the
+    * within-cell search totals ~n^1.5 and assignment stays a map-side
+    * broadcast pass. The cap bounds driver-side Lloyd's work; past it
+    * (corpus >> 16M vectors) a hierarchical (two-level) coarse quantizer
+    * is the standard continuation. */
+  def scaledK(n: Long, minK: Int = 8, maxK: Int = 4096): Int =
+    math.max(minK, math.min(maxK.toLong, math.round(math.sqrt(n.toDouble)))).toInt
+
   def trainCentroids(
       emb: DataFrame, k: Int, sampleN: Int = 2048, maxIter: Int = 10): Array[Array[Double]] = {
     val sample = emb
@@ -77,44 +88,35 @@ object IvfKMeans {
     lloyd(sample, k, maxIter)
   }
 
-  /** Squared-L2 distance columns to each centroid for a materialized
-    * array<double> column `v`: ||c||^2 - 2 v.c (the ||v||^2 term is
-    * constant per row and cancels in argmin). */
-  private def distCols(v: org.apache.spark.sql.Column, centroids: Array[Array[Double]]) =
-    centroids.map { c =>
-      val cNormSq = c.map(x => x * x).sum
-      lit(cNormSq) - lit(2.0) * Similarity.dot(v, typedlit(c.toSeq))
-    }
+  private def spark = org.apache.spark.sql.SparkSession.active
 
-  /** (vec_id, embedding, d): per-row centroid-distance array, materialized
-    * through its own projection so downstream argmin/sort references reuse
-    * it instead of re-inlining the k x dim literal dot products (which
-    * both bloats codegen ~3x and re-evaluates the dots per reference). */
-  private def withDists(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+  private def flatLit(centroids: Array[Array[Double]]) =
+    typedlit(centroids.flatten.toSeq)
+
+  /** (vec_id, embedding, cell): nearest-centroid cell id per vector, fully
+    * map-side (no shuffle, no job besides the sample collect). Assignment
+    * runs through the [[graft.functions.IvfCell]] codegen kernel — one
+    * generated loop over a flat centroid matrix, so generated-code size is
+    * independent of k (the per-centroid expression-column formulation this
+    * replaces collapsed once k scaled past a few dozen cells). */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     emb
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("embedding"),
-        array(distCols(col("v"), centroids): _*).as("d"))
-
-  /** (vec_id, embedding, cell): nearest-centroid cell id per vector, fully
-    * map-side (no shuffle, no job besides the sample collect). */
-  def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
-    withDists(emb, centroids)
-      .select(
-        col("vec_id"), col("embedding"),
-        (array_position(col("d"), array_min(col("d"))) - 1).cast("int").as("cell"))
+        graft.functions.VectorExpressions.ivfCell(
+          spark, col("v"), flatLit(centroids), centroids.length).as("cell"))
 
   /** (vec_id, embedding, cells): the `nprobe` nearest cells ascending by
     * distance — the multi-probe path: a query probes several close cells,
     * recovering recall lost at cell boundaries for nprobe x candidate
-    * volume. */
-  def probeCells(emb: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
-    val k = centroids.length
-    val pairs = array((0 until k).map(i =>
-      struct(element_at(col("d"), i + 1).as("d"), lit(i).as("c"))): _*)
-    withDists(emb, centroids)
+    * volume. Same kernel family as [[assignCells]]; cells(0) == cell. */
+  def probeCells(emb: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding"),
-        slice(transform(array_sort(pairs), p => p.getField("c")), 1, nprobe).as("cells"))
-  }
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfCells(
+          spark, col("v"), flatLit(centroids), centroids.length,
+          math.min(nprobe, centroids.length)).as("cells"))
 }

@@ -31,7 +31,11 @@ object SparkOnly {
       None,
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-        val centroids = IvfKMeans.trainCentroids(emb, k = 8)
+        // cell count scales with the corpus (sqrt(n)) — fixed k turns
+        // 10x data into 100x within-cell pairs; see IvfKMeans.scaledK
+        val kCells = IvfKMeans.scaledK(emb.count())
+        val centroids = IvfKMeans.trainCentroids(
+          emb, kCells, sampleN = math.max(2048, 16 * kCells))
         // persist: cell is an expression-derived join key; see
         // Similarity.multiProbeNN for why the barrier is load-bearing.
         // Lineage-cut the small top-1 result, then release the corpus-sized
@@ -130,7 +134,9 @@ object SparkOnly {
       None,
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
-        val centroids = IvfKMeans.trainCentroids(emb, k = 8)
+        val kCells = IvfKMeans.scaledK(emb.count())
+        val centroids = IvfKMeans.trainCentroids(
+          emb, kCells, sampleN = math.max(2048, 16 * kCells))
         Similarity.multiProbeNN(emb, centroids, nprobe = 2, k = 3)
       })
   )
