@@ -33,6 +33,12 @@ object ProductQuantize {
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    trainOnSample(sample, m, k)
+  }
+
+  /** Codebook training from an already-collected sample — shared with the
+    * OPQ path ([[Opq]]), which rotates the sample first. */
+  private[graft] def trainOnSample(sample: Array[Array[Double]], m: Int, k: Int): PQ = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

@@ -486,6 +486,63 @@ case class IvfCells(vec: Expression, centroids: Expression, k: Int, nprobe: Int)
     copy(vec = l, centroids = r)
 }
 
+/** Dense row-major matrix-vector product: out[i] = sum_j M[i*d+j] * v[j]
+  * for a FLAT [rows][d] literal matrix. One generated double loop per row —
+  * the rotation step of OPQ (orthogonal transform before product
+  * quantization) runs through this, so rotating a corpus stays a map-side
+  * whole-stage-codegen pass. */
+case class MatVec(mat: Expression, vec: Expression, rows: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = mat
+  override def right: Expression = vec
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(m: Any, v: Any): Any = {
+    val mm = m.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0; var j = 0
+      val base = i * d
+      while (j < d) { s += mm.getDouble(base + j) * x.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, v) => {
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |int $d = $v.numElements();
+         |double[] $out = new double[$rows];
+         |for (int $i = 0; $i < $rows; $i++) {
+         |  double $s = 0.0;
+         |  int $base = $i * $d;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    $s += $m.getDouble($base + $j) * $v.getDouble($j);
+         |  }
+         |  $out[$i] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(mat = l, vec = r)
+}
+
 object VectorExpressions {
 
   /** Register the graft expressions in the session's function registry
@@ -513,6 +570,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "graft_ivf_cells", exprs =>
         IvfCells(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_matvec", exprs => MatVec(exprs(0), exprs(1), i(exprs(2))), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -558,5 +617,10 @@ object VectorExpressions {
     register(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_ivf_cells", v, centroids, lit(k), lit(nprobe))
+  }
+
+  def matVec(spark: SparkSession, mat: Column, v: Column, rows: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_matvec", mat, v, lit(rows))
   }
 }

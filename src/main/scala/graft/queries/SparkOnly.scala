@@ -125,6 +125,20 @@ object SparkOnly {
         ProductQuantize.rerankTopK(emb, pq, col("vec_id") < 10, k = 5, rerank = 25)
       }),
 
+    // OPQ: learned orthogonal rotation (parametric — balanced eigenbasis)
+    // before PQ, decorrelating subspaces so the same 8 B codes quantize
+    // tighter. Rotation is one map-side graft_matvec kernel pass; the
+    // rest is the PQ-ADC + exact-re-rank plan above. Rows-only (Lloyd's
+    // codebooks); rotation/quality invariants pinned in OpqSpec.
+    QueryDef(
+      "q_opq_rerank",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val opq = graft.ext.Opq.train(emb)
+        graft.ext.Opq.rerankTopK(emb, opq, col("vec_id") < 10, k = 5, rerank = 25)
+      }),
+
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
     // just its own — recovers recall lost at cell boundaries. Corpus side
     // stays single-cell (one shuffle on cell); the probe side explodes to
