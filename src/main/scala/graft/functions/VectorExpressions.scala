@@ -543,6 +543,58 @@ case class MatVec(mat: Expression, vec: Expression, rows: Int)
     copy(mat = l, vec = r)
 }
 
+/** PQ decode: reconstruct the quantized vector from its m code bytes and
+  * the flat [sub][centroid][dsub] codebook — the encode-time half of
+  * residual (IVF x PQ) composition, where the reconstruction is added back
+  * onto the cell centroid to recover norms. */
+case class PQDecode(codes: Expression, codebook: Expression, k: Int, dsub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = codebook
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+
+  override def nullSafeEval(cd: Any, cb: Any): Any = {
+    val codes = cd.asInstanceOf[Array[Byte]]
+    val c = cb.asInstanceOf[ArrayData]
+    val m = codes.length
+    val out = new Array[Double](m * dsub)
+    var s = 0
+    while (s < m) {
+      val base = (s * k + (codes(s) & 0xff)) * dsub
+      var j = 0
+      while (j < dsub) { out(s * dsub + j) = c.getDouble(base + j); j += 1 }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cd, cb) => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      s"""
+         |int $m = $cd.length;
+         |double[] $out = new double[$m * $dsub];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = ($s * $k + ($cd[$s] & 0xff)) * $dsub;
+         |  for (int $j = 0; $j < $dsub; $j++) {
+         |    $out[$s * $dsub + $j] = $cb.getDouble($base + $j);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, codebook = r)
+}
+
 object VectorExpressions {
 
   /** Register the graft expressions in the session's function registry
@@ -572,6 +624,9 @@ object VectorExpressions {
         IvfCells(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_matvec", exprs => MatVec(exprs(0), exprs(1), i(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pq_decode", exprs =>
+        PQDecode(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -622,5 +677,11 @@ object VectorExpressions {
   def matVec(spark: SparkSession, mat: Column, v: Column, rows: Int): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_matvec", mat, v, lit(rows))
+  }
+
+  def pqDecode(spark: SparkSession, codes: Column, codebook: Column, k: Int, dsub: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_pq_decode", codes, codebook, lit(k), lit(dsub))
   }
 }

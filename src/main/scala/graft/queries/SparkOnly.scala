@@ -139,6 +139,20 @@ object SparkOnly {
         graft.ext.Opq.rerankTopK(emb, opq, col("vec_id") < 10, k = 5, rerank = 25)
       }),
 
+    // IVF x PQ (IVFADC): cells partition the corpus AND absorb each
+    // vector's coarse component, so the 8 B PQ code only carries the
+    // residual — tighter reconstruction at the same compression, searched
+    // cell-locally with ADC + exact re-rank. The canonical billion-scale
+    // ANN layout. Rows-only (two Lloyd's stages); invariants in IvfPqSpec.
+    QueryDef(
+      "q_ivfpq_rerank",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val model = graft.ext.IvfPq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
+        graft.ext.IvfPq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+      }),
+
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
     // just its own — recovers recall lost at cell boundaries. Corpus side
     // stays single-cell (one shuffle on cell); the probe side explodes to
