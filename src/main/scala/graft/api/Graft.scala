@@ -159,4 +159,40 @@ final case class Graft(spark: SparkSession, nativeAsOf: Boolean = true) {
       inclusive: Boolean = true,
       joinType: String = "left"): DataFrame =
     asofImpl(probes, probeKey, asOfTime, versioned, inclusive, joinType)
+
+  /** Changelog view WITH retraction rows of a continuous grouped
+    * aggregation over a STREAMING frame (reference: toChangelogStream
+    * RowKinds, App.java:83): drains the stream and returns op-tagged rows
+    * (+I first value per key, -U/+U pairs per change). Aggregates are SQL
+    * expression strings, e.g. "sum(value)" -> "total". */
+  def changelog(
+      stream: DataFrame, time: String, delay: String, keys: Seq[String],
+      aggs: (String, String)*): DataFrame =
+    graft.streaming.StreamingOps.changelog(
+      stream, time, delay, keys,
+      aggs.map { case (sql, name) => expr(sql).as(name) })
+
+  /** Fold a [[changelog]] back into dynamic-table state. */
+  def replayChangelog(changelog: DataFrame, keys: Seq[String]): DataFrame =
+    graft.streaming.StreamingOps.replayChangelog(changelog, keys)
+
+  /** Near-duplicate clusters over a (doc_id, text) corpus: MinHash-LSH
+    * candidates, exact-Jaccard verification, distributed connected
+    * components; `exact = true` routes through the quadratic exact
+    * generator (recall 1) instead. */
+  def duplicateClusters(
+      docs: DataFrame, threshold: Double,
+      bands: Int = 3, rowsPerBand: Int = 3, exact: Boolean = false): DataFrame =
+    graft.ext.Dedup.duplicateClusters(docs, threshold, bands, rowsPerBand, exact)
+
+  /** Approximate nearest neighbors over a (vec_id, embedding) corpus:
+    * IVF x PQ residual composition (cells scale ~sqrt(corpus), 8 B codes,
+    * ADC first pass, exact re-rank). The engine's default big-corpus ANN. */
+  def approxNearestNeighbors(
+      emb: DataFrame, probeFilter: Column, k: Int,
+      nprobe: Int = 4, rerank: Int = 30): DataFrame = {
+    val model = graft.ext.IvfPq.train(
+      emb, kCells = graft.ext.IvfKMeans.scaledK(emb.count()))
+    graft.ext.IvfPq.search(emb, model, probeFilter, nprobe, k, rerank)
+  }
 }

@@ -42,4 +42,46 @@ class GraftApiSpec extends AnyFunSuite with SparkSpec {
       ("Bob", ts("03:46"), ts("04:46"), 11L, 1L),
       ("Alice", ts("08:35"), ts("09:35"), 7L, 2L)))
   }
+
+  test("facade changelog + replay reconstructs the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val g = Graft(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    graft.sources.Tables.prepare(spark)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .where(col("event_type") === "purchase")
+    val cl = g.changelog(stream, "ts", "0 seconds", Seq("user_id"),
+      "count(1)" -> "purchases")
+    assert(cl.columns.take(2).toSeq === Seq("op", "batch_id"))
+    val replayed = g.replayChangelog(cl, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === batch)
+  }
+
+  test("facade dedup clusters and ANN delegate to the scale paths") {
+    import org.apache.spark.sql.functions._
+    val g = Graft(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val clusters = g.duplicateClusters(docs, 0.7)
+    assert(clusters.columns.toSeq === Seq("doc_id", "cluster_root", "keep"))
+    assert(clusters.count() === docs.count())
+    val viaExt = graft.ext.Dedup.duplicateClusters(docs, 0.7)
+      .collect().map(_.toSeq).toSet
+    assert(clusters.collect().map(_.toSeq).toSet === viaExt)
+
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val nn = g.approxNearestNeighbors(emb, col("vec_id") < 5, k = 3)
+    val byProbe = nn.collect().groupBy(_.getLong(0))
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(byProbe.values.forall(_.length == 3))
+  }
 }
