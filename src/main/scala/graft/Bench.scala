@@ -45,6 +45,25 @@ object Bench {
       val e64 = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
       val v = col("embedding").cast("array<double>")
       e64.select(graft.ext.Similarity.dot(v, v)).count()
+      // streaming machinery (file stream source, microbatch planner,
+      // streaming-agg state store, foreachBatch) JITs on first use —
+      // ~3 s that otherwise lands on the alphabetically-first q_stream_*
+      // query. Drain a tiny real streaming aggregation untimed.
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val warmStream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .where(col("event_id") < 100)
+      val wq = graft.streaming.StreamingOps.runningAggregate(
+          warmStream, "ts", "0 seconds", Seq("user_id"),
+          Seq(count(lit(1)).as("n")))
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.count(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      wq.awaitTermination()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

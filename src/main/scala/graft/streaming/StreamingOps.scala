@@ -74,8 +74,11 @@ object StreamingOps {
         StructField("batch_id", LongType, nullable = false) +: agg.schema.fields)
     val snapshot = new java.util.concurrent.atomic.AtomicReference[DataFrame](
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], agg.schema))
-    val log = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema))
+    // per-batch op frames: built ONLY from lineage-cut (LogicalRDD-backed)
+    // inputs, so they remain valid after the microbatch's own frame dies —
+    // the union + any materialization happens once, after the drain,
+    // instead of one extra checkpoint job per batch
+    val opFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
     val q = agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
@@ -90,8 +93,7 @@ object StreamingOps {
         val plusI = j.where(col("__exists").isNull).select(outCols("+I", old = false): _*)
         val minusU = j.where(col("__exists").isNotNull).select(outCols("-U", old = true): _*)
         val plusU = j.where(col("__exists").isNotNull).select(outCols("+U", old = false): _*)
-        log.set(graft.ext.Lineage.cut(
-          log.get().union(plusI).union(minusU).union(plusU)))
+        opFrames.add(plusI.union(minusU).union(plusU))
         snapshot.set(graft.ext.Lineage.cut(
           prev.join(b.select(keys.map(col): _*), keys, "left_anti").union(b)))
         ()
@@ -99,7 +101,11 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    log.get()
+    val frames = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      opFrames.iterator()).asScala.toSeq
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
+    else frames.reduce(_ union _)
   }
 
   /** Fold an op-tagged changelog (from [[changelog]]) back into dynamic-
