@@ -99,4 +99,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val n = countShuffles(joined.queryExecution.executedPlan)
     assert(n === 1, joined.queryExecution.executedPlan.toString.take(3000))
   }
+
+  test("IVF cell assignment and OPQ rotation are exchange-free map-side passes") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val centroids = graft.ext.IvfKMeans.trainCentroids(emb, k = 8, sampleN = 256)
+    val assigned = graft.ext.IvfKMeans.assignCells(emb, centroids)
+    val aPlan = assigned.queryExecution.executedPlan
+    assert(aPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty, aPlan.toString.take(2000))
+    assert(aPlan.toString.contains("graft_ivf_cell"), "kernel expression not in plan")
+
+    val opq = graft.ext.Opq.train(emb, sampleN = 256)
+    val rotated = emb.select(col("vec_id"),
+      graft.ext.Opq.rotate(opq, col("embedding").cast("array<double>")).as("rv"))
+    val rPlan = rotated.queryExecution.executedPlan
+    assert(rPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty, rPlan.toString.take(2000))
+    // "*(n)" marks a WholeStageCodegen span in the simple plan string
+    assert(rPlan.toString.contains("*(1) Project"), "rotation fell out of codegen: " +
+      rPlan.toString.take(500))
+  }
+
+  test("IVF x PQ encode keeps the corpus map-side (codes, not vectors, shuffle later)") {
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val model = graft.ext.IvfPq.train(emb, kCells = 8, sampleN = 256)
+    val encoded = graft.ext.IvfPq.encode(emb, model)
+    val plan = encoded.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "encode must not shuffle: " + plan.toString.take(2000))
+    val s = plan.toString
+    assert(s.contains("graft_pq_encode") && s.contains("graft_ivf_cell"), s.take(2000))
+  }
 }
