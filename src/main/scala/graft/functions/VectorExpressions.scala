@@ -595,6 +595,193 @@ case class PQDecode(codes: Expression, codebook: Expression, k: Int, dsub: Int)
     copy(codes = l, codebook = r)
 }
 
+/** Inverted-multi-index cell id (Babenko & Lempitsky): the vector's two
+  * halves are quantized independently against per-half codebooks (flat
+  * [2][k][dsub]) and the cell id is code0 * k + code1 — k^2 effective
+  * cells from 2k driver-trainable centroids, the standard continuation
+  * when sqrt(corpus) exceeds a flat quantizer's feasible cell count. */
+case class ImiCell(vec: Expression, codebook: Expression, k: Int, dsub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_imi_cell"
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    var cell = 0
+    var h = 0
+    while (h < 2) {
+      var best = 0; var bestD = Double.MaxValue
+      var cid = 0
+      while (cid < k) {
+        var d = 0.0; var j = 0
+        val cbase = (h * k + cid) * dsub
+        val vbase = h * dsub
+        while (j < dsub) {
+          val t = x.getDouble(vbase + j) - c.getDouble(cbase + j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+        cid += 1
+      }
+      cell = cell * k + best
+      h += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val cell = ctx.freshName("cell")
+      val h = ctx.freshName("h")
+      val cid = ctx.freshName("cid")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cbase = ctx.freshName("cbase")
+      val vbase = ctx.freshName("vbase")
+      s"""
+         |int $cell = 0;
+         |for (int $h = 0; $h < 2; $h++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  int $vbase = $h * $dsub;
+         |  for (int $cid = 0; $cid < $k; $cid++) {
+         |    double $d = 0.0;
+         |    int $cbase = ($h * $k + $cid) * $dsub;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double $t = $v.getDouble($vbase + $j) - $cb.getDouble($cbase + $j);
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $cid; }
+         |  }
+         |  $cell = $cell * $k + $best;
+         |}
+         |${ev.value} = $cell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
+/** Multi-probe IMI: top `perHalf` codes per half by distance, crossed into
+  * perHalf^2 candidate cell ids. cells(0) == [[ImiCell]] (same distance and
+  * tie rules, best x best combination first). */
+case class ImiCells(vec: Expression, codebook: Expression, k: Int, dsub: Int, perHalf: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_imi_cells"
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    val top = Array.ofDim[Int](2, perHalf)
+    var h = 0
+    while (h < 2) {
+      val dists = new Array[Double](k)
+      var cid = 0
+      while (cid < k) {
+        var d = 0.0; var j = 0
+        val cbase = (h * k + cid) * dsub
+        val vbase = h * dsub
+        while (j < dsub) {
+          val t = x.getDouble(vbase + j) - c.getDouble(cbase + j)
+          d += t * t; j += 1
+        }
+        dists(cid) = d; cid += 1
+      }
+      var p = 0
+      while (p < perHalf) {
+        var best = -1; var bestD = Double.MaxValue
+        var i = 0
+        while (i < k) {
+          if (dists(i) < bestD) { bestD = dists(i); best = i }
+          i += 1
+        }
+        top(h)(p) = best
+        dists(best) = Double.PositiveInfinity
+        p += 1
+      }
+      h += 1
+    }
+    val out = new Array[Int](perHalf * perHalf)
+    var a = 0
+    while (a < perHalf) {
+      var b = 0
+      while (b < perHalf) {
+        out(a * perHalf + b) = top(0)(a) * k + top(1)(b)
+        b += 1
+      }
+      a += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cb) => {
+      val top = ctx.freshName("top")
+      val dists = ctx.freshName("dists")
+      val h = ctx.freshName("h")
+      val cid = ctx.freshName("cid")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val cbase = ctx.freshName("cbase")
+      val vbase = ctx.freshName("vbase")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val out = ctx.freshName("out")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      s"""
+         |int[][] $top = new int[2][$perHalf];
+         |for (int $h = 0; $h < 2; $h++) {
+         |  double[] $dists = new double[$k];
+         |  int $vbase = $h * $dsub;
+         |  for (int $cid = 0; $cid < $k; $cid++) {
+         |    double $d = 0.0;
+         |    int $cbase = ($h * $k + $cid) * $dsub;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double $t = $v.getDouble($vbase + $j) - $cb.getDouble($cbase + $j);
+         |      $d += $t * $t;
+         |    }
+         |    $dists[$cid] = $d;
+         |  }
+         |  for (int $p = 0; $p < $perHalf; $p++) {
+         |    int $best = -1; double $bestD = Double.MAX_VALUE;
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      if ($dists[$i] < $bestD) { $bestD = $dists[$i]; $best = $i; }
+         |    }
+         |    $top[$h][$p] = $best;
+         |    $dists[$best] = Double.POSITIVE_INFINITY;
+         |  }
+         |}
+         |int[] $out = new int[$perHalf * $perHalf];
+         |for (int $a = 0; $a < $perHalf; $a++) {
+         |  for (int $b = 0; $b < $perHalf; $b++) {
+         |    $out[$a * $perHalf + $b] = $top[0][$a] * $k + $top[1][$b];
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
 object VectorExpressions {
 
   /** Register the graft expressions in the session's function registry
@@ -627,6 +814,12 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "graft_pq_decode", exprs =>
         PQDecode(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_imi_cell", exprs =>
+        ImiCell(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_imi_cells", exprs =>
+        ImiCells(exprs(0), exprs(1), i(exprs(2)), i(exprs(3)), i(exprs(4))), "built-in")
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -683,5 +876,19 @@ object VectorExpressions {
     register(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_pq_decode", codes, codebook, lit(k), lit(dsub))
+  }
+
+  def imiCell(spark: SparkSession, v: Column, codebook: Column, k: Int, dsub: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_imi_cell", v, codebook, lit(k), lit(dsub))
+  }
+
+  def imiCells(
+      spark: SparkSession, v: Column, codebook: Column,
+      k: Int, dsub: Int, perHalf: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_imi_cells", v, codebook, lit(k), lit(dsub), lit(perHalf))
   }
 }

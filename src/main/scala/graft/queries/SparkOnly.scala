@@ -153,6 +153,21 @@ object SparkOnly {
         graft.ext.IvfPq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
       }),
 
+    // Inverted multi-index (IMI): per-half codebooks give k^2 effective
+    // cells from 2k driver-trainable centroids — the continuation past
+    // flat IVF's sqrt(n) cell cap (16M cells from k=4096 per half at
+    // billion-vector scale). Grid-probed (perHalf^2 cells), same
+    // cell-equi-join shape. Rows-only (Lloyd's); kernels + recall pinned
+    // in ImiSpec.
+    QueryDef(
+      "q_imi_nn",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val model = graft.ext.Imi.train(emb, k = graft.ext.Imi.scaledK(emb.count()))
+        graft.ext.Imi.nn(emb, model, perHalf = 2, k = 3)
+      }),
+
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
     // just its own — recovers recall lost at cell boundaries. Corpus side
     // stays single-cell (one shuffle on cell); the probe side explodes to
