@@ -81,6 +81,24 @@ object Demo {
     println(s"[demo] sq8 rerank top-3 for 3 probes:")
     nn.orderBy("qid", "sim").show(9, truncate = false)
 
+    // Big-corpus ANN through the facade: IVF x PQ residual composition
+    // (sqrt(n)-scaled cells, 8 B codes, ADC + exact re-rank).
+    val g2 = graft.api.Graft(spark)
+    val ann = g2.approxNearestNeighbors(emb, col("vec_id") < 3, k = 3)
+    println(s"[demo] ivfpq ann rows=${ann.count()}")
+
+    // Inverted multi-index: k^2 cells from 2k per-half centroids.
+    val imi = graft.ext.Imi.train(emb, k = graft.ext.Imi.scaledK(emb.count()))
+    println(s"[demo] imi cells=${imi.k * imi.k} " +
+      s"nn rows=${graft.ext.Imi.nn(emb, imi, perHalf = 2, k = 3).count()}")
+
+    // Near-dup clusters through the facade (MinHash-LSH + connected
+    // components), keep-one-per-cluster.
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val clusters = g2.duplicateClusters(docs, 0.7)
+    println(s"[demo] dup clusters: keep=${clusters.where(col("keep")).count()}" +
+      s" of ${clusters.count()} docs")
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -97,6 +115,18 @@ object Demo {
     println(s"[demo] streaming examples emitted=${spark.table("demo_stream").count()}" +
       s" (pre-watermark-horizon examples still pending by design)")
     spark.table("demo_stream").orderBy("_prediction_time").show(5, truncate = false)
+
+    // Changelog with retractions (reference toChangelogStream RowKinds):
+    // +I on first value per key, -U/+U pairs on change; print-sink shape.
+    val clStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      .where(col("event_type") === "purchase")
+    val cl = g2.changelog(clStream, "ts", "0 seconds", Seq("user_id"),
+      "count(1)" -> "purchases")
+    println(s"[demo] changelog rows=${cl.count()} " +
+      s"(replayed keys=${g2.replayChangelog(cl, Seq("user_id")).count()})")
+    cl.orderBy("batch_id", "user_id", "op").show(5, truncate = false)
     spark.stop()
   }
 }
