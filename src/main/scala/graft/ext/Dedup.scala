@@ -204,13 +204,26 @@ object Dedup {
     * reusable with ANY candidate generator (Jaccard, MinHash, SimHash
     * radius, embedding cosine) and property-tested against a union-find
     * reference in AdvancedSpec. */
-  def resolveClusters(docs: DataFrame, pairsIn: DataFrame): DataFrame = {
+  def resolveClusters(docs: DataFrame, pairsIn: DataFrame): DataFrame =
+    resolveClusters(docs, pairsIn, driverLimit = 2000000L)
+
+  /** As [[resolveClusters]]; `driverLimit` bounds the HYBRID fast path:
+    * near-dup pair sets are tiny relative to the corpus by construction
+    * (they are what survives LSH + exact verification), so up to
+    * `driverLimit` edges the components resolve with an in-memory
+    * union-find on the driver (microseconds, zero extra jobs) and only
+    * the label map ships back — the same bounded-collect pattern as
+    * quantizer training. Past the limit the distributed min-label
+    * fixpoint below takes over unchanged. Both paths are property-tested
+    * equal in AdvancedSpec. */
+  def resolveClusters(docs: DataFrame, pairsIn: DataFrame, driverLimit: Long): DataFrame = {
     // Lineage.cut, not persist: a cached plan still carries the whole
     // upstream DAG (the LSH pipeline) for recompute, and the fixpoint loop
     // would nest it one InMemoryRelation deeper per round — driver-side
     // planning then dominates (measured 2-5 s per action on 256 pairs).
     // Checkpointed frames keep every round's plan constant-size.
     val pairs = Lineage.cut(pairsIn.select("doc_a", "doc_b"))
+    if (pairs.count() <= driverLimit) return resolveClustersDriver(docs, pairs)
     val incident = pairs.select(col("doc_a").as("n"))
       .union(pairs.select(col("doc_b").as("n"))).distinct()
     val edges = Lineage.cut(
@@ -242,6 +255,40 @@ object Dedup {
     }
     docs.select(col("doc_id"))
       .join(labels.select(col("a").as("doc_id"), col("m")), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("m"), col("doc_id")).as("cluster_root"),
+        (coalesce(col("m"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
+  /** Driver union-find over an already-materialized small pair set; the
+    * (node -> min-id root) map broadcasts back for the stitch join. */
+  private def resolveClustersDriver(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      val ra = find(a); val rb = find(b)
+      // union by MIN id: root IS the cluster label, matching the
+      // distributed min-label fixpoint exactly
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(ra.min(rb), ra.min(rb))
+    }
+    val labels = (edges.iterator.flatMap(e => Iterator(e._1, e._2)))
+      .toSet.toSeq.map((n: Long) => (n, find(n)))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labelDf = labels.toDF("doc_id", "m")
+    docs.select(col("doc_id"))
+      .join(broadcast(labelDf), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("m"), col("doc_id")).as("cluster_root"),

@@ -90,9 +90,15 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
       // random pairs (jaccard itself is oracle-pinned elsewhere)
       val docs = (0 until nDocs).map(_.toLong).toDF("doc_id")
       val pairsDf = pairs.toDF("doc_a", "doc_b")
+      // driver fast path (default) AND the distributed min-label fixpoint
+      // (forced with driverLimit = 0) must both match the reference
       val got = graft.ext.Dedup.resolveClusters(docs, pairsDf)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"trial $trial pairs=$pairs")
+      val gotDistributed = graft.ext.Dedup
+        .resolveClusters(docs, pairsDf, driverLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDistributed === expected, s"trial $trial (distributed path)")
       // keep flag: true exactly for cluster roots
       val keeps = graft.ext.Dedup.resolveClusters(docs, pairsDf)
         .where(col("keep")).collect().map(_.getLong(0)).toSet
