@@ -118,6 +118,39 @@ class AsOfMergeSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("DISK-bucketed tables: as-of merge reads both sides with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    // persist both sides as bucketed+sorted tables — the layout a 100 TB
+    // pipeline would maintain for repeated as-of joins — and verify the
+    // join runs with NO Exchange at all: bucketing satisfies the
+    // distribution requirement straight off disk.
+    val spark0 = spark
+    import spark0.implicits._
+    val probesDf = Seq((ts("02:00"), 1L, "a"), (ts("04:00"), 1L, "b"), (ts("03:00"), 2L, "c"))
+      .toDF("t", "k", "payload")
+    val versionsDf = Seq((ts("01:00"), 1L, 10L), (ts("03:30"), 1L, 20L), (ts("01:00"), 2L, 7L))
+      .toDF("_change_time", "_entity", "v")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_probes")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_versions")
+    probesDf.write.bucketBy(4, "k").sortBy("k", "t")
+      .mode("overwrite").saveAsTable("graft_bkt_probes")
+    versionsDf.write.bucketBy(4, "_entity").sortBy("_entity", "_change_time")
+      .mode("overwrite").saveAsTable("graft_bkt_versions")
+    val p = spark.table("graft_bkt_probes")
+    val vt = graft.core.VersionedTable(
+      spark.table("graft_bkt_versions"), "_entity", "_change_time", Seq("v"))
+    val df = AsOfJoin.asofMerge(p, "k", "t", vt)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed inputs must not shuffle: " + plan.take(2000))
+    val got = df.collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got === Set((1L, ts("02:00"), 10L), (1L, ts("04:00"), 20L), (2L, ts("03:00"), 7L)))
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_probes")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_versions")
+  }
+
   test("string keys on the pre-sorted zero-sort path survive iterator buffer reuse") {
     import spark.implicits._
     // Regression for the held-key bug: when BOTH children arrive already
