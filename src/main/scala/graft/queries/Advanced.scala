@@ -53,6 +53,23 @@ object Advanced {
             sum(col("cents")).cast("bigint").as("err_cents"))
       }),
 
+    // ---- approximate aggregates (the 100 TB cardinality tools) -----------
+    // HLL++ count-distinct and quantile sketches are how cardinality and
+    // distribution questions get answered over billions of rows without an
+    // exact shuffle-the-world pass. Sketch internals are engine-specific
+    // (Spark HLL++ != DuckDB HLL), so there is no cross-engine hash oracle:
+    // rows-only here, with error bounds vs the exact answers pinned in
+    // AdvancedSpec (rsd=0.02 -> observed error well under 5%).
+    QueryDef(
+      "q_approx_agg",
+      None,
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+          count(lit(1)).as("n"))),
+
     // ---- exact statistical aggregates ------------------------------------
     // Median (exact interpolated percentile), sample variance, and the
     // value/hour-of-day correlation — all reconstructed from exact integer

@@ -106,6 +106,28 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("approx aggregates stay within error bounds of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val approx = graft.queries.Registry.queries("q_approx_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (et, (users, median)) =>
+      val (au, am) = approx(et)
+      assert(math.abs(au - users).toDouble / users <= 0.05,
+        s"$et: approx_users=$au exact=$users")
+      // median of a continuous-ish value: sketch with 10k accuracy should
+      // land within 5% of the exact interpolated percentile
+      assert(math.abs(am - median) <= math.abs(median) * 0.05 + 1e-6,
+        s"$et: approx_median=$am exact=$median")
+    }
+  }
+
   test("resolveClusters on an EMPTY pair set yields all-singleton clusters") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
