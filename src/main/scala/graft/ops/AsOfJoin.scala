@@ -127,6 +127,54 @@ object AsOfJoin {
     kept.select(outCols.toSeq: _*)
   }
 
+  /** Skew-proof formulation: HOT keys (a bot entity with millions of
+    * probes) straggle the one partition that `Window.partitionBy(key)`
+    * hashes them to. Salting splits each key's PROBES across `salts`
+    * partitions — deterministically, by hashing the full probe row — while
+    * the key's VERSION HISTORY replicates to all of them, so every salted
+    * partition still answers its probes exactly. Cost: versions x salts
+    * (versions are the small side; features change rarely relative to
+    * probe volume), bought back as an upper bound of probes/salts per
+    * partition per key. Results are identical to [[asof]] (pinned in
+    * AsOfJoinSpec). NULL-key probes take the bypass union (a struct salt
+    * key would otherwise defeat SQL NULL-equality semantics). */
+  def asofSalted(
+      left: DataFrame,
+      leftKey: String,
+      asOfTime: String,
+      right: VersionedTable,
+      salts: Int,
+      inclusive: Boolean = true,
+      joinType: String = "left"): DataFrame = {
+    require(salts >= 1, s"salts=$salts")
+    require(Seq("left", "inner").contains(joinType), s"joinType=$joinType")
+    if (salts == 1) return asof(left, leftKey, asOfTime, right, inclusive, joinType)
+    val SALT = "__graft_salt"
+    val SK = "__graft_sk"
+    val nonNull = left.where(col(leftKey).isNotNull)
+    val p = nonNull
+      .withColumn(SALT,
+        pmod(xxhash64(nonNull.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      .withColumn(SK, struct(col(leftKey).as("k"), col(SALT).as("s")))
+    val v = right.df
+      .where(col(right.keyCol).isNotNull && col(right.timeCol).isNotNull)
+      .withColumn(SALT, explode(array((0 until salts).map(i => lit(i)): _*)))
+      .withColumn(SK, struct(col(right.keyCol).as("k"), col(SALT).as("s")))
+    val vt = VersionedTable(v, SK, right.timeCol, right.valueCols)
+    val merged = asofImpl(p, SK, asOfTime, vt, inclusive, joinType)
+      .drop(SALT, SK)
+    if (joinType == "inner") merged
+    else {
+      val valueType = right.df.select(struct(right.valueCols.map(col): _*))
+        .schema.head.dataType
+      val nullRows = left.where(col(leftKey).isNull)
+        .withColumn("__asof", lit(null).cast(valueType))
+        .select((left.columns.map(col) ++
+          right.valueCols.map(c => col("__asof").getField(c).as(c))).toSeq: _*)
+      merged.unionByName(nullRows)
+    }
+  }
+
   /** Catalyst-native formulation: plans a [[graft.plans.AsOfJoinNode]] that
     * the injected strategy compiles to [[graft.plans.AsOfMergeJoinExec]] —
     * hash co-partitioning + per-key (key, time) sort come from

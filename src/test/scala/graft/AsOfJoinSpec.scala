@@ -107,6 +107,41 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     assert(inner.length === 1)
   }
 
+  test("asofSalted equals asof on every boundary/joinType combo, incl. NULL keys") {
+    import spark.implicits._
+    val p = Seq(
+      (ts("00:30"), Option("k1")), (ts("01:00"), Option("k1")),
+      (ts("02:30"), Option("k1")), (ts("04:00"), Option("k1")),
+      (ts("01:30"), Option("k2")), (ts("09:00"), Option("zz")),
+      (ts("02:00"), Option.empty[String])).toDF("t", "k")
+    for (inc <- Seq(true, false); jt <- Seq("left", "inner"); salts <- Seq(1, 3, 7)) {
+      val plain = AsOfJoin.asof(p, "k", "t", versions(), inc, jt)
+        .collect().map(_.toSeq).toSet
+      val salted = AsOfJoin.asofSalted(p, "k", "t", versions(), salts, inc, jt)
+        .collect().map(_.toSeq).toSet
+      assert(plain === salted, s"inclusive=$inc joinType=$jt salts=$salts")
+    }
+  }
+
+  test("asofSalted equals asof on real events (hot-key shape, both time axes)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val events = graft.core.EventTable(
+      graft.sources.Tables.events(spark, sfDir), "ts", Some("user_id"))
+    val features = graft.core.VersionedTable.fromEvents(
+      events.where(col("event_type") === "error"), "user_id",
+      sum(expr("cast(round(value * 100) as bigint)")) -> "err_cents")
+    // every purchase probes — user activity is naturally skewed
+    val probes = events.df.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val plain = AsOfJoin.asof(probes, "user_id", "ts", features)
+      .collect().map(_.toSeq).toSet
+    val salted = AsOfJoin.asofSalted(probes, "user_id", "ts", features, salts = 8)
+      .collect().map(_.toSeq).toSet
+    assert(plain === salted)
+    assert(plain.nonEmpty)
+  }
+
   test("NULL-key / NULL-time version rows never match any probe, on every path") {
     import spark.implicits._
     // SQL equi-join semantics: a NULL join key matches nothing, and a
