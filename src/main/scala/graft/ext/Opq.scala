@@ -102,13 +102,18 @@ object Opq {
     buckets.map(_.toArray)
   }
 
-  def train(emb: DataFrame, m: Int = 8, k: Int = 16, sampleN: Int = 2048): OPQ = {
-    val sample = emb
+  private def collectSample(emb: DataFrame, sampleN: Int): Array[Array[Double]] =
+    emb
       .select(col("embedding").cast("array<double>").as("v"))
       .orderBy(col("vec_id"))
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, sampleN: Int = 2048): OPQ =
+    trainFromSample(collectSample(emb, sampleN), m, k)
+
+  private def trainFromSample(sample: Array[Array[Double]], m: Int, k: Int): OPQ = {
     val dim = sample.head.length
     // uncentered second moment S = X'X / n
     val s = Array.fill(dim, dim)(0.0)
@@ -135,6 +140,115 @@ object Opq {
       y
     }
     OPQ(rotation, dim, ProductQuantize.trainOnSample(rotated, m, k))
+  }
+
+  // ---- non-parametric refinement (the full OPQ alternating loop) --------
+
+  private def rotateVec(r: Array[Double], dim: Int, x: Array[Double]): Array[Double] = {
+    val y = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      var acc = 0.0; var j = 0
+      while (j < dim) { acc += r(i * dim + j) * x(j); j += 1 }
+      y(i) = acc; i += 1
+    }
+    y
+  }
+
+  private def encDec(pq: ProductQuantize.PQ, x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](pq.m * pq.dsub)
+    var s = 0
+    while (s < pq.m) {
+      var best = 0; var bestD = Double.MaxValue
+      var cid = 0
+      while (cid < pq.k) {
+        var d = 0.0; var j = 0
+        val base = (s * pq.k + cid) * pq.dsub
+        while (j < pq.dsub) {
+          val t = x(s * pq.dsub + j) - pq.flat(base + j); d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = cid }
+        cid += 1
+      }
+      val base = (s * pq.k + best) * pq.dsub
+      var j = 0
+      while (j < pq.dsub) { out(s * pq.dsub + j) = pq.flat(base + j); j += 1 }
+      s += 1
+    }
+    out
+  }
+
+  private def qError(sample: Array[Array[Double]], opq: OPQ): Double =
+    sample.map { x =>
+      val y = rotateVec(opq.rotation, opq.dim, x)
+      val yh = encDec(opq.pq, y)
+      var e = 0.0; var j = 0
+      while (j < opq.dim) { val t = y(j) - yh(j); e += t * t; j += 1 }
+      e
+    }.sum / sample.length
+
+  /** Full (non-parametric) OPQ: start from the parametric solution and
+    * alternate (1) retrain codebooks in the rotated space, (2) re-solve
+    * the orthogonal Procrustes problem R = V U' from the SVD of
+    * X' Y_hat (computed through [[jacobiEigen]] on the 64x64 Gram matrix
+    * — still bounded driver work). Keeps the best-error iterate, so the
+    * result never regresses below the parametric initialization. */
+  def trainRefined(
+      emb: DataFrame, m: Int = 8, k: Int = 16, sampleN: Int = 2048,
+      iters: Int = 5): OPQ = {
+    val sample = collectSample(emb, sampleN)
+    val dim = sample.head.length
+    var cur = trainFromSample(sample, m, k)
+    var best = cur
+    var bestErr = qError(sample, cur)
+    var it = 0
+    var degenerate = false
+    while (it < iters && !degenerate) {
+      // reconstructions of the CURRENT rotation's codes, in rotated space
+      val yHat = sample.map(x => encDec(cur.pq, rotateVec(cur.rotation, dim, x)))
+      // M = X' Y_hat (d x d)
+      val mMat = Array.fill(dim, dim)(0.0)
+      for (n <- sample.indices; i <- 0 until dim) {
+        val xi = sample(n)(i)
+        if (xi != 0.0) {
+          var j = 0
+          while (j < dim) { mMat(i)(j) += xi * yHat(n)(j); j += 1 }
+        }
+      }
+      // SVD via eigen of M'M = V S^2 V'; U = M V / sigma
+      val mtm = Array.fill(dim, dim)(0.0)
+      for (i <- 0 until dim; j <- i until dim) {
+        var acc = 0.0; var r = 0
+        while (r < dim) { acc += mMat(r)(i) * mMat(r)(j); r += 1 }
+        mtm(i)(j) = acc; mtm(j)(i) = acc
+      }
+      val (lambda, vRows) = jacobiEigen(mtm)
+      val lmax = lambda.max
+      if (lambda.exists(_ <= lmax * 1e-14)) degenerate = true
+      else {
+        val rot = new Array[Double](dim * dim)
+        for (idx <- 0 until dim) {
+          val v = vRows(idx)
+          val sigma = math.sqrt(math.max(lambda(idx), 0.0))
+          // u = M v / sigma
+          val u = Array.tabulate(dim) { r =>
+            var acc = 0.0; var c = 0
+            while (c < dim) { acc += mMat(r)(c) * v(c); c += 1 }
+            acc / sigma
+          }
+          // R = V U': R[a][b] += v[a] * u[b]
+          for (a <- 0 until dim; b <- 0 until dim)
+            rot(a * dim + b) += v(a) * u(b)
+        }
+        // retrain codebooks under the new rotation
+        val rotated = sample.map(x => rotateVec(rot, dim, x))
+        cur = OPQ(rot, dim, ProductQuantize.trainOnSample(rotated, m, k))
+        val err = qError(sample, cur)
+        if (err < bestErr) { bestErr = err; best = cur }
+      }
+      it += 1
+    }
+    best
   }
 
   private def spark = org.apache.spark.sql.SparkSession.active

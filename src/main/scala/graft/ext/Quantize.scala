@@ -56,6 +56,15 @@ object Quantize {
         sqrt(Similarity.dot(col("dq"), col("dq"))).as("dqnrm"))
   }
 
+  /** STREAMING encode-on-ingest: [[encode]] is a pure map-side projection
+    * (codegen'd kernels, no shuffle, no state), so it applies to a
+    * streaming DataFrame unchanged — quantize vectors as they arrive and
+    * sink 64 B codes instead of 512 B doubles. The quantizer params come
+    * from a batch-trained [[SQ8]] (train on yesterday's corpus, encode
+    * today's stream); parity with the batch encode is pinned in
+    * QuantizeSpec. */
+  def encodeStream(emb: DataFrame, sq: SQ8): DataFrame = encode(emb, sq)
+
   /** Quantize-dequantize an array<double> in array land (same clamp/round
     * rules as [[graft.functions.SQ8Encode]]): the vector the codes decode
     * back to. */

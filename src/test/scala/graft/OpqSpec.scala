@@ -122,6 +122,46 @@ class OpqSpec extends AnyFunSuite with SparkSpec {
     info(f"quantization error: plain=$plainErr%.4f opq=$opqErr%.4f (${100 * (1 - opqErr / plainErr)}%.1f%% lower)")
   }
 
+  test("refined (alternating) OPQ: error <= parametric, rotation stays orthogonal") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val parametric = Opq.train(emb, m = 8, k = 16, sampleN = 256)
+    val refined = Opq.trainRefined(emb, m = 8, k = 16, sampleN = 256, iters = 4)
+    val d = refined.dim
+    // orthogonality of the refined rotation (Procrustes solution is R = VU')
+    for (i <- 0 until d; j <- i until d) {
+      val dot = (0 until d).map(c => refined.rotation(i * d + c) * refined.rotation(j * d + c)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-7, s"RR' at $i,$j")
+    }
+    // refinement keeps the best iterate: never worse than the init
+    val sample = emb.select(col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(256).collect().map(_.getSeq[Double](0).toArray)
+    def err(opq: Opq.OPQ): Double = {
+      sample.map { x =>
+        val y = Array.tabulate(d)(i => (0 until d).map(j => opq.rotation(i * d + j) * x(j)).sum)
+        // decode via nearest codebook entries
+        val pq = opq.pq
+        val yh = new Array[Double](d)
+        for (s <- 0 until pq.m) {
+          var best = 0; var bestD = Double.MaxValue
+          for (cid <- 0 until pq.k) {
+            var dd = 0.0
+            val base = (s * pq.k + cid) * pq.dsub
+            for (j <- 0 until pq.dsub) {
+              val t = y(s * pq.dsub + j) - pq.flat(base + j); dd += t * t
+            }
+            if (dd < bestD) { bestD = dd; best = cid }
+          }
+          val base = (s * pq.k + best) * pq.dsub
+          for (j <- 0 until pq.dsub) yh(s * pq.dsub + j) = pq.flat(base + j)
+        }
+        y.zip(yh).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / sample.length
+    }
+    val pe = err(parametric); val re = err(refined)
+    assert(re <= pe + 1e-9, s"refined=$re parametric=$pe")
+    info(f"quantization error: parametric=$pe%.4f refined=$re%.4f (${100 * (1 - re / pe)}%.1f%% lower)")
+  }
+
   test("opq rerank recovers exact top-5 with useful recall") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val opq = Opq.train(emb, sampleN = 2048)

@@ -134,4 +134,27 @@ class QuantizeSpec extends AnyFunSuite with SparkSpec {
         exactSims.get(key).foreach(s => assert(r.getDouble(2) === s, s"sim for $key"))
       }
   }
+
+  test("streaming encode-on-ingest produces the batch codes exactly") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val sq = Quantize.train(emb)
+    val batchCodes = Quantize.encode(emb, sq)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toMap
+
+    // same vectors through a real stream (file source, AvailableNow)
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val encoded = Quantize.encodeStream(stream, sq)
+    assert(encoded.isStreaming, "encode must stay a streaming frame")
+    val q = encoded.writeStream.format("memory").queryName("sq8_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamCodes = spark.table("sq8_stream")
+      .collect().map(r => r.getLong(0) -> (r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toMap
+    assert(streamCodes === batchCodes)
+  }
 }
