@@ -20,27 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** One row per distinct document shingle: (doc_id, shingle).
-    * posexplode + lead() instead of a transform() lambda: higher-order
-    * functions run interpreted per element (and would re-inline the token
-    * regexp into every element_at reference), while the window formulation
-    * stays inside whole-stage codegen. One shuffle on doc_id. */
+  /** One row per distinct document shingle: (doc_id, shingle). The
+    * [[graft.functions.ShinglesExpr]] kernel tokenizes, windows, AND
+    * set-dedups per row inside whole-stage codegen — no exchange of its own
+    * (the previous formulation exploded tokens and shuffled them by doc_id
+    * for a window `lead()`, then paid a second `.distinct()` exchange; that
+    * token-table shuffle dominated every dedup query). */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docShinglesRaw(docs, n).distinct()
+    spread(docs).select(
+      col("doc_id"),
+      explode(graft.functions.TextKernels.shingleArray(
+        docs.sparkSession, col("text"), n, distinct = true)).as("shingle"))
 
   /** Shingles WITHOUT set-dedup (positional multiset). Enough for MinHash
     * signatures: min(hash) over a multiset equals min over its set. */
-  def docShinglesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(w))
-    tok
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
-        lead(col("tok"), n - 1).over(w).isNotNull.as("__full"))
-      .where(col("__full"))
-      .select("doc_id", "shingle")
+  def docShinglesRaw(docs: DataFrame, n: Int = 3): DataFrame =
+    spread(docs).select(
+      col("doc_id"),
+      explode(graft.functions.TextKernels.shingleArray(
+        docs.sparkSession, col("text"), n, distinct = false)).as("shingle"))
+
+  /** The shingle kernel does ALL its CPU work (tokenize, n-gram, and the
+    * downstream hash aggregations that fuse into the same codegen stage)
+    * before the first exchange, so its parallelism is pinned to the SCAN's
+    * partition count. A small local parquet file is one row group = one
+    * partition = one core. Spread the (compact — text only, not exploded
+    * tokens) doc rows across the cluster when, and only when, the source
+    * has fewer partitions than cores; a 100 TB input already arrives with
+    * >= parallelism splits and passes through untouched. */
+  private def spread(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }
 
   /** Shingle-set sizes per doc. */
