@@ -48,7 +48,7 @@ object Dedup {
     * tokens) doc rows across the cluster when, and only when, the source
     * has fewer partitions than cores; a 100 TB input already arrives with
     * >= parallelism splits and passes through untouched. */
-  private def spread(docs: DataFrame): DataFrame = {
+  private[ext] def spread(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
   }

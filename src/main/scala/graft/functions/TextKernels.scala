@@ -45,9 +45,61 @@ case class ShinglesExpr(left: Expression, right: Expression, distinct: Boolean)
     copy(left = newLeft, right = newRight)
 }
 
+/** Non-overlapping k-token chunks of the document's token stream — the
+  * "paragraph" unit for chunk-level corpus dedup (this corpus has no line
+  * structure, so fixed-width token windows stand in for paragraphs). The
+  * trailing partial chunk IS included: dropping it would exempt the tail of
+  * every document from dedup. Same zero-exchange codegen shape as
+  * [[ShinglesExpr]]. */
+case class ChunksExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunks"
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    TextKernels.chunks(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) =>
+      s"graft.functions.TextKernels.chunks($t, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
 
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** Non-overlapping k-token chunks (trailing partial included; empty array
+    * for token-less documents). */
+  def chunks(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val m = TokenPattern.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(m.group())
+    val nTok = toks.size
+    if (nTok == 0) return new GenericArrayData(Array.empty[Any])
+    val nChunks = (nTok + k - 1) / k
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < nChunks) {
+      sb.setLength(0)
+      var i = c * k
+      val end = math.min(i + k, nTok)
+      while (i < end) {
+        if (i > c * k) sb.append(' ')
+        sb.append(toks.get(i))
+        i += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** All complete n-gram shingles of `text`'s token stream, positionally
     * ordered; `distinct` keeps first occurrences only. Empty array when the
@@ -86,6 +138,16 @@ object TextKernels {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles_distinct",
       exprs => ShinglesExpr(exprs(0), exprs(1), distinct = true), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_chunks",
+      exprs => ChunksExpr(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Column API: non-overlapping k-token chunk array of `text`. */
+  def chunkArray(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_chunks", text, org.apache.spark.sql.functions.lit(k))
   }
 
   /** Column API: shingle array of `text` (see [[ShinglesExpr]]). */

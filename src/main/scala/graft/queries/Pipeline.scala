@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.ext.PipelineOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene pipeline queries (chunk dedup, boilerplate filtering,
+  * PII redaction, streaming dedup-on-ingest) — SURVEY.md §2.9. Oracle SQL
+  * mirrors the Spark expressions operation-for-operation. */
+object Pipeline {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- chunk-level corpus dedup (paragraph-dedup analog) ----------------
+    // Non-overlapping 16-token chunks, hashed, counted corpus-wide; per-doc
+    // duplicated-chunk fraction. DuckDB rebuilds the chunks with list
+    // slicing (1-based inclusive bounds == the kernel's [c*k, min((c+1)k)).
+    QueryDef(
+      "q_chunk_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        c AS (SELECT doc_id,
+                unnest(list_transform(
+                  range(CAST(ceil(len(toks) / 16.0) AS BIGINT)),
+                  i -> md5(array_to_string(
+                    toks[i*16 + 1 : least((i+1)*16, len(toks))], ' ')))) AS ch
+              FROM t WHERE len(toks) > 0),
+        d AS (SELECT ch, count(DISTINCT doc_id) AS df FROM c GROUP BY ch)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               count(CASE WHEN df > 1 THEN 1 END) AS n_dup_chunks,
+               CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*)
+                 AS dup_ratio
+        FROM c JOIN d USING (ch) GROUP BY doc_id"""),
+      (s, dir) => PipelineOps.chunkDedup(Tables.load(s, dir, "documents"), 16)),
+
+    // ---- boilerplate n-gram detection / filter ----------------------------
+    // Shingles in >= 3 docs are boilerplate; drop docs over 30% boilerplate.
+    QueryDef(
+      "q_boilerplate",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        SELECT doc_id,
+               count(*) AS n_sh,
+               count(CASE WHEN df >= 3 THEN 1 END) AS boiler_sh,
+               CAST(count(CASE WHEN df >= 3 THEN 1 END) AS DOUBLE) / count(*)
+                 AS boiler_ratio,
+               CAST(count(CASE WHEN df >= 3 THEN 1 END) AS DOUBLE) / count(*)
+                 <= 0.3 AS keep
+        FROM sh JOIN d USING (shingle) GROUP BY doc_id"""),
+      (s, dir) => PipelineOps.boilerplate(
+        Tables.load(s, dir, "documents"), minDf = 3, maxRatio = 0.3)),
+
+    // ---- PII redaction (deterministic injected contacts) ------------------
+    QueryDef(
+      "q_redact",
+      Some(s"""
+        WITH i AS (SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+                   FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '${PipelineOps.EmailRe}')) AS n_emails,
+               len(regexp_extract_all(t, '${PipelineOps.PhoneRe}')) AS n_phones,
+               md5(regexp_replace(
+                 regexp_replace(t, '${PipelineOps.EmailRe}', '<EMAIL>', 'g'),
+                 '${PipelineOps.PhoneRe}', '<PHONE>', 'g')) AS red_fp
+        FROM i"""),
+      (s, dir) => PipelineOps.redactDemo(Tables.load(s, dir, "documents"))),
+
+    // ---- streaming dedup-on-ingest ----------------------------------------
+    // Real Structured Streaming query: stateful dropDuplicates on the
+    // normalized-content fingerprint; output = the distinct fingerprint set
+    // (keys only, so the result is independent of arrival order).
+    QueryDef(
+      "q_stream_dedup",
+      Some("""
+        SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val deduped = stream
+          .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
+          .dropDuplicates("fp")
+        graft.streaming.StreamingOps.runToParquet(deduped, "stream_dedup")
+      })
+  )
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ext.PipelineOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("chunk kernel == HOF slice formulation on all sf0.001 documents") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val k = 16
+    val toks = graft.ext.TextOps.tokens(col("text"))
+    val hof = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(toks) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * k + 1, lit(k)), " "))).as(Seq("pos", "chunk")))
+      .where(size(toks) > 0)
+    val kernel = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextKernels.chunkArray(
+        spark, col("text"), k)).as(Seq("pos", "chunk")))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
+  test("chunkDedup: exact duplicate docs have dup_ratio 1; unique docs 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // full dups (k=4)
+      (3L, "p q r s t u v w")                            // unique
+    ).toDF("doc_id", "text")
+    val rows = PipelineOps.chunkDedup(docs, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(1L) == ((2L, 2L, 1.0)))
+    assert(rows(2L) == ((2L, 2L, 1.0)))
+    assert(rows(3L) == ((2L, 0L, 0.0)))
+  }
+
+  test("boilerplate: shared shingle counted, keep respects threshold") {
+    import spark.implicits._
+    // "x y z" appears in all three docs -> df=3 >= minDf
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "x y z g h i")).toDF("doc_id", "text")
+    // each doc: 4 distinct shingles, exactly one ("x y z") boilerplate
+    val at = PipelineOps.boilerplate(docs, minDf = 3, maxRatio = 0.25)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    at.foreach { case (n, b, keep) =>
+      assert(n == 4L && b == 1L && keep) // ratio 0.25 <= 0.25 (inclusive)
+    }
+    val below = PipelineOps.boilerplate(docs, minDf = 3, maxRatio = 0.2)
+      .collect().map(_.getBoolean(4))
+    assert(below.forall(!_)) // 0.25 > 0.2 -> dropped
+    val highDf = PipelineOps.boilerplate(docs, minDf = 4, maxRatio = 0.2)
+      .collect().map(r => (r.getLong(2), r.getBoolean(4)))
+    assert(highDf.forall { case (b, keep) => b == 0L && keep }) // df 3 < 4
+  }
+
+  test("redact masks emails and phones, counts them") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val row = PipelineOps.redactDemo(docs).collect().head
+    assert(row.getLong(1) === 1L && row.getLong(2) === 1L)
+    // fp equals md5 of the fully redacted injected string
+    val expected = docs.select(md5(lit(
+      "hello world contact <EMAIL> or <PHONE>")).as("m"))
+      .collect().head.getString(0)
+    assert(row.getString(3) === expected)
+  }
+
+  test("streaming dedup-on-ingest == batch distinct fingerprints") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.prepare(spark)
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val deduped = stream
+      .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+    val got = graft.streaming.StreamingOps.runToParquet(deduped, "spec_dedup")
+    val want = Tables.load(spark, dir, "documents")
+      .select(graft.ext.TextOps.fingerprint(col("text")).as("fp")).distinct()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
