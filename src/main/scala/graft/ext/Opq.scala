@@ -195,8 +195,13 @@ object Opq {
     * result never regresses below the parametric initialization. */
   def trainRefined(
       emb: DataFrame, m: Int = 8, k: Int = 16, sampleN: Int = 2048,
-      iters: Int = 5): OPQ = {
-    val sample = collectSample(emb, sampleN)
+      iters: Int = 5): OPQ =
+    trainRefinedFromSample(collectSample(emb, sampleN), m, k, iters)
+
+  /** As [[trainRefined]] but from an explicit sample — lets [[IvfOpq]]
+    * train the rotation on coarse-quantizer RESIDUALS. */
+  private[ext] def trainRefinedFromSample(
+      sample: Array[Array[Double]], m: Int, k: Int, iters: Int): OPQ = {
     val dim = sample.head.length
     var cur = trainFromSample(sample, m, k)
     var best = cur

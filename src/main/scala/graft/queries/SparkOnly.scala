@@ -154,6 +154,21 @@ object SparkOnly {
         graft.ext.IvfPq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
       }),
 
+    // IVF x OPQ-rotated residual PQ: the full IVFADC+OPQ stack — the
+    // rotation is trained (alternating refinement) on RESIDUALS, where the
+    // variance actually is after the coarse quantizer absorbs the cell
+    // component. ADC rotates only the probe ((Rq).y_hat identity), so
+    // per-corpus-row cost equals plain IVFADC. Rows-only; reconstruction
+    // improvement + recall pinned in IvfOpqSpec.
+    QueryDef(
+      "q_ivfopq_rerank",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val model = graft.ext.IvfOpq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
+        graft.ext.IvfOpq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+      }),
+
     // Inverted multi-index (IMI): per-half codebooks give k^2 effective
     // cells from 2k driver-trainable centroids — the continuation past
     // flat IVF's sqrt(n) cell cap (16M cells from k=4096 per half at
