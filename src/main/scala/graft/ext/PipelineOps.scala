@@ -60,6 +60,60 @@ object PipelineOps {
         (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
   }
 
+  /** Directed shingle-containment pairs: |S_a ∩ S_b| / |S_a| >= threshold
+    * flags doc_a as (near-)contained in doc_b — quotation / verbatim-
+    * inclusion / partial-duplicate detection, which symmetric Jaccard
+    * misses when the containing doc is much longer. Same single-shuffle
+    * shingle self-join shape as [[Dedup.jaccardNearDup]] (the exact
+    * baseline; at web scale the candidate set comes from LSH instead,
+    * exactly as near-dup does). Output: (doc_a, doc_b, containment). */
+  def containmentPairs(
+      docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val out = inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / col("na")).as("containment"))
+      .where(col("containment") >= threshold)
+    val pairs = Lineage.cut(out)
+    sh.unpersist()
+    pairs
+  }
+
+  /** Eval-set decontamination: flag training documents sharing too much
+    * n-gram material with a held-out benchmark/eval set. `evalFilter`
+    * selects the eval docs; every other doc is scored by the fraction of
+    * its distinct shingles that appear ANYWHERE in the eval set.
+    *
+    * Scale shape: eval sets are tiny relative to a 100 TB corpus, so the
+    * distinct eval-shingle set BROADCASTS and scoring is one map-side
+    * left-semi-style join + per-doc aggregate — the corpus never
+    * self-joins. Output: (doc_id, n_sh, shared_sh, contam_frac,
+    * contaminated). */
+  def decontaminate(
+      docs: DataFrame, evalFilter: org.apache.spark.sql.Column,
+      maxFrac: Double = 0.3, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(docs, n)
+    val evalSh = sh.where(evalFilter).select("shingle").distinct()
+    sh.where(!evalFilter)
+      .join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        count(col("__hit")).as("shared_sh"))
+      .select(
+        col("doc_id"), col("n_sh"), col("shared_sh"),
+        (col("shared_sh").cast("double") / col("n_sh")).as("contam_frac"),
+        (col("shared_sh").cast("double") / col("n_sh") >= maxFrac).as("contaminated"))
+  }
+
   /** Email + NANP-style phone regexes, in Spark and DuckDB spellings (the
     * dialects agree on this subset; DuckDB just needs the 'g' flag to
     * replace globally, which Spark does by default). */

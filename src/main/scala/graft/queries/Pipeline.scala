@@ -63,6 +63,60 @@ object Pipeline {
       (s, dir) => PipelineOps.boilerplate(
         Tables.load(s, dir, "documents"), minDf = 3, maxRatio = 0.3)),
 
+    // ---- directed containment (quotation / partial-dup detection) ---------
+    QueryDef(
+      "q_containment",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / sa.n_sh AS containment
+        FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        WHERE CAST(i.c AS DOUBLE) / sa.n_sh >= 0.8"""),
+      (s, dir) => PipelineOps.containmentPairs(
+        Tables.load(s, dir, "documents"), 0.8)),
+
+    // ---- eval-set decontamination -----------------------------------------
+    // Eval set = doc_id < 25; training docs are scored by the fraction of
+    // their distinct shingles appearing anywhere in the eval set.
+    QueryDef(
+      "q_decontaminate",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+        SELECT s.doc_id,
+               count(*) AS n_sh,
+               count(e.shingle) AS shared_sh,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) >= 0.3
+                 AS contaminated
+        FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+        WHERE s.doc_id >= 25 GROUP BY s.doc_id"""),
+      (s, dir) => PipelineOps.decontaminate(
+        Tables.load(s, dir, "documents"), col("doc_id") < 25, maxFrac = 0.3)),
+
     // ---- PII redaction (deterministic injected contacts) ------------------
     QueryDef(
       "q_redact",

@@ -69,6 +69,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getString(3) === expected)
   }
 
+  test("containment: substring doc contained in superset doc, not vice versa") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),                      // shingles: abc bcd cde
+      (2L, "a b c d e f g h i j k l m n o"),  // superset of doc 1's
+      (3L, "z y x w v u t")                   // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = PipelineOps.containmentPairs(docs, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0))) // 1 fully inside 2; NOT 2 in 1
+    val loose = PipelineOps.containmentPairs(docs, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 2L), (2L, 1L))) // 2's containment in 1 = 3/13
+  }
+
+  test("decontaminate: eval overlap scored, eval docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u"),          // EVAL
+      (2L, "q w e r t y u i o p"),    // train, shares 5 of 8 shingles
+      (3L, "m n b v c x z")           // train, disjoint
+    ).toDF("doc_id", "text")
+    val rows = PipelineOps.decontaminate(docs, col("doc_id") === 1, maxFrac = 0.5)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(!rows.contains(1L))
+    assert(rows(2L) == ((8L, 5L, true)))  // 5/8 = 0.625 >= 0.5
+    assert(rows(3L) == ((5L, 0L, false)))
+  }
+
   test("streaming dedup-on-ingest == batch distinct fingerprints") {
     val dir = "/root/testdata/sf0.001"
     Tables.prepare(spark)
