@@ -195,4 +195,36 @@ final case class Graft(spark: SparkSession, nativeAsOf: Boolean = true) {
       emb, kCells = graft.ext.IvfKMeans.scaledK(emb.count()))
     graft.ext.IvfPq.search(emb, model, probeFilter, nprobe, k, rerank)
   }
+
+  /** As [[approxNearestNeighbors]] with an OPQ rotation learned on the
+    * cell residuals (alternating refinement): same per-row search cost,
+    * tighter codes — the quality-first big-corpus ANN. */
+  def approxNearestNeighborsOpq(
+      emb: DataFrame, probeFilter: Column, k: Int,
+      nprobe: Int = 4, rerank: Int = 30): DataFrame = {
+    val model = graft.ext.IvfOpq.train(
+      emb, kCells = graft.ext.IvfKMeans.scaledK(emb.count()))
+    graft.ext.IvfOpq.search(emb, model, probeFilter, nprobe, k, rerank)
+  }
+
+  /** Per-document duplicated-chunk fraction (paragraph-level corpus dedup
+    * over fixed k-token chunks). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 16): DataFrame =
+    graft.ext.PipelineOps.chunkDedup(docs, chunkTokens)
+
+  /** Boilerplate n-gram filter: per-doc boilerplate ratio + keep flag. */
+  def boilerplateFilter(
+      docs: DataFrame, minDf: Long = 3, maxRatio: Double = 0.3): DataFrame =
+    graft.ext.PipelineOps.boilerplate(docs, minDf, maxRatio)
+
+  /** Directed containment pairs (|Sa n Sb| / |Sa| >= threshold):
+    * quotation / partial-duplicate detection. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
+    graft.ext.PipelineOps.containmentPairs(docs, threshold)
+
+  /** Flag training docs whose shingle overlap with the eval set (selected
+    * by `evalFilter`) exceeds `maxFrac`. */
+  def decontaminate(
+      docs: DataFrame, evalFilter: Column, maxFrac: Double = 0.3): DataFrame =
+    graft.ext.PipelineOps.decontaminate(docs, evalFilter, maxFrac)
 }

@@ -99,6 +99,19 @@ object Demo {
     println(s"[demo] dup clusters: keep=${clusters.where(col("keep")).count()}" +
       s" of ${clusters.count()} docs")
 
+    // Round-6 corpus-hygiene surface: chunk dedup, boilerplate filter,
+    // containment, decontamination, OPQ-rotated ANN.
+    println(s"[demo] chunk-dup docs=" +
+      s"${g2.chunkDedup(docs).where(col("n_dup_chunks") > 0).count()}")
+    println(s"[demo] boilerplate keep=" +
+      s"${g2.boilerplateFilter(docs).where(col("keep")).count()}")
+    println(s"[demo] containment pairs=" +
+      s"${g2.containmentPairs(docs, 0.8).count()}")
+    println(s"[demo] decontaminate flagged=" +
+      s"${g2.decontaminate(docs, col("doc_id") < 25).where(col("contaminated")).count()}")
+    println(s"[demo] ivf-opq ann rows=" +
+      s"${g2.approxNearestNeighborsOpq(emb, col("vec_id") < 3, k = 3).count()}")
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
