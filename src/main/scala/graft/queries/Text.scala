@@ -67,7 +67,9 @@ object Text {
       "q_minhash_lsh",
       Some(s"""
         WITH $shinglesCte,
-        sig AS (SELECT doc_id, i, min(md5(shingle || '#' || i)) AS sig
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
                 FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
         band AS (SELECT doc_id, i // 3 AS band,
                    md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||

@@ -31,12 +31,15 @@ object StreamingNearDup {
 
   /** Row-level banding: doc -> (bucket key, shingle set) rows, one per band.
     * Matches the batch operator: tokens `[a-z0-9]+`, 3-gram shingles,
-    * sig_i = min md5(shingle || '#' || i), bucket = band || md5(sigs). */
+    * sig_i = min of 64-bit hex lane (i%2) of md5(shingle || '#' || i/2)
+    * (the batch family — 9 signatures from 5 digests),
+    * bucket = band || md5(sigs). */
   def banded(docs: DataFrame, bands: Int = 3, rowsPerBand: Int = 3): DataFrame = {
     val toks = graft.ext.TextOps.tokens(col("text"))
     val shingleArr = graft.ext.TextOps.shingles(col("__toks"))
     val sigCols = (0 until bands * rowsPerBand).map(i =>
-      array_min(transform(col("__sh"), x => md5(concat(x, lit("#"), lit(i.toString)))))
+      array_min(transform(col("__sh"), x =>
+        substring(md5(concat(x, lit("#"), lit((i / 2).toString))), 1 + 16 * (i % 2), 16)))
         .as(s"__sig_$i"))
     val bandCols = (0 until bands).map { b =>
       struct(
