@@ -114,6 +114,32 @@ object PipelineOps {
         (col("shared_sh").cast("double") / col("n_sh") >= maxFrac).as("contaminated"))
   }
 
+  /** Deterministic stratified sample: exactly `perGroup` docs per value of
+    * `groupCol` (fewer only if the group is smaller), chosen by md5(text)
+    * order so the choice is stable across runs and engines.
+    *
+    * Scale shape (the naive rank-all-rows window sorts EVERY group member):
+    * phase 1 prefilters each group by a 16-bit hash prefix bound sized at
+    * ~4x the needed rate from the (broadcast, one-row-per-group) counts, so
+    * phase 2's per-group window ranks only ~4*perGroup survivors. The
+    * oracle applies the identical integer bound, so even the (vanishingly
+    * rare) under-sampled-group case matches exactly.
+    * Output: (doc_id, <groupCol>, rn). */
+  def stratifiedSample(
+      docs: DataFrame, groupCol: String, perGroup: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("cnt"))
+    val bound = least(
+      lit(65535),
+      ceil(lit(65536.0 * 4 * perGroup) / col("cnt")).cast("int"))
+    docs.join(broadcast(counts), groupCol)
+      .where(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < bound)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(md5(col("text")), col("doc_id"))))
+      .where(col("rn") <= perGroup)
+      .select(col("doc_id"), col(groupCol), col("rn"))
+  }
+
   /** Email + NANP-style phone regexes, in Spark and DuckDB spellings (the
     * dialects agree on this subset; DuckDB just needs the 'g' flag to
     * replace globally, which Spark does by default). */

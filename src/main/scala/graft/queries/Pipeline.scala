@@ -135,6 +135,26 @@ object Pipeline {
         FROM i"""),
       (s, dir) => PipelineOps.redactDemo(Tables.load(s, dir, "documents"))),
 
+    // ---- stratified sampling (exactly N per group) ------------------------
+    // Two-phase: 16-bit hash-prefix prefilter sized from group counts
+    // (~4x oversample), then rank only the survivors. The oracle applies
+    // the identical integer bound, so the result is engine-exact.
+    QueryDef(
+      "q_stratified_sample",
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        b AS (SELECT lang, least(65535, CAST(ceil(2621440.0 / cnt) AS INT)) AS bound
+              FROM c),
+        f AS (SELECT d.doc_id, d.lang, md5(d.text) AS m
+              FROM documents d JOIN b USING (lang)
+              WHERE ('0x' || substr(md5(d.text), 1, 4))::INT < b.bound),
+        r AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rn
+              FROM f)
+        SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10"""),
+      (s, dir) => PipelineOps.stratifiedSample(
+        Tables.load(s, dir, "documents"), "lang", 10)),
+
     // ---- streaming dedup-on-ingest ----------------------------------------
     // Real Structured Streaming query: stateful dropDuplicates on the
     // normalized-content fingerprint; output = the distinct fingerprint set

@@ -99,6 +99,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(3L) == ((5L, 0L, false)))
   }
 
+  test("stratifiedSample: exact N per group, deterministic, small groups kept whole") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val s1 = PipelineOps.stratifiedSample(docs, "lang", 5).collect()
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byLang.values.forall(_ <= 5) && byLang.values.exists(_ == 5))
+    // deterministic across invocations
+    val s2 = PipelineOps.stratifiedSample(docs, "lang", 5).collect()
+    assert(s1.map(_.getLong(0)).sorted.toSeq == s2.map(_.getLong(0)).sorted.toSeq)
+    // a group smaller than N survives whole (prefilter bound railed at max)
+    import spark.implicits._
+    val tiny = Seq((1L, "aa bb", "xx"), (2L, "cc dd", "xx"))
+      .toDF("doc_id", "text", "lang")
+    assert(PipelineOps.stratifiedSample(tiny, "lang", 5).count() === 2)
+  }
+
   test("streaming dedup-on-ingest == batch distinct fingerprints") {
     val dir = "/root/testdata/sf0.001"
     Tables.prepare(spark)
