@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVFADC index as cell-partitioned parquet — the at-rest layout
+  * a 100 TB ANN deployment actually uses: encode ONCE, then every search
+  * touches only its probed cells.
+  *
+  *  - `build` writes [[IvfPq.encode]]'s (vec_id, codes, dqnrm) rows
+  *    `partitionBy("cell")` plus a one-row-per-cell/subspace model sidecar
+  *    (centroids + PQ codebooks as parquet — no JSON, no driver pickle).
+  *  - `search` turns the probe set's nprobe cells into a
+  *    `cell IN (...)` predicate: Spark's partition pruning skips every
+  *    unprobed cell DIRECTORY at file-listing time, so scan cost is
+  *    O(probed cells), not O(corpus). The probed-cell set is bounded
+  *    (|probes| x nprobe small ints) and collected driver-side exactly like
+  *    quantizer training samples.
+  *  - re-encoding is gone from the query path; the exact re-rank reads
+  *    original vectors for the few survivors only.
+  *
+  * The index is immutable-at-path (parquet overwrite semantics); append of
+  * new vectors = encode the delta with [[load]]'s model and append into the
+  * same partition layout. */
+object IvfIndex {
+
+  private def spark = SparkSession.active
+
+  /** Encode the corpus with `model` and write the cell-partitioned index +
+    * model sidecars under `path`. */
+  def build(emb: DataFrame, model: IvfPq.Model, path: String): Unit = {
+    // cluster rows by cell BEFORE the partitioned write: otherwise every
+    // write task emits a sliver file into every cell directory
+    // (tasks x cells tiny files); hash-partitioned on cell each directory
+    // gets one file per owning task
+    IvfPq.encode(emb, model)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val sp = spark
+    import sp.implicits._
+    val dim = model.centroids.head.length
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val pq = model.pq
+    Seq((pq.m, pq.k, pq.dsub, dim, pq.flat.toSeq, pq.normSq.toSeq))
+      .toDF("m", "k", "dsub", "dim", "flat", "norm_sq")
+      .write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** Rehydrate the quantizer model from the sidecars. */
+  def load(path: String): IvfPq.Model = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val p = spark.read.parquet(s"$path/pq").collect().head
+    val pq = ProductQuantize.PQ(
+      m = p.getInt(0), k = p.getInt(1), dsub = p.getInt(2),
+      flat = p.getSeq[Double](4).toArray, normSq = p.getSeq[Double](5).toArray)
+    IvfPq.Model(cents, cents.flatten, pq)
+  }
+
+  /** Top-k cosine neighbors of `probes` (vec_id, embedding rows) against
+    * the saved index: probed cells -> partition-pruned code scan -> ADC ->
+    * exact re-rank against `emb` (original vectors, survivors only).
+    * Results are identical to [[IvfPq.search]] with the same model. */
+  def search(
+      emb: DataFrame, path: String, probeFilter: Column,
+      nprobe: Int, k: Int, rerank: Int): DataFrame = {
+    val model = load(path)
+    val pq = model.pq
+    val cb = typedlit(pq.flat.toSeq)
+    val V = graft.functions.VectorExpressions
+    val dim = model.centroids.head.length
+    val p = Similarity.prepared(emb)
+    val probes = Lineage.cut(p.where(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        V.ivfCells(spark, col("v"), typedlit(model.flat.toSeq),
+          model.centroids.length, math.min(nprobe, model.centroids.length)).as("cells"))
+      .select(col("qid"), col("qv"), col("qnrm"), explode(col("cells")).as("cell")))
+    // bounded driver collect (|probes| x nprobe ints) -> IN-list predicate
+    // the parquet source prunes whole cell directories with
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val cellVec = slice(typedlit(model.flat.toSeq), col("cell") * dim + 1, lit(dim))
+    val approx = codes.join(probes, Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("qnrm"),
+        ((Similarity.dot(col("qv"), cellVec)
+          + V.pqDot(spark, col("qv"), col("codes"), cb, pq.k, pq.dsub))
+          / (col("qnrm") * col("dqnrm"))).as("acos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("cid"))))
+      .where(col("rn") <= rerank)
+    approx
+      .join(p.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")), "cid")
+      .select(col("qid"), col("cid"),
+        (Similarity.dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("sim"))
+  }
+}

@@ -169,6 +169,23 @@ object SparkOnly {
         graft.ext.IvfOpq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
       }),
 
+    // Persisted ANN index: IVFADC codes written ONCE as cell-partitioned
+    // parquet; the search turns probed cells into a partition-pruning
+    // IN-predicate so the scan touches only probed cell directories — the
+    // at-rest layout a 100 TB deployment uses (encode once, not per
+    // query). Search-from-index == in-memory search (IvfIndexSpec), so
+    // rows-only here like the other learned-quantizer queries.
+    QueryDef(
+      "q_ivf_index",
+      None,
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val model = graft.ext.IvfPq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
+        val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_ivf_index"
+        graft.ext.IvfIndex.build(emb, model, path)
+        graft.ext.IvfIndex.search(emb, path, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+      }),
+
     // Inverted multi-index (IMI): per-half codebooks give k^2 effective
     // cells from 2k driver-trainable centroids — the continuation past
     // flat IVF's sqrt(n) cell cap (16M cells from k=4096 per half at

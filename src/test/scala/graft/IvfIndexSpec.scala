@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.{IvfIndex, IvfKMeans, IvfPq}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted cell-partitioned ANN index: model round-trips through the
+  * sidecars, search-from-index returns exactly what in-memory search
+  * returns, and the code scan reads ONLY the probed cell partitions. */
+class IvfIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("index search == in-memory search; model round-trips; scan is pruned") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val model = IvfPq.train(emb, kCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfindex").toString
+    try {
+      IvfIndex.build(emb, model, path)
+
+      // model sidecar round-trip is exact
+      val loaded = IvfIndex.load(path)
+      assert(loaded.centroids.length === model.centroids.length)
+      assert(loaded.flat.toSeq === model.flat.toSeq)
+      assert(loaded.pq === model.pq.copy(
+        flat = loaded.pq.flat, normSq = loaded.pq.normSq))
+      assert(loaded.pq.flat.toSeq === model.pq.flat.toSeq)
+      assert(loaded.pq.normSq.toSeq === model.pq.normSq.toSeq)
+
+      // identical results to the in-memory path with the same model
+      val fromIndex = IvfIndex.search(
+        emb, path, col("vec_id") < 10, nprobe = 3, k = 5, rerank = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val inMemory = IvfPq.search(
+        emb, model, col("vec_id") < 10, nprobe = 3, k = 5, rerank = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(fromIndex.toSeq === inMemory.toSeq)
+      assert(fromIndex.nonEmpty)
+
+      // partition pruning: a single-cell predicate reads strictly fewer
+      // files than the full index holds
+      val all = spark.read.parquet(s"$path/codes")
+      def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        val scans: Seq[Long] =
+          df.queryExecution.executedPlan.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }
+        scans.sum
+      }
+      val total = scannedFiles(all)
+      val one = scannedFiles(all.where(col("cell") === 0))
+      assert(one < total, s"pruned scan $one must read fewer files than $total")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+}
