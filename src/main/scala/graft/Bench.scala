@@ -45,6 +45,14 @@ object Bench {
       val e64 = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
       val v = col("embedding").cast("array<double>")
       e64.select(graft.ext.Similarity.dot(v, v)).count()
+      // array-kernel codegen (sort_array/array_intersect/transform) used by
+      // the prefix-containment verifier — ~3 s of JIT cold
+      d64.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("s"))
+        .select(size(array_intersect(
+          expr("transform(s, x -> x.text)"),
+          expr("transform(slice(s, 1, 1), x -> x.text)"))))
+        .count()
       // streaming machinery (file stream source, microbatch planner,
       // streaming-agg state store, foreachBatch) JITs on first use —
       // ~3 s that otherwise lands on the alphabetically-first q_stream_*

@@ -218,9 +218,12 @@ final case class Graft(spark: SparkSession, nativeAsOf: Boolean = true) {
     graft.ext.PipelineOps.boilerplate(docs, minDf, maxRatio)
 
   /** Directed containment pairs (|Sa n Sb| / |Sa| >= threshold):
-    * quotation / partial-duplicate detection. */
-  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame =
-    graft.ext.PipelineOps.containmentPairs(docs, threshold)
+    * quotation / partial-duplicate detection. Default is the lossless
+    * prefix-filtered candidate path (no corpus self-join); `exact = true`
+    * selects the all-pairs baseline — identical rows either way. */
+  def containmentPairs(
+      docs: DataFrame, threshold: Double, exact: Boolean = false): DataFrame =
+    graft.ext.PipelineOps.containmentPairs(docs, threshold, exact = exact)
 
   /** Flag training docs whose shingle overlap with the eval set (selected
     * by `evalFilter`) exceeds `maxFrac`. */

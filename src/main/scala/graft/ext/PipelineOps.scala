@@ -63,11 +63,24 @@ object PipelineOps {
   /** Directed shingle-containment pairs: |S_a ∩ S_b| / |S_a| >= threshold
     * flags doc_a as (near-)contained in doc_b — quotation / verbatim-
     * inclusion / partial-duplicate detection, which symmetric Jaccard
-    * misses when the containing doc is much longer. Same single-shuffle
-    * shingle self-join shape as [[Dedup.jaccardNearDup]] (the exact
-    * baseline; at web scale the candidate set comes from LSH instead,
-    * exactly as near-dup does). Output: (doc_a, doc_b, containment). */
+    * misses when the containing doc is much longer.
+    *
+    * Default path is the PREFIX-FILTERED candidate join (recall 1, see
+    * [[containmentPairsPrefix]]); `exact = true` routes through the
+    * all-pairs shingle self-join baseline ([[containmentPairsExact]]),
+    * whose candidate volume is Σ over shingles of freq² — fine on bounded
+    * shingle frequency, a scale-killer with hot shingles. Both return
+    * identical rows (the prefix filter is lossless, not approximate).
+    * Output: (doc_a, doc_b, containment). */
   def containmentPairs(
+      docs: DataFrame, threshold: Double, n: Int = 3,
+      exact: Boolean = false): DataFrame =
+    if (exact) containmentPairsExact(docs, threshold, n)
+    else containmentPairsPrefix(docs, threshold, n)
+
+  /** All-pairs exact baseline for [[containmentPairs]] — the direct
+    * shingle self-join, same shape as [[Dedup.jaccardNearDup]]. */
+  def containmentPairsExact(
       docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
     val sh = Dedup.docShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -84,6 +97,74 @@ object PipelineOps {
       .where(col("containment") >= threshold)
     val pairs = Lineage.cut(out)
     sh.unpersist()
+    pairs
+  }
+
+  /** Prefix-filtered containment — the 100 TB path. Containment is
+    * DIRECTED, so symmetric MinHash banding under-recalls when
+    * |S_b| ≫ |S_a|; the lossless alternative is the AllPairs/PPJoin-style
+    * prefix filter adapted to the containment bound: if
+    * |S_a ∩ S_b| / |S_a| >= t then at most ⌊(1-t)·|S_a|⌋ of a's shingles
+    * are missing from S_b, so in ANY fixed global shingle order at least
+    * one of a's first ⌈(1-t)·|S_a|⌉ + 1 shingles must appear in S_b
+    * (pigeonhole; the ceil absorbs fp jitter on the bound). Ordering
+    * rarest-first (global document frequency asc, shingle asc as the
+    * tiebreak) makes those prefix shingles the LEAST shared ones, so the
+    * candidate join fans out minimally — hot boilerplate shingles never
+    * enter a prefix unless a doc is almost entirely boilerplate.
+    *
+    * Plan shape: df-count (1 shuffle on shingle), per-doc rank window
+    * (1 shuffle on doc_id; per-doc sort only), prefix ⋈ inverted index on
+    * shingle (1 shuffle; prefix side is ~(1-t) of the corpus), then exact
+    * directed verification ONLY on candidates via the broadcast-pairs
+    * pattern of [[Dedup.jaccardFor]]. No corpus self-join anywhere.
+    * Identical output to [[containmentPairsExact]] — verification is
+    * exact and the filter has recall 1 by construction. */
+  def containmentPairsPrefix(
+      docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // ONE doc_id aggregation produces everything per-doc: the full (still
+    // distinct) shingle set sorted rarest-first, its size, and the prefix
+    // as a slice — no window (a window would re-sort the same rows after
+    // an identical shuffle), no second pass
+    val sorted = sort_array(collect_list(struct(col("df"), col("shingle"))))
+    val sets = sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(sorted.as("sorted"), count(lit(1)).as("n_sh"))
+      .select(
+        col("doc_id"),
+        expr("transform(sorted, s -> s.shingle)").as("set"),
+        col("n_sh"),
+        expr("transform(slice(sorted, 1, " +
+          s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1), " +
+          "s -> s.shingle)").as("prefix"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation: prefix shingles against the full inverted
+    // index (recall 1 by the pigeonhole bound); candidate volume is
+    // Σ over PREFIX shingles of df — hot shingles never enter a prefix
+    val cand = sets
+      .select(col("doc_id").as("doc_a"), explode(col("prefix")).as("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact directed verification on candidates only, via per-doc set
+    // arrays: each candidate row carries two compact arrays and one
+    // array_intersect — candidates are never re-exploded per shingle
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+        col("n_sh").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          col("na")).as("containment"))
+      .where(col("containment") >= threshold)
+    val pairs = Lineage.cut(out)
+    sh.unpersist()
+    sets.unpersist()
     pairs
   }
 

@@ -64,6 +64,10 @@ object Pipeline {
         Tables.load(s, dir, "documents"), minDf = 3, maxRatio = 0.3)),
 
     // ---- directed containment (quotation / partial-dup detection) ---------
+    // Default engine path: prefix-filtered candidates (rarest-first global
+    // shingle order, recall-1 by the pigeonhole bound) + exact directed
+    // verification — so the oracle is the plain exact SQL: the filter is
+    // lossless, not approximate.
     QueryDef(
       "q_containment",
       Some("""
@@ -88,6 +92,34 @@ object Pipeline {
         WHERE CAST(i.c AS DOUBLE) / sa.n_sh >= 0.8"""),
       (s, dir) => PipelineOps.containmentPairs(
         Tables.load(s, dir, "documents"), 0.8)),
+
+    // ---- directed containment, all-pairs exact baseline -------------------
+    // Same oracle SQL as q_containment: the prefix path above must return
+    // exactly these rows (losslessness pinned in the gate, not just specs).
+    QueryDef(
+      "q_containment_exact",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / sa.n_sh AS containment
+        FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        WHERE CAST(i.c AS DOUBLE) / sa.n_sh >= 0.8"""),
+      (s, dir) => PipelineOps.containmentPairs(
+        Tables.load(s, dir, "documents"), 0.8, exact = true)),
 
     // ---- eval-set decontamination -----------------------------------------
     // Eval set = doc_id < 25; training docs are scored by the fraction of

@@ -84,6 +84,16 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(loose == Set((1L, 2L), (2L, 1L))) // 2's containment in 1 = 3/13
   }
 
+  test("containment: prefix-filtered path == exact all-pairs on sf0.001") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (t <- Seq(0.8, 0.5, 0.3)) {
+      val fast = PipelineOps.containmentPairsPrefix(docs, t)
+      val slow = PipelineOps.containmentPairsExact(docs, t)
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"prefix vs exact diverged at threshold $t")
+    }
+  }
+
   test("decontaminate: eval overlap scored, eval docs excluded") {
     import spark.implicits._
     val docs = Seq(
