@@ -50,6 +50,17 @@ object IvfIndex {
       .write.mode("overwrite").parquet(s"$path/pq")
   }
 
+  /** Append new vectors into an existing index: encode the delta with the
+    * SAVED model (centroids and codebooks are immutable once built — the
+    * standard IVF contract; retraining is a rebuild) and append the code
+    * rows into the same cell-partitioned layout. Each delta batch adds at
+    * most one file per touched cell directory, and searches see the new
+    * rows on their next file listing with no other coordination. */
+  def append(delta: DataFrame, path: String): Unit =
+    IvfPq.encode(delta, load(path))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+
   /** Rehydrate the quantizer model from the sidecars. */
   def load(path: String): IvfPq.Model = {
     val cents = spark.read.parquet(s"$path/centroids")

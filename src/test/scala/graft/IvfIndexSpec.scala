@@ -56,4 +56,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     }
   }
+
+  test("append: build half, append rest == fresh build of union, same model") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+    val model = IvfPq.train(half, kCells = 8)
+    val grown = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val fresh = java.nio.file.Files.createTempDirectory("ivffresh").toString
+    try {
+      IvfIndex.build(half, model, grown)
+      IvfIndex.append(rest, grown)
+      // the appended index must be indistinguishable from one built in a
+      // single pass over the union with the same (half-trained) model —
+      // append encodes with load()'s model, never retrains
+      IvfIndex.build(emb, model, fresh)
+      def top(path: String) = IvfIndex.search(
+        emb, path, col("vec_id") < 10, nprobe = 3, k = 5, rerank = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val g = top(grown)
+      assert(g.toSeq === top(fresh).toSeq)
+      assert(g.nonEmpty)
+      // appended rows are really in the searchable code table
+      assert(spark.read.parquet(s"$grown/codes").count() === emb.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(grown))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
+    }
+  }
 }
