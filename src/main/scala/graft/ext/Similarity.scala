@@ -51,6 +51,48 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("sim"))
   }
 
+  /** Self-validating recall gate for exact-reranked ANN queries: one row
+    * per probe carrying the EXACT top-k ranking (comma-joined cid list in
+    * rank order — reproducible by any engine, so the DuckDB oracle checks
+    * the engine's exact kernel for real) and a boolean pinning AGGREGATE
+    * ANN recall@k >= `floor` across all probes (the oracle side asserts
+    * `true`; a quantizer/search regression that collapses recall flips the
+    * boolean and fails the hash check). Aggregate, not per-probe: on
+    * unstructured (synthetic-random) embeddings individual probes
+    * legitimately hit 0 of k while the mean stays far above any broken
+    * pipeline (~0). ANN results stay distributed; only two one-row
+    * aggregates cross to the output rows. */
+  def recallGate(
+      emb: DataFrame, ann: DataFrame, probeFilter: Column, k: Int,
+      floor: Double): DataFrame = {
+    val p = prepared(emb)
+    val q = p.where(probeFilter)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val c = p.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val exact = c.crossJoin(broadcast(q))
+      .where(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qnrm") * col("cnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .where(col("rn") <= k)
+      .select("qid", "cid", "rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = exact
+      .join(ann.select(col("qid"), col("cid"), lit(1).as("__hit")),
+        Seq("qid", "cid"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+    val out = exact.groupBy("qid")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(rn, cid))), " +
+        "s -> cast(s.cid as string)), ',')").as("exact_topk"))
+      .crossJoin(broadcast(agg))
+      .select(col("qid"), col("exact_topk"),
+        (col("hits") >= lit(floor) * col("n")).as("recall_ok"))
+    val cut = Lineage.cut(out)
+    exact.unpersist()
+    cut
+  }
+
   /** Multi-probe IVF top-k over learned cells: the corpus side keeps one
     * row per vector (its own nearest cell — one shuffle on `cell`); the
     * probe side explodes to `nprobe` rows (its nprobe nearest cells), so

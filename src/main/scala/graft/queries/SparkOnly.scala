@@ -4,15 +4,53 @@ import graft.ext.{Dedup, IvfKMeans, Multimodal, ProductQuantize, Quantize, Simil
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
-/** Operators that are (mostly) Spark-native with weak or no ANSI-SQL
-  * oracle: Lloyd's-trained quantizers (q_ivf_kmeans / q_ivf_multiprobe /
-  * q_pq_rerank — centroids come from iterative training, which static
-  * oracle SQL cannot reproduce) and the xxhash64 SimHash scale variant
-  * (the md5-portable variant is oracle-checked as q_simhash in [[Text]]).
-  * q_sq8_rerank IS fully oracle-checked: its quantizer is closed-form
-  * (per-dim min/max over a deterministic sample), so DuckDB rebuilds the
-  * whole encode/score/re-rank pipeline. */
+/** Operators that are (mostly) Spark-native with a weak or partial
+  * ANSI-SQL oracle: Lloyd's-trained quantizers produce centroids static
+  * SQL cannot reproduce, and the xxhash64 SimHash scale variant has no
+  * portable hash (the md5-portable variant is oracle-checked as q_simhash
+  * in [[Text]]). Two oracle tiers here:
+  *  - q_sq8_rerank is FULLY oracle-checked — its quantizer is closed-form
+  *    (per-dim min/max over a deterministic sample), so DuckDB rebuilds
+  *    the whole encode/score/re-rank pipeline;
+  *  - the learned-quantizer searches (q_pq/q_opq/q_ivfpq/q_ivfopq_rerank,
+  *    q_ivf_index) run through [[Similarity.recallGate]]: the emitted
+  *    rows carry the SQL-reproducible exact-top-k ranking plus an
+  *    engine-measured aggregate-recall floor boolean, so the gate
+  *    hash-checks the exact kernel AND catches any recall collapse —
+  *    only the codebook values themselves stay SQL-inexpressible.
+  * Fully rows-only: q_ivf_kmeans / q_ivf_multiprobe / q_imi_nn (their
+  * OUTPUT is the learned assignment itself) and q_simhash_fast /
+  * q_compress_quality (engine-specific functions). */
 object SparkOnly {
+
+  /** Oracle for the self-validating ANN recall gates
+    * ([[Similarity.recallGate]]): the exact-top-5 ranking is fully
+    * reproducible in SQL (so the hash checks the engine's exact kernel),
+    * and `recall_ok` asserts the engine-measured aggregate recall floor —
+    * a learned-quantizer regression flips it and fails the gate, which is
+    * as much of the ANN pipeline as ANSI SQL can possibly pin (the
+    * Lloyd's-trained codebooks themselves remain SQL-inexpressible). */
+  private val annRecallOracle = """
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+              FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        r AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM s)
+        SELECT qid, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY rn) AS exact_topk,
+               true AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY qid"""
+
+  /** Aggregate recall@5 floor for the gates: measured recall across the
+    * five exact-reranked ANN queries is 0.28-0.66 over sf0.001-sf0.1
+    * (synthetic-random embeddings — the hardest case for quantizers, with
+    * no cluster structure to exploit), while a broken quantizer scores
+    * ~0 (random candidates almost never contain true top-5). 0.2 sits
+    * below every measured value with >= 1.4x margin and far above noise. */
+  private val RecallFloor = 0.2
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -118,11 +156,13 @@ object SparkOnly {
     // kernel, exact re-rank for the candidate list.
     QueryDef(
       "q_pq_rerank",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val pq = ProductQuantize.train(emb)
-        ProductQuantize.rerankTopK(emb, pq, col("vec_id") < 10, k = 5, rerank = 25)
+        val ann = ProductQuantize.rerankTopK(
+          emb, pq, col("vec_id") < 10, k = 5, rerank = 25)
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // OPQ: learned orthogonal rotation before PQ, decorrelating subspaces
@@ -133,11 +173,13 @@ object SparkOnly {
     // Rows-only (Lloyd's codebooks); invariants pinned in OpqSpec.
     QueryDef(
       "q_opq_rerank",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val opq = graft.ext.Opq.trainRefined(emb, iters = 3)
-        graft.ext.Opq.rerankTopK(emb, opq, col("vec_id") < 10, k = 5, rerank = 25)
+        val ann = graft.ext.Opq.rerankTopK(
+          emb, opq, col("vec_id") < 10, k = 5, rerank = 25)
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // IVF x PQ (IVFADC): cells partition the corpus AND absorb each
@@ -147,11 +189,13 @@ object SparkOnly {
     // ANN layout. Rows-only (two Lloyd's stages); invariants in IvfPqSpec.
     QueryDef(
       "q_ivfpq_rerank",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val model = graft.ext.IvfPq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
-        graft.ext.IvfPq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        val ann = graft.ext.IvfPq.search(
+          emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // IVF x OPQ-rotated residual PQ: the full IVFADC+OPQ stack — the
@@ -162,11 +206,13 @@ object SparkOnly {
     // improvement + recall pinned in IvfOpqSpec.
     QueryDef(
       "q_ivfopq_rerank",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val model = graft.ext.IvfOpq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
-        graft.ext.IvfOpq.search(emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        val ann = graft.ext.IvfOpq.search(
+          emb, model, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // Persisted ANN index: IVFADC codes written ONCE as cell-partitioned
@@ -177,13 +223,15 @@ object SparkOnly {
     // rows-only here like the other learned-quantizer queries.
     QueryDef(
       "q_ivf_index",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val model = graft.ext.IvfPq.train(emb, kCells = IvfKMeans.scaledK(emb.count()))
         val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_ivf_index"
         graft.ext.IvfIndex.build(emb, model, path)
-        graft.ext.IvfIndex.search(emb, path, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        val ann = graft.ext.IvfIndex.search(
+          emb, path, col("vec_id") < 10, nprobe = 4, k = 5, rerank = 25)
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // Inverted multi-index (IMI): per-half codebooks give k^2 effective
