@@ -8,16 +8,71 @@ import org.apache.spark.sql.types._
   * payload columns plus typed metadata, processed in partition-parallel
   * batches.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE standing in for a real decoder. The
-  * Spark-side plumbing — schema, batch iteration via mapPartitions (the
-  * Scala analog of mapInPandas batches), partition parallelism, feature
-  * vector shape — is real and tested; swapping `decodeStub` for a codec
-  * call is the only change needed in production.
+  * Image payloads (PNG/JPEG/GIF/BMP) get a REAL decode through JDK 17's
+  * built-in `javax.imageio` codecs — width/height and an 8-dim color/luma
+  * feature vector from actual pixels. Non-image payloads (this corpus's
+  * testdata is text bytes; audio/video would need codecs the container
+  * lacks) fall back to `decodeStub`, a clearly-marked deterministic fake,
+  * so the partition-parallel plumbing is exercised end-to-end on every
+  * row either way. The `decoded` output column says which path ran.
   */
 object Multimodal {
 
   val featureDim = 8
+
+  /** Magic-number sniff for the formats JDK 17's ImageIO decodes natively
+    * (PNG, JPEG, GIF, BMP) — keeps the non-image fast path free of
+    * reader-registry lookups. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Real image decode via `javax.imageio` (JDK-native, no container
+    * packages): (width, height, features) where features =
+    * [mean R, mean G, mean B, mean luma, quadrant lumas TL/TR/BL/BR]
+    * (luma = (299R + 587G + 114B)/1000; odd center row/column counts to
+    * top/left). None when the payload is not a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (!looksLikeImage(payload)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
+    val qsum = Array.ofDim[Double](4)
+    val qcnt = Array.ofDim[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        val l = (299 * r + 587 * g + 114 * b) / 1000.0
+        sr += r; sg += g; sb += b; sl += l
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        qsum(q) += l; qcnt(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val feats = Array.ofDim[Double](featureDim)
+    feats(0) = sr / n; feats(1) = sg / n; feats(2) = sb / n; feats(3) = sl / n
+    var q = 0
+    while (q < 4) {
+      feats(4 + q) = if (qcnt(q) > 0) qsum(q) / qcnt(q) else 0.0
+      q += 1
+    }
+    Some((w, h, feats))
+  }
 
   /** STUB decoder: pretends `payload` is an encoded image and emits a
     * deterministic fake (width, height, feature vector) derived only from
@@ -49,19 +104,26 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
 
   /** Feature extraction over a binary payload column: partition-parallel,
     * no driver-side materialization; each partition streams rows through
-    * the (stub) decoder. Input must have (doc_id: long, payload: binary). */
+    * the decoder — real ImageIO decode for image payloads, deterministic
+    * stub for everything else (`decoded` records which). Input must have
+    * (doc_id: long, payload: binary). */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, f) = decodeStub(payload)
-        Row(id, payload.length.toLong, w, h, f.toSeq)
+        decodeImage(payload) match {
+          case Some((w, h, f)) => Row(id, payload.length.toLong, w, h, f.toSeq, true)
+          case None =>
+            val (w, h, f) = decodeStub(payload)
+            Row(id, payload.length.toLong, w, h, f.toSeq, false)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -256,7 +256,8 @@ object Text {
         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
                16 + CASE WHEN b.n >= 1 THEN ('0x' || substr(b.hx,1,2))::INT & 63 ELSE 0 END AS width,
                16 + CASE WHEN b.n >= 2 THEN ('0x' || substr(b.hx,3,2))::INT & 63 ELSE 0 END AS height,
-               $fSel
+               $fSel,
+               FALSE AS decoded
         FROM b LEFT JOIN f USING (doc_id)"""
       },
       (s, dir) => {
@@ -265,7 +266,8 @@ object Text {
         feats.select(
           (Seq(col("doc_id"), col("n_bytes"), col("width"), col("height")) ++
             (0 until Multimodal.featureDim).map(j =>
-              element_at(col("features"), j + 1).as(s"f$j"))): _*)
+              element_at(col("features"), j + 1).as(s"f$j"))
+            :+ col("decoded")): _*)
       })
   )
 }

@@ -60,5 +60,68 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     // deterministic under re-execution
     val again = Multimodal.extractFeatures(media).collect()
     assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+    // text payloads never take the image path
+    assert(rows.forall(!_.getBoolean(5)))
+  }
+
+  /** Deterministic w x h PNG: pixel (x,y) of image `id` is
+    * rgb((id*37+x) % 256, (x+y) % 256, (id+y*3) % 256). */
+  private def testPng(id: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((id * 37 + x) % 256) << 16) | (((x + y) % 256) << 8) | ((id + y * 3) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: REAL ImageIO decode for PNG/JPEG payloads, stub fallback else") {
+    import spark.implicits._
+    // PNG is lossless: decoded pixels == the generative pattern, so the
+    // expected features are computable straight from the pattern
+    def expectedFeats(id: Int, w: Int, h: Int): Array[Double] = {
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
+      val qs = Array.ofDim[Double](4); val qc = Array.ofDim[Long](4)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = (id * 37 + x) % 256; val g = (x + y) % 256; val b = (id + y * 3) % 256
+        val l = (299 * r + 587 * g + 114 * b) / 1000.0
+        sr += r; sg += g; sb += b; sl += l
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        qs(q) += l; qc(q) += 1
+      }
+      val n = (w * h).toDouble
+      Array(sr / n, sg / n, sb / n, sl / n) ++
+        (0 until 4).map(q => qs(q) / qc(q))
+    }
+    val bosJ = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(
+      12, 9, java.awt.image.BufferedImage.TYPE_INT_RGB), "jpg", bosJ)
+    val media = Seq(
+      (1L, testPng(1, 20, 14)),
+      (2L, testPng(2, 7, 31)),            // odd dims: center row/col to TL
+      (3L, bosJ.toByteArray),             // JPEG: real decode, lossy pixels
+      (4L, "plain text bytes".getBytes("UTF-8"))) // stub fallback
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getSeq[Double](4).toArray, r.getBoolean(5)))
+      .toMap
+    // PNG: exact dims AND exact features from the pattern
+    for ((id, w, h) <- Seq((1, 20, 14), (2, 7, 31))) {
+      val (gw, gh, gf, dec) = out(id.toLong)
+      assert(dec && gw === w && gh === h)
+      val ef = expectedFeats(id, w, h)
+      assert(gf.zip(ef).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"png $id features ${gf.toSeq} != ${ef.toSeq}")
+    }
+    // JPEG: real decode path taken, true dimensions recovered
+    val (jw, jh, _, jdec) = out(3L)
+    assert(jdec && jw === 12 && jh === 9)
+    // non-image: stub path, decoded=false, stub's fake dims
+    val (sw, sh, sf, sdec) = out(4L)
+    val (ew, eh, ef) = Multimodal.decodeStub("plain text bytes".getBytes("UTF-8"))
+    assert(!sdec && sw === ew && sh === eh && sf.toSeq === ef.toSeq)
   }
 }
