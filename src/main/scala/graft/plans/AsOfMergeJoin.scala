@@ -4,10 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Catalyst-native as-of join (SURVEY.md §2.3 J1/J2 — the roadmap's
   * "custom SparkPlan" milestone): a first-class logical operator planned to
@@ -91,7 +93,7 @@ case class AsOfMergeJoinExec(
     inclusive: Boolean,
     inner: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -119,6 +121,127 @@ case class AsOfMergeJoinExec(
     case org.apache.spark.sql.types.TimestampType => true
     case org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
+  }
+
+  // ---- whole-stage codegen (long-backed key/time only) ---------------------
+  //
+  // SortMergeJoinExec's integration model: this node is the ROOT of its
+  // codegen stage — both sorted children arrive as the stage's two input
+  // iterators (WholeStageCodegenExec zips exactly two inputRDDs), the
+  // two-pointer merge is generated Java over unboxed longs, and everything
+  // ABOVE the join (projections, filters, aggregates) fuses into the same
+  // generated loop via consume(). The generic (boxed-ordering) shape keeps
+  // the interpreted doExecute below.
+
+  override def supportCodegen: Boolean =
+    longBacked(leftKey.dataType) && longBacked(leftTime.dataType)
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // No stage-boundary copy: the merge emits exactly ONE output row per
+  // probe row, materialized immediately at the stage root (never two live
+  // rows sharing a buffer, unlike a 1:N join's inner emit loop), and
+  // within-stage buffering consumers (sort/aggregate) copy on insert as
+  // part of their own consume contract. Measured: the copy cost 20M
+  // allocations (~0.3 s) on the AsOfBench BIG case for no correctness gain.
+  override def needCopyResult: Boolean = false
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lOut = left.output
+    val rOut = right.output
+    val lkIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val ltIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+    val rkIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rtIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+
+    val leftInput = ctx.addMutableState(
+      "scala.collection.Iterator", "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState(
+      "scala.collection.Iterator", "asofRightInput", v => s"$v = inputs[1];")
+    val rHas = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRHas")
+    val rKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRKey")
+    val rTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofRTime")
+    val rRow = ctx.addMutableState("InternalRow", "asofRRow")
+    val heldValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofHeldValid")
+    val heldKey = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofHeldKey")
+    val heldRow = ctx.addMutableState("InternalRow", "asofHeldRow")
+    val initialized = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofInit")
+
+    val advanceR = ctx.freshName("asofAdvanceR")
+    ctx.addNewFunction(advanceR,
+      s"""
+         |private void $advanceR() {
+         |  $rHas = false;
+         |  while (!$rHas && $rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!r.isNullAt($rkIdx) && !r.isNullAt($rtIdx)) {
+         |      // primitives are safe off the live buffer, but the HELD row
+         |      // must be a copy (the iterator reuses its buffer)
+         |      $rRow = r.copy();
+         |      $rKey = $rRow.getLong($rkIdx);
+         |      $rTime = $rRow.getLong($rtIdx);
+         |      $rHas = true;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = lOut.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofMatched")
+    // version-side outputs: NULL unless a version is held for this key —
+    // generated with an explicit isNull guard (the interpreted path's
+    // withNullability(true) binding, in codegen form)
+    val rightVars = rightValues.map { a =>
+      val j = rOut.indexWhere(_.exprId == a.exprId)
+      val dt = a.dataType
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(dt)
+      val cde =
+        code"""
+           |boolean $isNull = true;
+           |$jt $value = ${CodeGenerator.defaultValue(dt)};
+           |if ($matched) {
+           |  $isNull = $heldRow.isNullAt($j);
+           |  if (!$isNull) $value = ${CodeGenerator.getValue(heldRow, dt, j.toString)};
+           |}
+         """.stripMargin
+      ExprCode(cde, JavaCode.isNullVariable(isNull), JavaCode.variable(value, dt))
+    }
+    val pKey = ctx.freshName("asofPKey")
+    val pTime = ctx.freshName("asofPTime")
+    val timeCmp = if (inclusive) "<=" else "<"
+    val skipUnmatched = if (inner) s"if (!$matched) continue;" else ""
+
+    s"""
+       |if (!$initialized) {
+       |  $initialized = true;
+       |  $advanceR();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  boolean $matched = false;
+       |  if (!$leftRow.isNullAt($lkIdx) && !$leftRow.isNullAt($ltIdx)) {
+       |    long $pKey = $leftRow.getLong($lkIdx);
+       |    long $pTime = $leftRow.getLong($ltIdx);
+       |    while ($rHas && $rKey < $pKey) $advanceR();
+       |    while ($rHas && $rKey == $pKey && $rTime $timeCmp $pTime) {
+       |      $heldValid = true; $heldKey = $rKey; $heldRow = $rRow;
+       |      $advanceR();
+       |    }
+       |    $matched = $heldValid && $heldKey == $pKey;
+       |  }
+       |  $skipUnmatched
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
