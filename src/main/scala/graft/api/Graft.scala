@@ -230,4 +230,22 @@ final case class Graft(spark: SparkSession, nativeAsOf: Boolean = true) {
   def decontaminate(
       docs: DataFrame, evalFilter: Column, maxFrac: Double = 0.3): DataFrame =
     graft.ext.PipelineOps.decontaminate(docs, evalFilter, maxFrac)
+
+  /** Decontamination scoring for a STREAMING doc frame (append mode,
+    * stateless per-row array_intersect against the collected eval-shingle
+    * set) — contamination filtering while the corpus is being ingested. */
+  def decontaminateOnIngest(
+      streamDocs: DataFrame, evalDocs: DataFrame,
+      maxFrac: Double = 0.3): DataFrame =
+    graft.ext.PipelineOps.decontaminateScore(
+      streamDocs, graft.ext.PipelineOps.evalShingleSet(evalDocs), maxFrac)
+
+  /** Directed containment of arriving documents against a static reference
+    * corpus, scored per microbatch; drains the stream and returns the
+    * result. Build the index once with
+    * [[graft.ext.PipelineOps.buildContainmentIndex]] and reuse it. */
+  def containmentOnIngest(
+      streamDocs: DataFrame, index: graft.ext.PipelineOps.ContainmentIndex,
+      threshold: Double): DataFrame =
+    graft.ext.PipelineOps.containmentOnIngest(streamDocs, index, threshold)
 }

@@ -122,50 +122,86 @@ object PipelineOps {
     * exact and the filter has recall 1 by construction. */
   def containmentPairsPrefix(
       docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = Dedup.docShingles(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // ONE doc_id aggregation produces everything per-doc: the full (still
-    // distinct) shingle set sorted rarest-first, its size, and the prefix
-    // as a slice — no window (a window would re-sort the same rows after
-    // an identical shuffle), no second pass
-    val sorted = sort_array(collect_list(struct(col("df"), col("shingle"))))
-    val sets = sh.join(df, Seq("shingle"))
+    val idx = buildContainmentIndex(docs, n)
+    val pairs = Lineage.cut(containmentCore(idx, idx.sets, threshold))
+    idx.release()
+    pairs
+  }
+
+  /** Precomputed static side of prefix-filtered containment: the shingle
+    * inverted index, the per-doc rarest-first sorted shingle arrays, and
+    * the global shingle document frequencies. Built ONCE and persisted —
+    * the self-join batch query uses it for both sides, and the
+    * streaming-ingest path scores every arriving microbatch against the
+    * same index without recomputing any of it. */
+  final case class ContainmentIndex(sh: DataFrame, sets: DataFrame, df: DataFrame) {
+    def release(): Unit = { sh.unpersist(); sets.unpersist(); df.unpersist() }
+  }
+
+  def buildContainmentIndex(refDocs: DataFrame, n: Int = 3): ContainmentIndex = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh = Dedup.docShingles(refDocs, n).persist(lvl)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df")).persist(lvl)
+    ContainmentIndex(sh, sortedSets(sh, df).persist(lvl), df)
+  }
+
+  /** ONE doc_id aggregation produces everything per-doc: the full (still
+    * distinct) shingle multiset sorted rarest-first by (global df,
+    * shingle) plus its size — no window (a window would re-sort the same
+    * rows after an identical shuffle). Shingles absent from `df` (an
+    * arriving doc probing a reference index) get df 0 and sort FIRST:
+    * they are maximally discriminating — an absent prefix shingle simply
+    * generates no candidates, and if >= prefix-length of a doc's shingles
+    * are absent from the index entirely, no reference doc can reach the
+    * containment threshold, so zero candidates is the CORRECT answer. */
+  private def sortedSets(aSh: DataFrame, df: DataFrame): DataFrame =
+    aSh.join(df, Seq("shingle"), "left")
+      .na.fill(0L, Seq("df"))
       .groupBy("doc_id")
-      .agg(sorted.as("sorted"), count(lit(1)).as("n_sh"))
-      .select(
-        col("doc_id"),
-        expr("transform(sorted, s -> s.shingle)").as("set"),
-        col("n_sh"),
-        expr("transform(slice(sorted, 1, " +
-          s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1), " +
-          "s -> s.shingle)").as("prefix"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"),
+        count(lit(1)).as("n_sh"))
+
+  /** Directed containment of `aDocs` (probe side) against the reference
+    * `index`: (doc_a from aDocs, doc_b from index, |Sa ∩ Sb| / |Sa|).
+    * Same lossless prefix filter and array-intersect verification as the
+    * self-join query; the index side is never recomputed. */
+  def containmentAgainst(
+      index: ContainmentIndex, aDocs: DataFrame, threshold: Double,
+      n: Int = 3): DataFrame =
+    containmentCore(
+      index, sortedSets(Dedup.docShingles(aDocs, n), index.df), threshold)
+
+  private def containmentCore(
+      index: ContainmentIndex, aSets0: DataFrame, threshold: Double): DataFrame = {
+    val aSets = aSets0.select(
+      col("doc_id"),
+      expr("transform(sorted, s -> s.shingle)").as("sa"),
+      col("n_sh"),
+      expr("transform(slice(sorted, 1, " +
+        s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1), " +
+        "s -> s.shingle)").as("prefix"))
     // candidate generation: prefix shingles against the full inverted
     // index (recall 1 by the pigeonhole bound); candidate volume is
     // Σ over PREFIX shingles of df — hot shingles never enter a prefix
-    val cand = sets
+    val cand = aSets
       .select(col("doc_id").as("doc_a"), explode(col("prefix")).as("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+      .join(index.sh.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("shingle"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // exact directed verification on candidates only, via per-doc set
     // arrays: each candidate row carries two compact arrays and one
     // array_intersect — candidates are never re-exploded per shingle
-    val out = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+    cand
+      .join(aSets.select(col("doc_id").as("doc_a"), col("sa"),
         col("n_sh").as("na")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb")),
-        Seq("doc_b"))
+      .join(index.sets.select(col("doc_id").as("doc_b"),
+        expr("transform(sorted, s -> s.shingle)").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           col("na")).as("containment"))
       .where(col("containment") >= threshold)
-    val pairs = Lineage.cut(out)
-    sh.unpersist()
-    sets.unpersist()
-    pairs
   }
 
   /** Eval-set decontamination: flag training documents sharing too much
@@ -194,6 +230,57 @@ object PipelineOps {
         (col("shared_sh").cast("double") / col("n_sh")).as("contam_frac"),
         (col("shared_sh").cast("double") / col("n_sh") >= maxFrac).as("contaminated"))
   }
+
+  /** Collect the distinct eval-set shingles driver-side: eval/benchmark
+    * sets are tiny relative to any training corpus BY DEFINITION (that is
+    * what makes the broadcast shape of [[decontaminate]] correct at
+    * 100 TB), so this is the same bounded-collect pattern as quantizer
+    * training samples. */
+  def evalShingleSet(evalDocs: DataFrame, n: Int = 3): Seq[String] =
+    Dedup.docShingles(evalDocs, n).select("shingle").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+
+  /** STATELESS per-row decontamination scoring against a pre-collected
+    * eval shingle set: the shingle kernel emits each doc's whole distinct
+    * shingle set in its own row, so the score is one array_intersect per
+    * row — no explode, no shuffle, no aggregation, no state. The same
+    * expression therefore runs identically on a batch frame and on a
+    * STREAMING frame in append mode (dedup-on-ingest's simpler sibling:
+    * contamination filtering while the corpus is being ingested).
+    * Row-for-row equal to [[decontaminate]] over the non-eval docs. */
+  def decontaminateScore(
+      docs: DataFrame, evalShingles: Seq[String], maxFrac: Double = 0.3,
+      n: Int = 3): DataFrame = {
+    val sh = graft.functions.TextKernels.shingleArray(
+      docs.sparkSession, col("text"), n, distinct = true)
+    docs
+      .select(col("doc_id"), sh.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("__sh")).cast("long").as("n_sh"),
+        size(array_intersect(col("__sh"), typedlit(evalShingles)))
+          .cast("long").as("shared_sh"))
+      .select(
+        col("doc_id"), col("n_sh"), col("shared_sh"),
+        (col("shared_sh").cast("double") / col("n_sh")).as("contam_frac"),
+        (col("shared_sh").cast("double") / col("n_sh") >= maxFrac).as("contaminated"))
+  }
+
+  /** Containment-on-ingest: score each ARRIVING document's directed
+    * containment against a static reference corpus, one microbatch at a
+    * time through `foreachBatch` — the per-batch plan is exactly
+    * [[containmentAgainst]] (prefix candidates + array-intersect verify)
+    * with every index-side frame persisted once outside the stream.
+    * Batching-invariant by construction: each arriving doc is scored
+    * against the full static index regardless of which batch carries it.
+    * Drains the stream (AvailableNow) and returns the appended result. */
+  def containmentOnIngest(
+      streamDocs: DataFrame, index: ContainmentIndex, threshold: Double,
+      n: Int = 3): DataFrame =
+    graft.streaming.StreamingOps.runBatchesToParquet(
+      streamDocs, "stream_containment",
+      batch => containmentAgainst(index, batch, threshold, n))
 
   /** Deterministic stratified sample: exactly `perGroup` docs per value of
     * `groupCol` (fewer only if the group is smaller), chosen by md5(text)

@@ -187,6 +187,85 @@ object Pipeline {
       (s, dir) => PipelineOps.stratifiedSample(
         Tables.load(s, dir, "documents"), "lang", 10)),
 
+    // ---- streaming decontamination-on-ingest ------------------------------
+    // REAL append-mode streaming: the shingle kernel emits each arriving
+    // doc's whole distinct-shingle set in one row, so scoring is a
+    // stateless array_intersect against the broadcast eval set — no state
+    // store, batching-invariant, same oracle as the batch query.
+    QueryDef(
+      "q_stream_decontaminate",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+        SELECT s.doc_id,
+               count(*) AS n_sh,
+               count(e.shingle) AS shared_sh,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) >= 0.3
+                 AS contaminated
+        FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+        WHERE s.doc_id >= 25 GROUP BY s.doc_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val evalSh = PipelineOps.evalShingleSet(docs.where(col("doc_id") < 25))
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        graft.streaming.StreamingOps.runToParquet(
+          PipelineOps.decontaminateScore(
+            stream.where(col("doc_id") >= 25), evalSh, maxFrac = 0.3),
+          "stream_decontaminate")
+      }),
+
+    // ---- streaming containment-on-ingest ----------------------------------
+    // Arriving docs scored against a static reference index per microbatch
+    // (foreachBatch; joins+aggs against static frames are inexpressible as
+    // stateful streaming ops). Stream == corpus and index == corpus here,
+    // so the result is pinned to the batch q_containment oracle exactly.
+    QueryDef(
+      "q_stream_containment",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / sa.n_sh AS containment
+        FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        WHERE CAST(i.c AS DOUBLE) / sa.n_sh >= 0.8"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val index = PipelineOps.buildContainmentIndex(docs)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = PipelineOps.containmentOnIngest(stream, index, 0.8)
+        index.release()
+        out
+      }),
+
     // ---- streaming dedup-on-ingest ----------------------------------------
     // Real Structured Streaming query: stateful dropDuplicates on the
     // normalized-content fingerprint; output = the distinct fingerprint set

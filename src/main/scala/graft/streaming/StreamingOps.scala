@@ -131,16 +131,30 @@ object StreamingOps {
     * dir (shared storage on a real cluster, unlike a driver-local temp
     * path) is used, the bounded result is materialized off it, and the
     * scratch dir is deleted — nothing leaks per run. */
-  def runToParquet(df: DataFrame, name: String, sinkDir: Option[String] = None): DataFrame = {
+  def runToParquet(df: DataFrame, name: String, sinkDir: Option[String] = None): DataFrame =
+    runBatchesToParquet(df, name, identity, sinkDir)
+
+  /** As [[runToParquet]], but each microbatch is first passed through
+    * `transform` — the escape hatch for per-batch logic Structured
+    * Streaming cannot express statefully (joins + aggregations against
+    * static reference frames, e.g. containment-on-ingest). The output
+    * schema is derived by applying `transform` to an empty batch-shaped
+    * frame, so zero-batch streams still return a typed empty result. */
+  def runBatchesToParquet(
+      df: DataFrame, name: String,
+      transform: DataFrame => DataFrame,
+      sinkDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val spark = df.sparkSession
     val dir = sinkDir.getOrElse {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       s"$wh/graft_stream/${name}_${java.util.UUID.randomUUID().toString.take(8)}"
     }
+    val outSchema = transform(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)).schema
     val q = df.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(dir)
+        transform(batch.toDF()).write.mode("append").parquet(dir)
       }
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -152,14 +166,14 @@ object StreamingOps {
     val wrote = fs.exists(hPath) &&
       fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
     if (sinkDir.isDefined) {
-      if (wrote) spark.read.schema(df.schema).parquet(dir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+      if (wrote) spark.read.schema(outSchema).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     } else {
       // scratch mode: materialize the (bounded, watermark-closed) result,
       // then remove the scratch dir so repeated gate runs leave no residue
       val out =
-        if (wrote) spark.read.schema(df.schema).parquet(dir).localCheckpoint()
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+        if (wrote) spark.read.schema(outSchema).parquet(dir).localCheckpoint()
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
       if (fs.exists(hPath)) fs.delete(hPath, true)
       out
     }
