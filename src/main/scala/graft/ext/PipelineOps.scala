@@ -161,6 +161,11 @@ object PipelineOps {
       .agg(
         sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"),
         count(lit(1)).as("n_sh"))
+      // materialize the plain-array form ONCE (the frame is persisted by
+      // every caller and the set is consumed by both verification sides;
+      // a transform at join time would re-copy every array per consumer)
+      .select(col("doc_id"), col("sorted"),
+        expr("transform(sorted, s -> s.shingle)").as("set"), col("n_sh"))
 
   /** Directed containment of `aDocs` (probe side) against the reference
     * `index`: (doc_a from aDocs, doc_b from index, |Sa ∩ Sb| / |Sa|).
@@ -176,8 +181,10 @@ object PipelineOps {
       index: ContainmentIndex, aSets0: DataFrame, threshold: Double): DataFrame = {
     val aSets = aSets0.select(
       col("doc_id"),
-      expr("transform(sorted, s -> s.shingle)").as("sa"),
+      col("set").as("sa"),
       col("n_sh"),
+      // the prefix is threshold-dependent, so it stays a query-time slice —
+      // but only over the (short) prefix length, not the whole array
       expr("transform(slice(sorted, 1, " +
         s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1), " +
         "s -> s.shingle)").as("prefix"))
@@ -196,8 +203,8 @@ object PipelineOps {
     cand
       .join(aSets.select(col("doc_id").as("doc_a"), col("sa"),
         col("n_sh").as("na")), Seq("doc_a"))
-      .join(index.sets.select(col("doc_id").as("doc_b"),
-        expr("transform(sorted, s -> s.shingle)").as("sb")), Seq("doc_b"))
+      .join(index.sets.select(col("doc_id").as("doc_b"), col("set").as("sb")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           col("na")).as("containment"))
