@@ -60,6 +60,61 @@ object PipelineOps {
         (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
   }
 
+  /** Distinct-shingle document frequencies of a reference corpus —
+    * the static side for [[boilerplateAgainst]] (callers persist). */
+  def shingleDf(refDocs: DataFrame, n: Int = 3): DataFrame =
+    Dedup.docShingles(refDocs, n).groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** Boilerplate scoring of `aDocs` against a STATIC reference df table
+    * (the on-ingest form: arriving docs are scored by how much of their
+    * shingle set is boilerplate IN THE REFERENCE corpus — shingles the
+    * reference has never seen count df 0). With aDocs == the reference
+    * corpus this reduces exactly to [[boilerplate]] (every shingle then
+    * has df >= 1, so the left join + fill(0) changes nothing). */
+  def boilerplateAgainst(
+      refDf: DataFrame, aDocs: DataFrame, minDf: Long = 3,
+      maxRatio: Double = 0.3, n: Int = 3): DataFrame =
+    Dedup.docShingles(aDocs, n)
+      .join(refDf, Seq("shingle"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        count(when(col("df") >= minDf, 1)).as("boiler_sh"))
+      .select(
+        col("doc_id"), col("n_sh"), col("boiler_sh"),
+        (col("boiler_sh").cast("double") / col("n_sh")).as("boiler_ratio"),
+        (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
+
+  /** Chunk-hash document frequencies of a reference corpus — the static
+    * side for [[chunkDedupAgainst]] (callers persist). */
+  def chunkDf(refDocs: DataFrame, k: Int = 16): DataFrame =
+    Dedup.spread(refDocs)
+      .select(col("doc_id"), explode(graft.functions.TextKernels.chunkArray(
+        refDocs.sparkSession, col("text"), k)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+      .groupBy("ch").agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Chunk-level dedup scoring of `aDocs` against a STATIC reference
+    * chunk-frequency table (on-ingest form; chunks unseen by the
+    * reference count df 0). With aDocs == the reference corpus this
+    * reduces exactly to [[chunkDedup]]. */
+  def chunkDedupAgainst(
+      refDf: DataFrame, aDocs: DataFrame, k: Int = 16): DataFrame =
+    Dedup.spread(aDocs)
+      .select(col("doc_id"), explode(graft.functions.TextKernels.chunkArray(
+        aDocs.sparkSession, col("text"), k)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+      .join(refDf, Seq("ch"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("df") > 1, 1)).as("n_dup_chunks"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+
   /** Directed shingle-containment pairs: |S_a ∩ S_b| / |S_a| >= threshold
     * flags doc_a as (near-)contained in doc_b — quotation / verbatim-
     * inclusion / partial-duplicate detection, which symmetric Jaccard

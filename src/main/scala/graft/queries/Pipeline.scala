@@ -187,6 +187,109 @@ object Pipeline {
       (s, dir) => PipelineOps.stratifiedSample(
         Tables.load(s, dir, "documents"), "lang", 10)),
 
+    // ---- streaming boilerplate-on-ingest ----------------------------------
+    // Arriving docs scored against the STATIC reference shingle-df table
+    // per microbatch. Stream == corpus and reference == corpus here, so
+    // the result is pinned to the batch q_boilerplate oracle exactly.
+    QueryDef(
+      "q_stream_boilerplate",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+        SELECT doc_id,
+               count(*) AS n_sh,
+               count(CASE WHEN df >= 3 THEN 1 END) AS boiler_sh,
+               CAST(count(CASE WHEN df >= 3 THEN 1 END) AS DOUBLE) / count(*)
+                 AS boiler_ratio,
+               CAST(count(CASE WHEN df >= 3 THEN 1 END) AS DOUBLE) / count(*)
+                 <= 0.3 AS keep
+        FROM sh JOIN d USING (shingle) GROUP BY doc_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val refDf = PipelineOps.shingleDf(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.streaming.StreamingOps.runBatchesToParquet(
+          stream, "stream_boilerplate",
+          batch => PipelineOps.boilerplateAgainst(refDf, batch))
+        refDf.unpersist()
+        out
+      }),
+
+    // ---- streaming chunk-dedup-on-ingest ----------------------------------
+    QueryDef(
+      "q_stream_chunk_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        c AS (SELECT doc_id,
+                unnest(list_transform(
+                  range(CAST(ceil(len(toks) / 16.0) AS BIGINT)),
+                  i -> md5(array_to_string(
+                    toks[i*16 + 1 : least((i+1)*16, len(toks))], ' ')))) AS ch
+              FROM t WHERE len(toks) > 0),
+        d AS (SELECT ch, count(DISTINCT doc_id) AS df FROM c GROUP BY ch)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               count(CASE WHEN df > 1 THEN 1 END) AS n_dup_chunks,
+               CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*)
+                 AS dup_ratio
+        FROM c JOIN d USING (ch) GROUP BY doc_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val refDf = PipelineOps.chunkDf(docs, 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.streaming.StreamingOps.runBatchesToParquet(
+          stream, "stream_chunk_dedup",
+          batch => PipelineOps.chunkDedupAgainst(refDf, batch, 16))
+        refDf.unpersist()
+        out
+      }),
+
+    // ---- streaming PII redaction on ingest --------------------------------
+    // Pure projection: stateless append-mode streaming, no reference
+    // frames at all — the simplest on-ingest hygiene op.
+    QueryDef(
+      "q_stream_redact",
+      Some(s"""
+        WITH i AS (SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com or +1-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+                   FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '${PipelineOps.EmailRe}')) AS n_emails,
+               len(regexp_extract_all(t, '${PipelineOps.PhoneRe}')) AS n_phones,
+               md5(regexp_replace(
+                 regexp_replace(t, '${PipelineOps.EmailRe}', '<EMAIL>', 'g'),
+                 '${PipelineOps.PhoneRe}', '<PHONE>', 'g')) AS red_fp
+        FROM i"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        graft.streaming.StreamingOps.runToParquet(
+          PipelineOps.redactDemo(stream), "stream_redact")
+      }),
+
     // ---- streaming decontamination-on-ingest ------------------------------
     // REAL append-mode streaming: the shingle kernel emits each arriving
     // doc's whole distinct-shingle set in one row, so scoring is a

@@ -52,6 +52,50 @@ class StreamingPipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("boilerplate-on-ingest == batch boilerplate across 3 microbatches") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = slicedDocsDir()
+    val refDf = PipelineOps.shingleDf(docs).persist()
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val got = graft.streaming.StreamingOps.runBatchesToParquet(
+        stream, "spec_stream_boiler",
+        batch => PipelineOps.boilerplateAgainst(refDf, batch))
+      val want = PipelineOps.boilerplate(docs)
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      // a doc full of reference-unseen shingles scores 0 boilerplate
+      import spark.implicits._
+      val novel = Seq((999999L, "zzq wwx vvy uut rrs qqp oon mml"))
+        .toDF("doc_id", "text")
+      val row = PipelineOps.boilerplateAgainst(refDf, novel).collect().head
+      assert(row.getLong(2) === 0L && row.getBoolean(4))
+    } finally {
+      refDf.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("chunk-dedup-on-ingest == batch chunkDedup across 3 microbatches") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = slicedDocsDir()
+    val refDf = PipelineOps.chunkDf(docs, 16).persist()
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val got = graft.streaming.StreamingOps.runBatchesToParquet(
+        stream, "spec_stream_chunk",
+        batch => PipelineOps.chunkDedupAgainst(refDf, batch, 16))
+      val want = PipelineOps.chunkDedup(docs, 16)
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally {
+      refDf.unpersist()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("containment-on-ingest == batch containmentPairs across 3 microbatches") {
     val docs = Tables.load(spark, sfDir, "documents")
     val dir = slicedDocsDir()
