@@ -151,6 +151,37 @@ class AsOfMergeSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_versions")
   }
 
+  test("BucketedTables API: save both sides, reload, as-of join with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val spark0 = spark
+    import spark0.implicits._
+    val probesDf = Seq((ts("02:00"), 1L, "a"), (ts("04:00"), 1L, "b"), (ts("03:00"), 2L, "c"))
+      .toDF("t", "k", "payload")
+    val versionsDf = Seq((ts("01:00"), 1L, 10L), (ts("03:30"), 1L, 20L), (ts("01:00"), 2L, 7L))
+      .toDF("_change_time", "_entity", "v")
+    Seq("graft_api_probes", "graft_api_versions")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      graft.sources.BucketedTables.saveForAsOf(probesDf, "graft_api_probes", "k", "t", 4)
+      graft.sources.BucketedTables.saveVersioned(
+        graft.core.VersionedTable(versionsDf, "_entity", "_change_time", Seq("v")),
+        "graft_api_versions", 4)
+      val vt = graft.sources.BucketedTables.loadVersioned(spark, "graft_api_versions")
+      assert(vt.keyCol === "_entity" && vt.timeCol === "_change_time" &&
+        vt.valueCols === Seq("v"))
+      val df = AsOfJoin.asofMerge(
+        spark.table("graft_api_probes"), "k", "t", vt)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed inputs must not shuffle: " + plan.take(2000))
+      val got = df.collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      assert(got === Set((1L, ts("02:00"), 10L), (1L, ts("04:00"), 20L), (2L, ts("03:00"), 7L)))
+    } finally Seq("graft_api_probes", "graft_api_versions")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("string keys on the pre-sorted zero-sort path survive iterator buffer reuse") {
     import spark.implicits._
     // Regression for the held-key bug: when BOTH children arrive already
