@@ -129,6 +129,60 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("resized", BooleanType, nullable = false)))
+
+  /** Real image resize: decodable payloads whose longer edge exceeds
+    * `maxDim` are scaled down preserving aspect ratio (Graphics2D
+    * bilinear) and re-encoded as PNG; smaller images and non-image
+    * payloads pass through byte-identical. The standard normalize-on-
+    * ingest step before a vision encoder — partition-parallel, no driver
+    * materialization, same mapPartitions batch shape as
+    * [[extractFeatures]]. Output: (doc_id, payload, width, height,
+    * resized); width/height are -1 for non-decodable payloads. */
+  def resizeTo(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          if (!looksLikeImage(payload)) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Exception => null }
+        if (img == null) Row(id, payload, -1, -1, false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          if (math.max(w, h) <= maxDim) Row(id, payload, w, h, false)
+          else {
+            val scale = maxDim.toDouble / math.max(w, h)
+            val nw = math.max(1, math.round(w * scale).toInt)
+            val nh = math.max(1, math.round(h * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(id, bos.toByteArray, nw, nh, true)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
   /** Documents → media table: text bytes standing in for an encoded blob,
     * with typed metadata carried alongside the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

@@ -124,4 +124,28 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     val (ew, eh, ef) = Multimodal.decodeStub("plain text bytes".getBytes("UTF-8"))
     assert(!sdec && sw === ew && sh === eh && sf.toSeq === ef.toSeq)
   }
+
+  test("multimodal resizeTo: aspect-preserving downscale, passthrough otherwise") {
+    import spark.implicits._
+    val textBytes = "not an image".getBytes("UTF-8")
+    val media = Seq(
+      (1L, testPng(1, 64, 32)),  // longer edge 64 > 16 -> scaled to 16x8
+      (2L, testPng(2, 10, 12)),  // within bounds -> untouched
+      (3L, textBytes))           // non-image -> byte-identical passthrough
+      .toDF("doc_id", "payload")
+    val out = Multimodal.resizeTo(media, 16).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      .toMap
+    val (p1, w1, h1, r1) = out(1L)
+    assert(r1 && w1 === 16 && h1 === 8)
+    // the re-encoded payload really is a 16x8 PNG
+    val re = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p1))
+    assert(re.getWidth === 16 && re.getHeight === 8)
+    val (p2, w2, h2, r2) = out(2L)
+    assert(!r2 && w2 === 10 && h2 === 12 &&
+      p2.toSeq === testPng(2, 10, 12).toSeq)
+    val (p3, w3, h3, r3) = out(3L)
+    assert(!r3 && w3 === -1 && h3 === -1 && p3.toSeq === textBytes.toSeq)
+  }
 }
