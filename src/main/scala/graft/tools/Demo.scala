@@ -112,6 +112,34 @@ object Demo {
     println(s"[demo] ivf-opq ann rows=" +
       s"${g2.approxNearestNeighborsOpq(emb, col("vec_id") < 3, k = 3).count()}")
 
+    // Round-7 on-ingest hygiene: decontamination scoring on a doc stream
+    // (stateless append mode) and containment against a static index.
+    locally {
+      val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val docStream = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val deconOut = graft.streaming.StreamingOps.runToParquet(
+        g2.decontaminateOnIngest(
+          docStream.where(col("doc_id") >= 25), docs.where(col("doc_id") < 25)),
+        "demo_stream_decon")
+      println(s"[demo] stream decontaminate flagged=" +
+        s"${deconOut.where(col("contaminated")).count()}")
+      val index = graft.ext.PipelineOps.buildContainmentIndex(docs)
+      val docStream2 = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      println(s"[demo] stream containment pairs=" +
+        s"${g2.containmentOnIngest(docStream2, index, 0.8).count()}")
+      index.release()
+    }
+
+    // Round-7 multimodal: real ImageIO decode path + resize plumbing over
+    // the text-byte media table (falls back to the stub, resized=false).
+    val media = graft.ext.Multimodal.documentsAsMedia(docs.limit(50))
+    println(s"[demo] media features decoded=" +
+      s"${graft.ext.Multimodal.extractFeatures(media).where(col("decoded")).count()}" +
+      s" resized=${graft.ext.Multimodal.resizeTo(media, 64).where(col("resized")).count()}" +
+      " (text payloads: both 0 by design)")
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
