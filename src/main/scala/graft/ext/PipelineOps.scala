@@ -216,10 +216,11 @@ object PipelineOps {
       .agg(
         sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"),
         count(lit(1)).as("n_sh"))
-      // materialize the plain-array form ONCE (the frame is persisted by
-      // every caller and the set is consumed by both verification sides;
-      // a transform at join time would re-copy every array per consumer)
-      .select(col("doc_id"), col("sorted"),
+      // once sorted, the dfs are dead weight: the ARRAY ITSELF, in
+      // rarest-first order, serves both roles — any prefix is a plain
+      // slice of it, and array_intersect ignores order. Dropping the
+      // struct form halves what every caller persists.
+      .select(col("doc_id"),
         expr("transform(sorted, s -> s.shingle)").as("set"), col("n_sh"))
 
   /** Directed containment of `aDocs` (probe side) against the reference
@@ -238,11 +239,10 @@ object PipelineOps {
       col("doc_id"),
       col("set").as("sa"),
       col("n_sh"),
-      // the prefix is threshold-dependent, so it stays a query-time slice —
-      // but only over the (short) prefix length, not the whole array
-      expr("transform(slice(sorted, 1, " +
-        s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1), " +
-        "s -> s.shingle)").as("prefix"))
+      // the prefix is threshold-dependent, so it stays a query-time slice
+      // of the (already rarest-first) set array
+      expr("slice(set, 1, " +
+        s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1)").as("prefix"))
     // candidate generation: prefix shingles against the full inverted
     // index (recall 1 by the pigeonhole bound); candidate volume is
     // Σ over PREFIX shingles of df — hot shingles never enter a prefix
