@@ -345,6 +345,42 @@ object Dedup {
     combineBits(m.groupBy("doc_id").agg(votes.head, votes.tail: _*))
   }
 
+  /** Self-validating gate for the xxhash64 SimHash scale variant, whose
+    * signature values no other engine can reproduce: the emitted rows are
+    * the EXACT Jaccard>=threshold near-dup pairs (fully SQL-reproducible,
+    * so the oracle hash-checks the shingle+Jaccard kernels for real) plus
+    * one aggregate boolean pinning SimHash recall on that ground truth —
+    * the fraction of true near-dup pairs whose 64-bit signatures land
+    * within `maxHamming` must reach `floor`. Calibration
+    * ([[graft.tools.SimhashRecall]]): recall@ham<=8 measured 0.92-0.95
+    * across sf0.001-0.1, while a broken signature pipeline scores ~0
+    * (random 64-bit hamming concentrates at 32 +- 4), so floor 0.5 has
+    * >= 1.8x margin on both sides. Aggregate, not per-pair: SimHash is a
+    * probabilistic sketch and individual 0.7-Jaccard pairs legitimately
+    * land at hamming 9-12. */
+  def simhashRecallGate(
+      docs: DataFrame, threshold: Double = 0.7, maxHamming: Int = 8,
+      floor: Double = 0.5): DataFrame = {
+    val pairs = jaccardNearDup(docs, threshold).select("doc_a", "doc_b")
+    val sig = simhash(docs)
+    val ham = pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sa ^ sb)").as("ham"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = ham.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ham") <= maxHamming, 1L).otherwise(0L)).as("hits"))
+    val out = ham.select(col("doc_a"), col("doc_b"))
+      .crossJoin(broadcast(agg))
+      .select(col("doc_a"), col("doc_b"),
+        (col("hits") >= lit(floor) * col("n")).as("recall_ok"))
+    val cut = Lineage.cut(out)
+    ham.unpersist()
+    cut
+  }
+
   /** (doc_id, v0..v63 vote sums) -> (doc_id, simhash): set bit b when the
     * vote is positive. Disjoint bit contributions sum without overflow
     * (bit 63's contribution IS Long.MinValue, two's complement). */

@@ -56,15 +56,18 @@ object Imi {
         graft.functions.VectorExpressions.imiCell(
           spark, col("v"), typedlit(model.flat.toSeq), model.k, model.dsub).as("cell"))
 
-  /** Top-k cosine neighbors via the multi-probed IMI grid. */
-  def nn(emb: DataFrame, model: Model, perHalf: Int, k: Int): DataFrame = {
+  /** Top-k cosine neighbors via the multi-probed IMI grid. `probeFilter`
+    * restricts the probe side only — the corpus side always indexes every
+    * vector (self-search = the default `lit(true)`). */
+  def nn(emb: DataFrame, model: Model, perHalf: Int, k: Int,
+         probeFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val cbLit = typedlit(model.flat.toSeq)
     val corpus = assign(emb, model)
       .select(col("vec_id").as("cid"), col("cell"),
         col("embedding").cast("array<double>").as("cv"))
       .withColumn("cnrm", sqrt(Similarity.dot(col("cv"), col("cv"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = emb
+    val probes = emb.where(probeFilter)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"))
       .withColumn("qnrm", sqrt(Similarity.dot(col("qv"), col("qv"))))

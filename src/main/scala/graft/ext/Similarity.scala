@@ -97,9 +97,11 @@ object Similarity {
     * row per vector (its own nearest cell — one shuffle on `cell`); the
     * probe side explodes to `nprobe` rows (its nprobe nearest cells), so
     * recall lost at cell boundaries is recovered for nprobe x candidate
-    * volume. Every vector is both corpus member and probe here. */
+    * volume. Every vector is a corpus member; `probeFilter` restricts the
+    * probe side (the default `lit(true)` = all-probes self-search). */
   def multiProbeNN(
-      emb: DataFrame, centroids: Array[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+      emb: DataFrame, centroids: Array[Array[Double]], nprobe: Int, k: Int,
+      probeFilter: Column = lit(true)): DataFrame = {
     // persist both sides: cell/cells are expression-DERIVED join keys, and
     // without a materialization barrier the optimizer re-inlines the whole
     // k x dim centroid-distance tree into the join-key filter AND the
@@ -110,7 +112,7 @@ object Similarity {
         col("embedding").cast("array<double>").as("cv"))
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = IvfKMeans.probeCells(emb, centroids, nprobe)
+    val probes = IvfKMeans.probeCells(emb.where(probeFilter), centroids, nprobe)
       .select(col("vec_id").as("qid"),
         col("embedding").cast("array<double>").as("qv"), col("cells"))
       .withColumn("qnrm", sqrt(dot(col("qv"), col("qv"))))

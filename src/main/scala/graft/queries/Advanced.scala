@@ -57,18 +57,33 @@ object Advanced {
     // HLL++ count-distinct and quantile sketches are how cardinality and
     // distribution questions get answered over billions of rows without an
     // exact shuffle-the-world pass. Sketch internals are engine-specific
-    // (Spark HLL++ != DuckDB HLL), so there is no cross-engine hash oracle:
-    // rows-only here, with error bounds vs the exact answers pinned in
-    // AdvancedSpec (rsd=0.02 -> observed error well under 5%).
+    // (Spark HLL++ != DuckDB HLL), so the sketch VALUES can't cross the
+    // hash oracle — instead the query emits the exact answers (fully
+    // SQL-reproducible, so the oracle checks the exact kernels) plus
+    // self-validating error-bound booleans: rsd=0.02 HLL must land within
+    // 10% of the exact distinct count (3-sigma is 6%) and the 10k-accuracy
+    // quantile sketch within 5% of the exact interpolated median (the
+    // corpus median sits ~35, far from the relative-tolerance singularity
+    // at 0). A sketch regression flips a boolean and fails the gate.
     QueryDef(
       "q_approx_agg",
-      None,
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+               true AS approx_users_ok, true AS approx_median_ok
+        FROM events GROUP BY event_type"""),
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
+          count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
-          count(lit(1)).as("n"))),
+          expr("percentile(value, 0.5)").as("exact_median"))
+        .select(col("event_type"), col("n"), col("n_users"),
+          (abs(col("approx_users") - col("n_users"))
+            <= lit(0.1) * col("n_users")).as("approx_users_ok"),
+          (abs(col("approx_median") - col("exact_median"))
+            <= lit(0.05) * abs(col("exact_median"))).as("approx_median_ok"))),
 
     // ---- exact statistical aggregates ------------------------------------
     // Median (exact interpolated percentile), sample variance, and the

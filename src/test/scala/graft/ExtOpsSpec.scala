@@ -32,6 +32,18 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(randomDists.sum.toDouble / randomDists.length > 20.0)
   }
 
+  test("simhashRecallGate: rows are the exact near-dup pairs; boolean flips when unreachable") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = Dedup.jaccardNearDup(docs, 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = Dedup.simhashRecallGate(docs).collect()
+    assert(gate.map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+    assert(gate.forall(_.getBoolean(2)), "calibrated gate should pass on real data")
+    // an impossible demand (every pair at hamming 0) must flip the boolean
+    val broken = Dedup.simhashRecallGate(docs, maxHamming = 0, floor = 0.99).collect()
+    assert(broken.nonEmpty && broken.forall(!_.getBoolean(2)))
+  }
+
   test("simhash is deterministic and identical for identical text") {
     import spark.implicits._
     val docs = Seq(
