@@ -345,6 +345,79 @@ object Dedup {
     combineBits(m.groupBy("doc_id").agg(votes.head, votes.tail: _*))
   }
 
+  /** Winnowing-fingerprint near-dup (MOSS): documents are reduced to their
+    * winnowed fingerprint sets ([[graft.functions.Winnow]] — ~2/(w+1) of
+    * all k-gram hashes, with a shared-substring guarantee), then pairs
+    * sharing fingerprints are scored by NORMALIZED overlap
+    * |F_a intersect F_b| / min(|F_a|, |F_b|) — containment-style, so a
+    * near-copy embedded in a longer document still scores ~1. The
+    * fingerprint equi-join IS the candidate pruner: documents sharing no
+    * fingerprint never pair up, and candidate volume tracks shared-run
+    * mass, not corpus size squared.
+    *
+    * At 100 TB the hot keys are boilerplate fingerprints shared by
+    * thousands of documents (the sum-of-freq^2 blowup); `maxDf` drops
+    * fingerprints present in more than that many documents before the
+    * join — the standard MOSS practice, and a knob the oracle can mirror
+    * exactly. `rolling = true` switches to the O(len) Karp-Rabin gram
+    * hash (engine-specific values; gate via [[winnowRecallGate]]).
+    * Output: (doc_a, doc_b, overlap), doc_a < doc_b. Overlap counts and
+    * fingerprint-set sizes are integers, so the emitted double is a
+    * single exact division — bit-identical across engines. */
+  def winnowNearDup(
+      docs: DataFrame, threshold: Double, k: Int = 8, w: Int = 4,
+      rolling: Boolean = false, maxDf: Option[Long] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val fpAll = spread(docs).select(
+      col("doc_id"),
+      explode(graft.functions.Winnow(spark, col("text"), k, w, rolling)).as("fp"))
+    val fp = maxDf.fold(fpAll) { cap =>
+      val rare = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= cap).select("fp")
+      fpAll.join(rare, Seq("fp"), "left_semi")
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = fp.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val out = shared
+      .join(nf.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / least(col("na"), col("nb"))).as("ov"))
+      .where(col("ov") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("ov"), 6).as("overlap"))
+    val pairs = Lineage.cut(out)
+    fp.unpersist()
+    pairs
+  }
+
+  /** Self-validating gate for the rolling-hash winnowing variant, same
+    * construction as [[simhashRecallGate]]: rows are the md5-portable
+    * winnowing pairs (SQL-reproducible ground truth, hash-checked), plus
+    * one aggregate boolean pinning that the Karp-Rabin variant recovers
+    * at least `floor` of them. Both variants run the identical selection
+    * algorithm over differently-hashed grams, so on corpora where
+    * near-dup margins are wide (here: overlap >= 0.9 vs next pair at
+    * 0.57) the pair sets agree — a selection or rolling-arithmetic bug
+    * drops agreement and flips the boolean. */
+  def winnowRecallGate(
+      docs: DataFrame, threshold: Double = 0.7, floor: Double = 0.9): DataFrame = {
+    val portable = winnowNearDup(docs, threshold).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fast = winnowNearDup(docs, threshold, rolling = true)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
+    val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
+    val out = portable.crossJoin(broadcast(agg))
+      .select(col("doc_a"), col("doc_b"),
+        (col("hits") >= lit(floor) * col("n")).as("recall_ok"))
+    val cut = Lineage.cut(out)
+    portable.unpersist()
+    cut
+  }
+
   /** Self-validating gate for the xxhash64 SimHash scale variant, whose
     * signature values no other engine can reproduce: the emitted rows are
     * the EXACT Jaccard>=threshold near-dup pairs (fully SQL-reproducible,

@@ -138,6 +138,69 @@ object Similarity {
     out
   }
 
+  /** Sign-random-projection (SRP) LSH near-dup over dense vectors: the
+    * cosine analog of MinHash-LSH. Each vector gets `bits * bands` sign
+    * bits from fixed Gaussian hyperplanes (seeded — fully deterministic),
+    * packed into `bands` band values; two vectors become a candidate pair
+    * when ANY band matches exactly, and candidates alone are verified with
+    * exact cosine >= threshold. P(bit agrees) = 1 - angle/pi, so a pair at
+    * cosine c survives with 1-(1-p^bits)^bands — at the defaults and
+    * c ~ 0.9 (where text near-dups live) that is 1 - 3e-5, while a random
+    * pair (p = 0.5) collides in ~12% of cases: candidate volume drops an
+    * order of magnitude and everything else never computes a dot product.
+    * (bits, bands) are the scale knobs: more bits prune harder, more bands
+    * recover recall; raise both as corpus density grows.
+    *
+    * Plan shape: hyperplane signatures are one map-side graft_matvec pass
+    * (no exchange), band rows are narrow (id, band, value), candidates
+    * come from one equi-join on (band, value), and verification touches
+    * only candidate vectors (semi-join pruned). Input: (doc_id,
+    * v: array<double>); zero-norm rows are dropped (cosine undefined).
+    * Output: (doc_a, doc_b, sim) with doc_a < doc_b. */
+  def srpNearDup(
+      vecs: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, bands: Int = 32, seed: Long = 42L): DataFrame = {
+    val spark = vecs.sparkSession
+    val h = bits * bands
+    val rnd = new java.util.Random(seed)
+    val flat = Array.fill(h * dim)(rnd.nextGaussian())
+    val prepped = vecs
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band value = the band's `bits` hyperplane signs packed into an int;
+    // everything up to the candidate join is inside the scan's codegen span
+    val bandRows = prepped
+      .withColumn("hv", graft.functions.VectorExpressions.matVec(
+        spark, typedlit(flat.toSeq), col("v"), h))
+      .withColumn("bb", expr(
+        s"transform(sequence(0, ${bands - 1}), j -> " +
+          s"aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> " +
+          s"acc + IF(element_at(hv, j * $bits + i + 1) > 0D, shiftleft(1, i), 0)))"))
+      .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
+    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    val candidates = l.join(r, Seq("band", "bval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val vv = prepped.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val out = candidates
+      .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      .join(vv.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
+    val cut = Lineage.cut(out)
+    prepped.unpersist()
+    candidates.unpersist()
+    cut
+  }
+
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`
     * (IVF with pre-assigned coarse cells). One shuffle on the bucket key. */
   def bucketedNN(emb: DataFrame, bucketCol: String): DataFrame = {

@@ -67,6 +67,43 @@ object Extra {
           .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("sim"))
       }),
 
+    // ---- feature-hash embedding near-dup via SRP-LSH ----------------------
+    // The scale path for embedding-cosine near-dup: documents are embedded
+    // with the deterministic md5 hashing trick (graft_feature_hash — one
+    // map pass, no exchange), then sign-random-projection LSH generates
+    // candidates and only candidates get exact cosine verification. True
+    // near-dups land at cosine 0.89-1.0 and unrelated pairs below 0.32 on
+    // this corpus, so threshold 0.6 splits a wide margin and the exact
+    // oracle (DuckDB rebuilds the embedding from shingles — integer
+    // feature counts make every dot product exact, accumulation-order
+    // independent) pins LSH recall 1, like q_minhash_lsh does for MinHash.
+    // q_embed_neardup stays the label-bucketed exact baseline on the
+    // synthetic `embeddings` table.
+    QueryDef(
+      "q_hash_embed_neardup",
+      Some(s"""
+        WITH ${Text.shinglesCte},
+        f AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
+                (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
+              FROM sh),
+        v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
+        nr AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.x * b.x) AS d
+               FROM v a JOIN v b ON a.dim = b.dim AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+        SELECT doc_a, doc_b, round(d / (na.nrm * nb.nrm), 6) AS sim
+        FROM dp
+        JOIN nr na ON na.doc_id = dp.doc_a
+        JOIN nr nb ON nb.doc_id = dp.doc_b
+        WHERE d / (na.nrm * nb.nrm) >= 0.6"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vecs = docs.select(col("doc_id"),
+          graft.functions.FeatureHash(s, col("text"), 128).as("v"))
+        Similarity.srpNearDup(vecs, threshold = 0.6, dim = 128)
+      }),
+
     // ---- window-function family (lag/lead/rank/running max) ---------------
     QueryDef(
       "q_window_funcs",

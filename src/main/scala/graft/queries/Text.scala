@@ -202,6 +202,68 @@ object Text {
           length(col("text")).cast("long").as("n_cp"),
           (octet_length(col("text")) === length(col("text"))).as("is_ascii"))),
 
+    // ---- winnowing fingerprints (MOSS), md5-portable, full oracle ---------
+    // Rolling-window document fingerprinting: hash every 8-char gram of
+    // the whitespace-free normalized text, keep the min of each 4-hash
+    // window (distinct), pair documents by shared fingerprints, score by
+    // normalized overlap |A^B|/min(|A|,|B|). Near-dups land at >= 0.9,
+    // the next pair at 0.57 corpus-wide, so threshold 0.7 is exact here.
+    // The oracle rebuilds the whole pipeline with list functions; all
+    // counts are integers so the one final division matches bit-for-bit.
+    QueryDef(
+      "q_winnow_neardup",
+      Some("""
+        WITH nt AS (SELECT doc_id,
+                      array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '') AS s
+                    FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2),
+                i -> CAST(('0x' || substr(md5(substr(s, CAST(i AS BIGINT), 8)), 1, 8)) AS BIGINT)) AS hs
+              FROM nt WHERE len(s) >= 8),
+        w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                j -> list_min(hs[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)]))) AS fps
+              FROM g WHERE len(hs) >= 4),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        nf AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+        sh2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) AS overlap
+        FROM sh2
+        JOIN nf na ON na.doc_id = sh2.doc_a
+        JOIN nf nb ON nb.doc_id = sh2.doc_b
+        WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.7"""),
+      (s, dir) => Dedup.winnowNearDup(Tables.load(s, dir, "documents"), 0.7)),
+
+    // Rolling-hash (Karp-Rabin) winnowing — O(len) hashing instead of
+    // md5's O(len*k), the 100 TB fingerprinting path. Hash values are
+    // engine-specific, so the gate emits the md5-portable pairs as the
+    // hash-checked ground truth plus an aggregate agreement boolean
+    // (Dedup.winnowRecallGate).
+    QueryDef(
+      "q_winnow_fast",
+      Some("""
+        WITH nt AS (SELECT doc_id,
+                      array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '') AS s
+                    FROM documents),
+        g AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2),
+                i -> CAST(('0x' || substr(md5(substr(s, CAST(i AS BIGINT), 8)), 1, 8)) AS BIGINT)) AS hs
+              FROM nt WHERE len(s) >= 8),
+        w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                j -> list_min(hs[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)]))) AS fps
+              FROM g WHERE len(hs) >= 4),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        nf AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+        sh2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT doc_a, doc_b, true AS recall_ok
+        FROM sh2
+        JOIN nf na ON na.doc_id = sh2.doc_a
+        JOIN nf nb ON nb.doc_id = sh2.doc_b
+        WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.7"""),
+      (s, dir) => Dedup.winnowRecallGate(Tables.load(s, dir, "documents"))),
+
     // ---- SimHash (portable md5 bit source, full oracle) -------------------
     // 64-bit SimHash over distinct 3-gram shingles; bit b of the signature
     // is the sign of the vote sum over shingles of bit b of md5(shingle)

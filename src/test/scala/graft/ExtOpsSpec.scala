@@ -44,6 +44,59 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(broken.nonEmpty && broken.forall(!_.getBoolean(2)))
   }
 
+  test("featureHash embedding matches the SQL formulation it promises") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark engines at scale"),
+      (3L, "no"))  // < 3 tokens -> zero vector
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      graft.functions.FeatureHash(spark, col("text"), 32).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // independent reference: hex-string arithmetic exactly as the oracle SQL
+    def ref(text: String, d: Int): Seq[Double] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      val sh = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toVector.distinct
+      val v = new Array[Double](d)
+      sh.foreach { s =>
+        val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val dim = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % d).toInt
+        val sgn = (Integer.parseInt(hex.substring(8, 9), 16) & 1) * 2 - 1
+        v(dim) += sgn
+      }
+      v.toSeq
+    }
+    assert(got(1L) === ref("the quick brown fox jumps over the lazy dog again and again", 32))
+    assert(got(2L) === ref("completely different content about spark engines at scale", 32))
+    assert(got(3L) === Seq.fill(32)(0.0))
+  }
+
+  test("srpNearDup returns exactly the all-pairs cosine>=t pairs (LSH recall 1 on corpus)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val vecs = docs.select(col("doc_id"),
+        graft.functions.FeatureHash(spark, col("text"), 128).as("v"))
+      val lsh = graft.ext.Similarity.srpNearDup(vecs, threshold = 0.6, dim = 128)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val p = vecs
+        .withColumn("nrm", sqrt(graft.ext.Similarity.dot(col("v"), col("v"))))
+        .where(col("nrm") > 0)
+      val exact = p.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+        .crossJoin(p.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (graft.ext.Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .where(col("cos") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty, s"$dir: expected near-dup pairs in the corpus")
+      assert(lsh === exact, s"$dir: LSH pairs diverge from exact")
+    }
+  }
+
   test("simhash is deterministic and identical for identical text") {
     import spark.implicits._
     val docs = Seq(
