@@ -36,6 +36,78 @@ object Pipeline {
         FROM c JOIN d USING (ch) GROUP BY doc_id"""),
       (s, dir) => PipelineOps.chunkDedup(Tables.load(s, dir, "documents"), 16)),
 
+    // ---- the full hygiene pipeline, composed ------------------------------
+    // langid -> quality floor -> boilerplate (FRACTIONAL df floor) ->
+    // exact dedup -> decontamination vs the doc_id<25 eval set -> PII
+    // redaction, one row per surviving doc with every stage's evidence.
+    // The oracle recomputes the whole composition, so the gate checks the
+    // stages AND their interaction (join semantics, filter order
+    // invariance, the shared shingle CTE).
+    QueryDef(
+      "q_pipeline_e2e",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        lang AS (SELECT doc_id, s_en,
+                   CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'other'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS predicted
+                 FROM (SELECT doc_id,
+                         len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in)\\b')) AS s_en,
+                         len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist)\\b')) AS s_de,
+                         len(regexp_extract_all(lower(text), '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                         len(regexp_extract_all(lower(text), '\\b(?:el|los|y|que|una)\\b')) AS s_es
+                       FROM documents)),
+        qual AS (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+                 FROM documents),
+        nd AS (SELECT count(*) AS total FROM documents),
+        d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        boiler AS (SELECT doc_id,
+                     CAST(count(CASE WHEN df >= greatest(3, CAST(ceil(0.01 * total) AS BIGINT)) THEN 1 END) AS DOUBLE)
+                       / count(*) AS boiler_ratio
+                   FROM sh JOIN d USING (shingle), nd GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+               FROM documents),
+        surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+        decon AS (SELECT s.doc_id,
+                    CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac
+                  FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+                  WHERE s.doc_id >= 25 GROUP BY s.doc_id),
+        red AS (SELECT doc_id,
+                  md5(regexp_replace(
+                    regexp_replace(text, '${PipelineOps.EmailRe}', '<EMAIL>', 'g'),
+                    '${PipelineOps.PhoneRe}', '<PHONE>', 'g')) AS red_fp
+                FROM documents)
+        SELECT lang.doc_id, CAST(qual.n_tokens AS BIGINT) AS n_tokens,
+               CAST(lang.s_en AS DOUBLE) / qual.n_tokens AS stop_ratio,
+               boiler.boiler_ratio, decon.contam_frac, red.red_fp
+        FROM lang
+        JOIN qual ON qual.doc_id = lang.doc_id
+        JOIN boiler ON boiler.doc_id = lang.doc_id
+        JOIN decon ON decon.doc_id = lang.doc_id
+        JOIN surv ON surv.doc_id = lang.doc_id
+        JOIN red ON red.doc_id = lang.doc_id
+        WHERE lang.predicted = 'en'
+          AND qual.n_tokens >= 20
+          AND CAST(lang.s_en AS DOUBLE) / qual.n_tokens >= 0.02
+          AND boiler.boiler_ratio <= 0.3
+          AND decon.contam_frac < 0.3"""),
+      (s, dir) => PipelineOps.hygienePipeline(
+        Tables.load(s, dir, "documents"), col("doc_id") < 25)),
+
     // ---- boilerplate n-gram detection / filter ----------------------------
     // Shingles in >= 3 docs are boilerplate; drop docs over 30% boilerplate.
     QueryDef(

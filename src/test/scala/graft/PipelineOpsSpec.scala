@@ -7,6 +7,30 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
 
+  test("hygienePipeline == the conjunction of its individually-oracled stages") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val got = PipelineOps.hygienePipeline(docs, col("doc_id") < 25)
+      .collect().map(_.getLong(0)).toSet
+    // reference: run each stage operator independently, intersect the keeps
+    val en = graft.queries.Registry.queries("q_langid")(spark, dir)
+      .where(col("predicted") === "en").collect().map(_.getLong(0)).toSet
+    val qual = graft.queries.Registry.queries("q_quality")(spark, dir)
+      .where(col("n_tokens") >= 20 && col("stop_ratio") >= 0.02)
+      .collect().map(_.getLong(0)).toSet
+    val minDf = math.max(3L, math.ceil(0.01 * docs.count()).toLong)
+    val boil = PipelineOps.boilerplate(docs, minDf, 0.3)
+      .where(col("keep")).collect().map(_.getLong(0)).toSet
+    val surv = docs
+      .select(col("doc_id"), graft.ext.TextOps.fingerprint(col("text")).as("f"))
+      .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = PipelineOps.decontaminate(docs, col("doc_id") < 25, 0.3)
+      .where(!col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(got === (en & qual & boil & surv & clean))
+    assert(got.nonEmpty && !got.exists(_ < 25), "eval docs must never survive")
+  }
+
   test("chunk kernel == HOF slice formulation on all sf0.001 documents") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val k = 16
