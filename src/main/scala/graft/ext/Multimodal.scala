@@ -183,6 +183,140 @@ object Multimodal {
     spark.createDataFrame(rdd, resizeSchema)
   }
 
+  /** RIFF/WAVE magic sniff, mirroring [[looksLikeImage]]: keeps non-audio
+    * payloads off the AudioSystem reader registry. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-native WAV/PCM — no
+    * container packages): (sampleRate, channels, nFrames, [rms, peak,
+    * zero-crossing rate, dc offset]) over the mono-mixed normalized
+    * samples. None when the payload is not decodable PCM audio. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Array[Double])] = {
+    if (!looksLikeWav(payload)) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (in == null) return None
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      if (!signed && enc != javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        return None
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return None
+      val ch = fmt.getChannels
+      val bytes = in.readAllBytes()
+      val frameSize = fmt.getFrameSize
+      val nFrames = bytes.length / frameSize
+      if (nFrames == 0) return None
+      val scale = if (bits == 8) 128.0 else 32768.0
+      var ss = 0.0; var sm = 0.0; var pk = 0.0; var zc = 0L
+      var prev = 0.0
+      var f = 0
+      while (f < nFrames) {
+        // mono-mix the frame's channels into one normalized sample
+        var s = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = f * frameSize + c * (bits / 8)
+          val raw =
+            if (bits == 8) {
+              if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128
+            } else {
+              // WAV PCM16 is little-endian signed
+              val lo = bytes(off) & 0xff
+              val hi = bytes(off + 1).toInt
+              (hi << 8) | lo
+            }
+          s += raw / scale
+          c += 1
+        }
+        s /= ch
+        ss += s * s; sm += s
+        val a = math.abs(s)
+        if (a > pk) pk = a
+        if (f > 0 && s * prev < 0) zc += 1
+        prev = s
+        f += 1
+      }
+      val feats = Array(
+        math.sqrt(ss / nFrames), pk,
+        if (nFrames > 1) zc.toDouble / (nFrames - 1) else 0.0,
+        sm / nFrames)
+      Some((fmt.getSampleRate.toInt, ch, nFrames.toLong, feats))
+    } catch {
+      case _: Exception => None
+    } finally in.close()
+  }
+
+  /** STUB audio decoder for non-audio payloads, mirroring [[decodeStub]]:
+    * pretends each byte is one signed 8-bit mono sample at 8 kHz and
+    * computes the same feature vector as the real path. Every quantity is
+    * integer arithmetic until one final scale/divide, so the DuckDB
+    * oracle reproduces it bit-for-bit from hex(payload). */
+  def audioStub(payload: Array[Byte]): (Int, Int, Long, Array[Double]) = {
+    val n = payload.length
+    if (n == 0) return (8000, 1, 0L, Array.ofDim[Double](4))
+    var ss = 0L; var sm = 0L; var pk = 0L; var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = payload(i).toInt
+      ss += s.toLong * s; sm += s
+      val a = math.abs(s)
+      if (a > pk) pk = a
+      if (i > 0 && s * prev < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    val feats = Array(
+      math.sqrt(ss.toDouble / (16384.0 * n)),
+      pk / 128.0,
+      if (n > 1) zc.toDouble / (n - 1) else 0.0,
+      sm / (128.0 * n))
+    (8000, 1, n.toLong, feats)
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false),
+    StructField("zcr", DoubleType, nullable = false),
+    StructField("dc", DoubleType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Audio feature extraction over a binary payload column — the audio
+    * sibling of [[extractFeatures]], same partition-parallel plumbing:
+    * real `javax.sound.sampled` decode for WAV payloads, the
+    * deterministic [[audioStub]] for everything else (`decoded` records
+    * which). Input: (doc_id: long, payload: binary). */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val ((sr, ch, nf, f), dec) = decodeAudio(payload) match {
+          case Some(t) => (t, true)
+          case None => (audioStub(payload), false)
+        }
+        val dur = if (sr > 0) nf.toDouble / sr else 0.0
+        Row(id, payload.length.toLong, sr, ch, nf, dur, f(0), f(1), f(2), f(3), dec)
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
   /** Documents → media table: text bytes standing in for an encoded blob,
     * with typed metadata carried alongside the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

@@ -330,6 +330,45 @@ object Text {
             (0 until Multimodal.featureDim).map(j =>
               element_at(col("features"), j + 1).as(s"f$j"))
             :+ col("decoded")): _*)
-      })
+      }),
+
+    // ---- multimodal audio features (stub contract, full oracle) -----------
+    // The audio sibling of q_mm_features: same partition-parallel binary
+    // plumbing, REAL javax.sound.sampled decode for WAV payloads (pinned
+    // in ExtOpsSpec with in-test generated PCM), deterministic byte-level
+    // stub for this corpus's text payloads — every stub quantity is
+    // integer arithmetic until one final scale/divide, so DuckDB
+    // reproduces rms/peak/zcr/dc bit-for-bit from hex(payload).
+    QueryDef(
+      "q_mm_audio",
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        e AS (SELECT doc_id, n, hx, unnest(range(n)) AS i FROM b),
+        s AS (SELECT doc_id, n, i,
+                CASE WHEN ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT >= 128
+                     THEN ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT - 256
+                     ELSE ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT END AS sb
+              FROM e),
+        l AS (SELECT doc_id, n, sb,
+                lag(sb) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM s),
+        a AS (SELECT doc_id, any_value(n) AS n, sum(sb*sb) AS ss, sum(sb) AS sm,
+                     max(abs(sb)) AS pk,
+                     count(CASE WHEN sb * prev < 0 THEN 1 END) AS zc
+              FROM l GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+               CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(n AS DOUBLE) / 8000.0 AS duration_s,
+               sqrt(CAST(ss AS DOUBLE) / (16384.0 * n)) AS rms,
+               CAST(pk AS DOUBLE) / 128.0 AS peak,
+               CASE WHEN n > 1 THEN CAST(zc AS DOUBLE) / (n - 1) ELSE 0.0 END AS zcr,
+               CAST(sm AS DOUBLE) / (128.0 * n) AS dc,
+               FALSE AS decoded
+        FROM a"""),
+      (s, dir) => Multimodal.extractAudioFeatures(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents"))))
   )
 }

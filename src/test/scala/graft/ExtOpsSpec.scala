@@ -109,6 +109,52 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("multimodal audio: REAL PCM WAV decode, stub fallback for text payloads") {
+    import spark.implicits._
+    // deterministic 16-bit mono 8 kHz WAV: 0.1 s of a 440 Hz sine at 0.5 amplitude
+    val sr = 8000
+    val n = 800
+    val amp = 0.5
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.round(amp * 32767.0 * math.sin(2 * math.Pi * 440 * i / sr)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Seq(
+      (1L, wav),
+      (2L, "just some text bytes, not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.extractAudioFeatures(media.repartition(2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val real = out(1L)
+    assert(real.getBoolean(10), "WAV payload must take the real decode path")
+    assert(real.getInt(2) === sr && real.getInt(3) === 1 && real.getLong(4) === n)
+    assert(math.abs(real.getDouble(5) - 0.1) < 1e-9, "duration")
+    // sine RMS = amp/sqrt(2); zcr = 2 * f / sr; dc ~ 0
+    assert(math.abs(real.getDouble(6) - amp / math.sqrt(2)) < 0.01, "rms")
+    assert(math.abs(real.getDouble(7) - amp) < 0.01, "peak")
+    assert(math.abs(real.getDouble(8) - 2.0 * 440 / sr) < 0.02, "zcr")
+    assert(math.abs(real.getDouble(9)) < 0.01, "dc offset")
+
+    val stub = out(2L)
+    assert(!stub.getBoolean(10), "text payload must take the stub path")
+    val (ssr, sch, snf, sf) = graft.ext.Multimodal.audioStub(
+      "just some text bytes, not audio".getBytes("UTF-8"))
+    assert(stub.getInt(2) === ssr && stub.getInt(3) === sch && stub.getLong(4) === snf)
+    assert(stub.getDouble(6) === sf(0) && stub.getDouble(7) === sf(1) &&
+      stub.getDouble(8) === sf(2) && stub.getDouble(9) === sf(3))
+  }
+
   test("multimodal extractFeatures: partition-parallel stub decode with stable output") {
     val media = Multimodal.documentsAsMedia(Tables.load(spark, sfDir, "documents"))
       .repartition(4)
