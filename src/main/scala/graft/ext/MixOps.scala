@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly operators — the stage AFTER hygiene where a cleaned
+  * corpus becomes actual training input (SURVEY.md §2.9 extension
+  * surface): deterministic global shuffle + sharding, concat-and-chunk
+  * context packing, and per-source temperature sampling (data mixing).
+  * All are hash-keyed single-window plans with exact DuckDB oracles —
+  * nothing sorts the corpus globally.
+  */
+object MixOps {
+
+  /** Deterministic pseudorandom shuffle key: md5 over (doc_id, text) so
+    * byte-identical duplicate docs still get distinct positions. */
+  private def shuffleKey = md5(concat_ws(":", col("doc_id"), col("text")))
+
+  /** Deterministic corpus shuffle + balanced shard assignment — the
+    * reproducible "global shuffle" every training run needs. The md5 key
+    * IS the random order (stable across runs, engines, and partitionings);
+    * shard = first 8 hex digits mod `nShards` balances in expectation,
+    * and position-within-shard is the md5 rank.
+    *
+    * Scale shape: ONE shuffle (the per-shard window); no global sort, no
+    * total ordering across shards — each shard is an independent unit,
+    * which is exactly how shard files are written and later consumed.
+    * Output: (doc_id, shard, pos). */
+  def shardAssign(docs: DataFrame, nShards: Int): DataFrame =
+    docs
+      .select(col("doc_id"), shuffleKey.as("m"))
+      .withColumn("shard",
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("m"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  /** Concat-and-chunk context packing: documents are laid out in the
+    * deterministic shuffle order WITHIN each shard, token counts are
+    * cumulatively summed, and the concatenated token stream is cut into
+    * fixed `budget`-token context windows (the standard LLM pretraining
+    * layout — documents span window boundaries rather than being padded).
+    * Per doc: the first and last context index it occupies in its shard.
+    *
+    * Scale shape: the cumulative sum is a per-shard running window — the
+    * corpus-wide plan is one shuffle on shard and a per-shard sort, all
+    * integer arithmetic (no doubles, so engine-exact). A single global
+    * ordering would serialize into one partition; sharding first is what
+    * makes packing parallel, and is also semantically right (each shard
+    * is packed independently into its own context stream).
+    * Output: (doc_id, shard, n_tokens, start_ctx, end_ctx, n_ctxs). */
+  def packContexts(docs: DataFrame, nShards: Int, budget: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("m"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"), shuffleKey.as("m"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard",
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long") % nShards)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("start_ctx"),
+        expr(s"(cum - 1) div $budget").as("end_ctx"),
+        expr(s"(cum - 1) div $budget - (cum - n_tokens) div $budget + 1")
+          .as("n_ctxs"))
+  }
+
+  /** Per-source temperature sampling (data mixing): source `s` with
+    * `cnt_s` documents gets a quota of min(cnt_s, ceil(k·√cnt_s)) —
+    * the √ (temperature 0.5) flattens the source distribution so huge
+    * crawl sources stop drowning small high-quality ones, the standard
+    * mixing move. Quotas are filled deterministically by md5(text) rank,
+    * so the sampled corpus is stable across runs and engines.
+    *
+    * Deliberately NOT normalized by Σ cnt^α across sources: quotas
+    * depend only on each source's own count, which keeps every number
+    * integer-or-IEEE-exact (a cross-source double sum would make the
+    * result depend on summation order) and means adding a new source
+    * never silently changes another source's sample.
+    *
+    * Scale shape: same two-phase pattern as
+    * [[PipelineOps.stratifiedSample]] — per-source counts are one
+    * aggregation broadcast back, a 16-bit hash-prefix bound prefilters
+    * each source to ~4× its quota, and the per-source rank window sorts
+    * only the survivors. Output: (doc_id, source, quota, rn). */
+  def temperatureSample(
+      docs: DataFrame, sourceCol: String, k: Int): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("quota",
+        least(col("cnt"), ceil(lit(k.toDouble) * sqrt(col("cnt")))))
+    val bound = least(
+      lit(65535),
+      ceil(lit(65536.0 * 4) * col("quota").cast("double") /
+        col("cnt").cast("double")).cast("int"))
+    docs.join(broadcast(counts), sourceCol)
+      .where(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") < bound)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(md5(col("text")), col("doc_id"))))
+      .where(col("rn") <= col("quota"))
+      .select(col("doc_id"), col(sourceCol), col("quota"), col("rn"))
+  }
+}

@@ -438,6 +438,72 @@ object PipelineOps {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+1-555-[0-9]{4}"
 
+  /** Within-document repetition scoring (the Gopher-style quality rules
+    * that catch degenerate/templated text): unique-token ratio, the
+    * fraction of all bigram occurrences taken by the single most frequent
+    * bigram, and the duplicated-chunk ratio inside the document. A doc
+    * dominated by one repeated phrase scores top_bigram_frac near 1 and
+    * is dropped; hygiene filters keyed on CROSS-doc frequency
+    * ([[boilerplate]], [[chunkDedup]]) cannot see this.
+    *
+    * Scale shape: unique-token and dup-chunk ratios are pure per-row
+    * array expressions fused into the scan (zero exchange); the top-
+    * bigram mode needs true per-(doc, bigram) counts, so it shuffles
+    * twice on hash keys (doc_id+bigram, then doc_id) — never on text.
+    * Output: (doc_id, n_tokens, uniq_ratio, top_bigram_frac,
+    * dup_chunk_ratio, keep). */
+  def repetitionScore(
+      docs: DataFrame, maxTopBigramFrac: Double = 0.2,
+      minUniqRatio: Double = 0.5, chunkK: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = TextOps.tokens(col("text"))
+    val chunks = graft.functions.TextKernels.chunkArray(spark, col("text"), chunkK)
+    val perRow = docs
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
+        (lit(1.0) - size(array_distinct(chunks)).cast("double") / size(chunks))
+          .as("dup_chunk_ratio"))
+      .where(col("n_tokens") >= 2)
+    val bg = Dedup.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleArray(
+          spark, col("text"), 2, distinct = false)).as("b"))
+    val top = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        (col("top").cast("double") / col("tot")).as("top_bigram_frac"))
+    perRow.join(top, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+        col("top_bigram_frac"), col("dup_chunk_ratio"),
+        (col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("uniq_ratio") >= minUniqRatio).as("keep"))
+  }
+
+  /** Per-domain corpus census + blocklist filtering — the URL-level
+    * hygiene every crawl-derived corpus runs first. The synthetic corpus
+    * has no URLs, so (as with [[redactDemo]]'s PII) each doc carries a
+    * DETERMINISTIC injected source URL derived from doc_id; the
+    * extraction/normalization/blocklist expressions are exactly what
+    * runs on real crawl text. Pure projection + one count aggregation
+    * over ~|domains| keys. Output: (domain, n_docs, blocked). */
+  def urlDomainStats(docs: DataFrame, blocklist: Seq[String]): DataFrame =
+    docs
+      .select(concat(
+        lit("see http://site"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" "), col("text")).as("t"))
+      .select(regexp_extract(col("t"), UrlDomainRe, 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("domain"), col("n_docs"),
+        col("domain").isInCollection(blocklist).as("blocked"))
+
+  val UrlDomainRe = "https?://([a-z0-9.-]+)/"
+
   /** PII redaction: count and mask email addresses and phone numbers. The
     * corpus is synthetic word-salad with no real PII, so the op
     * demonstrates on DETERMINISTIC injected contact lines (derived from

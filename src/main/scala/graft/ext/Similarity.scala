@@ -168,15 +168,16 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band value = the band's `bits` hyperplane signs packed into an int;
-    // everything up to the candidate join is inside the scan's codegen span
+    // band value = the band's `bits` hyperplane signs packed into an int.
+    // The projection and the packing are BOTH kernels (graft_matvec →
+    // graft_sign_bands) so the chain evaluates once per row inside the
+    // scan's codegen span — a transform/aggregate HOF here re-evaluates
+    // the inlined matVec per element access (see [[SignBands]]'s scaladoc).
     val bandRows = prepped
-      .withColumn("hv", graft.functions.VectorExpressions.matVec(
-        spark, typedlit(flat.toSeq), col("v"), h))
-      .withColumn("bb", expr(
-        s"transform(sequence(0, ${bands - 1}), j -> " +
-          s"aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> " +
-          s"acc + IF(element_at(hv, j * $bits + i + 1) > 0D, shiftleft(1, i), 0)))"))
+      .withColumn("bb", graft.functions.VectorExpressions.signBands(
+        spark,
+        graft.functions.VectorExpressions.matVecConst(spark, flat, col("v"), h),
+        bits, bands))
       .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))

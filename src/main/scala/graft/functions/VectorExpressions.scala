@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -543,6 +543,153 @@ case class MatVec(mat: Expression, vec: Expression, rows: Int)
     copy(mat = l, vec = r)
 }
 
+/** [[MatVec]] against a CONSTANT matrix packed into a BINARY literal
+  * (little-endian doubles) instead of an array<double> literal. A
+  * 32768-element array literal (256 SRP hyperplanes × 128 dims) turned
+  * out to poison the whole query around it: every plan copy /
+  * canonicalization / cache-lookup / plan-string pass walks the boxed
+  * ArrayData element-wise, and with the literal appearing on both sides
+  * of the candidate self-join the per-ACTION overhead reached tens of
+  * seconds on a 500-row input and GREW with each derived frame
+  * (measured: a cached 16k-row count 2.6 s, its union-distinct 19 s).
+  * A binary literal is one flat primitive array — equality is memcmp,
+  * toString is O(1) — and the doubles are unpacked ONCE per task into a
+  * plain double[] referenced directly by codegen. */
+case class MatVecLit(mat: Expression, vec: Expression, rows: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = mat
+  override def right: Expression = vec
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec_lit"
+
+  @transient private lazy val matArr: Array[Double] =
+    MatVecLit.unpack(mat.eval().asInstanceOf[Array[Byte]])
+
+  override def nullSafeEval(m: Any, v: Any): Any = {
+    val mm = matArr
+    val x = v.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0; var j = 0
+      val base = i * d
+      while (j < d) { s += mm(base + j) * x.getDouble(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (_, v) => {
+      val mm = ctx.addReferenceObj("matArr", matArr, "double[]")
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      s"""
+         |int $d = $v.numElements();
+         |double[] $out = new double[$rows];
+         |for (int $i = 0; $i < $rows; $i++) {
+         |  double $s = 0.0;
+         |  int $base = $i * $d;
+         |  for (int $j = 0; $j < $d; $j++) {
+         |    $s += $mm[$base + $j] * $v.getDouble($j);
+         |  }
+         |  $out[$i] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(mat = l, vec = r)
+}
+
+object MatVecLit {
+  def pack(m: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(m.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    m.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  def unpack(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getDouble(i * 8); i += 1 }
+    out
+  }
+}
+
+/** SRP band packing: slice the hyperplane-projection array into `bands`
+  * groups of `bits` signs and pack each group into an int bucket id
+  * (bit i set iff projection > 0). Exists as a kernel — rather than a
+  * transform/aggregate HOF over the projection column — because Catalyst
+  * inlines the projection expression into HOF lambdas when collapsing
+  * projections, and HOFs evaluate interpreted with no subexpression
+  * elimination: a [[MatVec]] feeding element_at inside a lambda re-runs
+  * the full rows×dim product PER ELEMENT ACCESS (measured 65 s for 500
+  * docs at 256×128). As a regular unary expression the projection child
+  * evaluates exactly once per row and the whole chain stays inside
+  * whole-stage codegen. */
+case class SignBands(proj: Expression, bits: Int, bands: Int)
+    extends UnaryExpression {
+
+  override def child: Expression = proj
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sign_bands"
+
+  override def nullSafeEval(p: Any): Any = {
+    val hv = p.asInstanceOf[ArrayData]
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var v = 0; var i = 0
+      val base = b * bits
+      while (i < bits) {
+        if (hv.getDouble(base + i) > 0d) v |= 1 << i
+        i += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val base = ctx.freshName("base")
+      s"""
+         |int[] $out = new int[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  int $v = 0;
+         |  int $base = $b * $bits;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    if ($p.getDouble($base + $i) > 0.0) $v |= 1 << $i;
+         |  }
+         |  $out[$b] = $v;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(proj = c)
+}
+
 /** PQ decode: reconstruct the quantized vector from its m code bytes and
   * the flat [sub][centroid][dsub] codebook — the encode-time half of
   * residual (IVF x PQ) composition, where the reconstruction is added back
@@ -812,6 +959,12 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "graft_matvec", exprs => MatVec(exprs(0), exprs(1), i(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_sign_bands", exprs =>
+        SignBands(exprs(0), i(exprs(1)), i(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_matvec_lit", exprs =>
+        MatVecLit(exprs(0), exprs(1), i(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_pq_decode", exprs =>
         PQDecode(exprs(0), exprs(1), i(exprs(2)), i(exprs(3))), "built-in")
     reg.createOrReplaceTempFunction(
@@ -870,6 +1023,21 @@ object VectorExpressions {
   def matVec(spark: SparkSession, mat: Column, v: Column, rows: Int): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_matvec", mat, v, lit(rows))
+  }
+
+  def signBands(spark: SparkSession, proj: Column, bits: Int, bands: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_sign_bands", proj, lit(bits), lit(bands))
+  }
+
+  /** [[MatVecLit]]: mat is a CONSTANT Scala matrix, shipped as a packed
+    * binary literal (see the expression's scaladoc for why). */
+  def matVecConst(
+      spark: SparkSession, mat: Array[Double], v: Column, rows: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_matvec_lit", lit(MatVecLit.pack(mat)), v, lit(rows))
   }
 
   def pqDecode(spark: SparkSession, codes: Column, codebook: Column, k: Int, dsub: Int): Column = {

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.ext.{MixOps, PipelineOps}
+import graft.sources.Tables
+
+/** Corpus-assembly queries (SURVEY.md §2.9): deterministic shuffle +
+  * sharding, concat-and-chunk context packing, temperature-sampled data
+  * mixing, within-doc repetition filtering, URL/domain hygiene. Oracle
+  * SQL mirrors the Spark expressions operation-for-operation; everything
+  * is integer/md5 arithmetic except the documented IEEE-exact divisions.
+  */
+object Mix {
+
+  private val NShards = 8
+  private val Budget = 512
+  private val MixK = 2
+
+  /** Blocklist for the URL-hygiene demo: every 7th injected site. */
+  val Blocklist: Seq[String] =
+    (0 until 50 by 7).map(i => s"site$i.example.com")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic corpus shuffle + shard assignment -------------------
+    // md5(doc_id:text) IS the reproducible random order; shard = first 8
+    // hex digits mod 8; pos = md5 rank within the shard. One shuffle, no
+    // global sort — shards are independent units, as on disk.
+    QueryDef(
+      "q_shard",
+      Some(s"""
+        WITH s AS (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || text) AS m
+                   FROM documents),
+        h AS (SELECT doc_id, m,
+                ('0x' || substr(m, 1, 8))::BIGINT % $NShards AS shard
+              FROM s)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY m, doc_id)
+                 AS INT) AS pos
+        FROM h"""),
+      (s, dir) => MixOps.shardAssign(
+        Tables.load(s, dir, "documents"), NShards)),
+
+    // ---- concat-and-chunk context packing ----------------------------------
+    // Documents laid out in shuffle order within each shard; the
+    // concatenated token stream is cut into 512-token context windows.
+    // All integer arithmetic (cum sums, div) — engine-exact by type.
+    QueryDef(
+      "q_pack",
+      Some(s"""
+        WITH s AS (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || text) AS m,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS n_tokens
+                   FROM documents),
+        h AS (SELECT doc_id, m, n_tokens,
+                ('0x' || substr(m, 1, 8))::BIGINT % $NShards AS shard
+              FROM s WHERE n_tokens > 0),
+        c AS (SELECT doc_id, shard, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY m, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM h)
+        SELECT doc_id, shard, n_tokens,
+               (cum - n_tokens) // $Budget AS start_ctx,
+               (cum - 1) // $Budget AS end_ctx,
+               (cum - 1) // $Budget - (cum - n_tokens) // $Budget + 1 AS n_ctxs
+        FROM c"""),
+      (s, dir) => MixOps.packContexts(
+        Tables.load(s, dir, "documents"), NShards, Budget)),
+
+    // ---- per-source temperature sampling (data mixing) ---------------------
+    // quota_s = min(cnt_s, ceil(2*sqrt(cnt_s))) — flattens the source
+    // distribution without a cross-source normalizing sum (which would be
+    // summation-order-dependent in doubles). Filled by md5(text) rank via
+    // the same 16-bit hash-prefix prefilter as q_stratified_sample.
+    QueryDef(
+      "q_domain_mix",
+      Some("""
+        WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        q AS (SELECT source, cnt,
+                least(cnt, CAST(ceil(2 * sqrt(cnt)) AS BIGINT)) AS quota
+              FROM c),
+        b AS (SELECT source, quota,
+                least(65535, CAST(ceil(262144.0 * quota / cnt) AS INT)) AS bound
+              FROM q),
+        f AS (SELECT d.doc_id, d.source, b.quota, md5(d.text) AS m
+              FROM documents d JOIN b USING (source)
+              WHERE ('0x' || substr(md5(d.text), 1, 4))::INT < b.bound),
+        r AS (SELECT doc_id, source, quota,
+                row_number() OVER (PARTITION BY source ORDER BY m, doc_id) AS rn
+              FROM f)
+        SELECT doc_id, source, quota, CAST(rn AS INT) AS rn
+        FROM r WHERE rn <= quota"""),
+      (s, dir) => MixOps.temperatureSample(
+        Tables.load(s, dir, "documents"), "source", MixK)),
+
+    // ---- within-doc repetition scoring (Gopher-style quality rules) --------
+    QueryDef(
+      "q_repetition",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, len(toks) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  AS uniq_ratio,
+                1.0 - CAST(len(list_distinct(list_transform(
+                    range(CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                    i -> array_to_string(
+                      toks[i*8 + 1 : least((i+1)*8, len(toks))], ' '))))
+                  AS DOUBLE) /
+                  CAST(ceil(len(toks) / 8.0) AS BIGINT) AS dup_chunk_ratio
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)))
+                   AS b
+               FROM t WHERE len(toks) >= 2),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        tb AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bc
+               GROUP BY doc_id)
+        SELECT p.doc_id, p.n_tokens, p.uniq_ratio,
+               CAST(tb.top AS DOUBLE) / tot AS top_bigram_frac,
+               p.dup_chunk_ratio,
+               (CAST(tb.top AS DOUBLE) / tot <= 0.2 AND p.uniq_ratio >= 0.5)
+                 AS keep
+        FROM p JOIN tb USING (doc_id)"""),
+      (s, dir) => PipelineOps.repetitionScore(
+        Tables.load(s, dir, "documents"))),
+
+    // ---- URL/domain census + blocklist filter ------------------------------
+    QueryDef(
+      "q_url_domains",
+      Some(s"""
+        WITH i AS (SELECT 'see http://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                     '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' ' || text
+                     AS t
+                   FROM documents),
+        d AS (SELECT regexp_extract(t, '${PipelineOps.UrlDomainRe}', 1)
+                AS domain FROM i)
+        SELECT domain, count(*) AS n_docs,
+               domain IN (${Blocklist.map(d => s"'$d'").mkString(", ")})
+                 AS blocked
+        FROM d GROUP BY domain"""),
+      (s, dir) => PipelineOps.urlDomainStats(
+        Tables.load(s, dir, "documents"), Blocklist))
+  )
+}

@@ -23,7 +23,8 @@ final case class QueryDef(
 object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ Events.defs ++ Text.defs ++ Vectors.defs ++
-      Extra.defs ++ Advanced.defs ++ SparkOnly.defs ++ Pipeline.defs
+      Extra.defs ++ Advanced.defs ++ SparkOnly.defs ++ Pipeline.defs ++
+      Mix.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,120 @@
+package graft
+
+import graft.ext.{MixOps, PipelineOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MixOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("shardAssign: total, determinism, balance, dense positions") {
+    val a = MixOps.shardAssign(docs, 8).collect()
+    assert(a.length === docs.count())
+    // deterministic across invocations (the md5 order is the contract)
+    val b = MixOps.shardAssign(docs, 8).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+      === b.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1))
+    // every shard in range and populated; positions dense from 1
+    val byShard = a.groupBy(_.getLong(1))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    }
+    // hash balance: no shard more than 3x the mean (md5 is uniform)
+    val mean = a.length / 8.0
+    assert(byShard.values.forall(_.length <= 3 * mean))
+  }
+
+  test("packContexts: per-shard streams are contiguous and gapless") {
+    val rows = MixOps.packContexts(docs, 4, 64)
+      .orderBy("shard", "start_ctx", "doc_id").collect()
+    rows.foreach { r =>
+      val (ntok, start, end, nctx) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(start <= end && nctx === end - start + 1)
+      // a doc spans at most ceil(ntok/64)+1 contexts (alignment slack 1)
+      assert(nctx <= (ntok + 63) / 64 + 1)
+    }
+    // within a shard, consecutive docs' context ranges chain: next start
+    // is the previous end (window shared) or end+1 (cut at boundary)
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getLong(3), r.getLong(4)))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getLong(3) === p.getLong(4) ||
+            n.getLong(3) === p.getLong(4) + 1)
+        case _ =>
+      }
+      // the shard's token total implies its context count exactly
+      val total = rs.map(_.getLong(2)).sum
+      val lastCtx = rs.map(_.getLong(4)).max
+      assert(lastCtx === (total - 1) / 64)
+    }
+  }
+
+  test("temperatureSample: quota law, determinism, and flattening") {
+    val out = MixOps.temperatureSample(docs, "source", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      val quota = math.min(counts(src),
+        math.ceil(2 * math.sqrt(counts(src).toDouble)).toLong)
+      assert(rows.head._3 === quota)
+      assert(rows.length === quota,
+        s"$src: got ${rows.length}, want $quota of ${counts(src)}")
+    }
+    // flattening: sample share of a source is smaller than its corpus share
+    // whenever the source is large enough for the sqrt to bite
+    counts.filter(_._2 > 16).foreach { case (src, cnt) =>
+      assert(bySource(src).length.toDouble / out.length < cnt.toDouble /
+        counts.values.sum * 1.5)
+    }
+    val again = MixOps.temperatureSample(docs, "source", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("repetitionScore flags a degenerate doc; clean docs keep") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.repetitionScore(crafted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(5))).toMap
+    val (uniq1, topbg1, keep1) = out(1L)
+    assert(uniq1 === 0.1 && topbg1 === 1.0 && !keep1)
+    val (uniq2, topbg2, keep2) = out(2L)
+    assert(uniq2 === 1.0 && topbg2 < 0.2 && keep2)
+  }
+
+  test("repetitionScore: per-row ratios match a brute-force recount") {
+    val out = PipelineOps.repetitionScore(docs).collect()
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(texts(r.getLong(0)).toLowerCase).toSeq
+      assert(r.getLong(1) === toks.length)
+      assert(math.abs(r.getDouble(2) - toks.distinct.length.toDouble / toks.length) < 1e-12)
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val top = bigrams.groupBy(identity).values.map(_.size).max
+      assert(math.abs(r.getDouble(3) - top.toDouble / bigrams.length) < 1e-12)
+    }
+  }
+
+  test("urlDomainStats: census covers all injected sites, blocklist hits") {
+    val out = PipelineOps.urlDomainStats(docs, graft.queries.Mix.Blocklist)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val n = docs.count()
+    assert(out.map(_._2).sum === n)
+    assert(out.forall(_._1.matches("site[0-9]+\\.example\\.com")))
+    assert(out.count(_._3) === out.count(r =>
+      graft.queries.Mix.Blocklist.contains(r._1)))
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+}
