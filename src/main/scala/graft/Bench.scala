@@ -58,6 +58,14 @@ object Bench {
       // otherwise lands on the alphabetically-first LSH consumer
       // (measured: q_dup_clusters 5.7 s cold vs 2.5 s warm)
       graft.ext.Dedup.minhashNearDup(d64, 0.7).count()
+      // the SRP-LSH pipeline (feature-hash embed, matvec/sign-band
+      // kernels, band self-join, cosine verify, lineage cut) JITs ~25 s
+      // of generated classes on first use (measured: q_hash_embed_neardup
+      // 36.6 s cold vs 9.0 s warm at sf0.1)
+      graft.ext.Similarity.srpNearDup(
+        d64.select(col("doc_id"),
+          graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
+        threshold = 0.6, dim = 128, bits = 8, bands = 4).count()
       // stopword-alternation regex counting (langid/quality) compiles its
       // own regex + codegen path (measured: q_langid 2.1 s cold vs 0.4 s
       // warm when another query got there first)

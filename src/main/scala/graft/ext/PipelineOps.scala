@@ -329,6 +329,50 @@ object PipelineOps {
         (col("shared_sh").cast("double") / col("n_sh") >= maxFrac).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the membership shape for when the
+    * eval/benchmark shingle set outgrows an exact broadcast ([[
+    * decontaminate]] ships every distinct eval shingle string to every
+    * executor; fine for eval sets, but the same operator also covers
+    * "filter a corpus against a BLOCKLIST corpus", where the reference
+    * side can be millions of documents). The eval shingles are folded
+    * DISTRIBUTED into a Bloom filter (partial filters OR-merged; only
+    * the ~1.2 MB-per-million-items bitset reaches the driver and the
+    * task closures), and each document is scored by one codegen'd
+    * [[graft.functions.BloomCountHits]] pass over its distinct-shingle
+    * array — no explode, no shuffle, no per-row set lookup allocation.
+    *
+    * Bloom guarantees NO false negatives, so `bloom_hits >=` the exact
+    * shared-shingle count always, and overshoot is bounded by the false-
+    * positive rate — both properties are pinned per-row/in-aggregate by
+    * the self-validating gate query (q_decontaminate_bloom).
+    * Output: (doc_id, n_sh, bloom_hits, contam_frac, contaminated). */
+  def decontaminateBloom(
+      docs: DataFrame, evalFilter: org.apache.spark.sql.Column,
+      maxFrac: Double = 0.3, n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val evalSh = Dedup.docShingles(docs.where(evalFilter), n)
+      .select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomBytes = graft.functions.BloomMembership.build(
+      evalSh, "shingle", evalSh.count(), fpp)
+    evalSh.unpersist()
+    val sh = graft.functions.TextKernels.shingleArray(
+      docs.sparkSession, col("text"), n, distinct = true)
+    docs.where(!evalFilter)
+      .select(col("doc_id"), sh.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("__sh")).cast("long").as("n_sh"),
+        graft.functions.BloomMembership
+          .countHits(docs.sparkSession, col("__sh"), bloomBytes)
+          .cast("long").as("bloom_hits"))
+      .select(
+        col("doc_id"), col("n_sh"), col("bloom_hits"),
+        (col("bloom_hits").cast("double") / col("n_sh")).as("contam_frac"),
+        (col("bloom_hits").cast("double") / col("n_sh") >= maxFrac)
+          .as("contaminated"))
+  }
+
   /** Containment-on-ingest: score each ARRIVING document's directed
     * containment against a static reference corpus, one microbatch at a
     * time through `foreachBatch` — the per-batch plan is exactly

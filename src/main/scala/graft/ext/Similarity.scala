@@ -148,8 +148,21 @@ object Similarity {
     * c ~ 0.9 (where text near-dups live) that is 1 - 3e-5, while a random
     * pair (p = 0.5) collides in ~12% of cases: candidate volume drops an
     * order of magnitude and everything else never computes a dot product.
-    * (bits, bands) are the scale knobs: more bits prune harder, more bands
-    * recover recall; raise both as corpus density grows.
+    * (bits, bands) MUST grow with the corpus or random collisions make
+    * the candidate join quadratic (expected candidates ~ n^2 * bands /
+    * 2^bits — the same fixed-parameter trap as fixed-k IVF, measured at
+    * exponent 1.26 on the x10 gate before this was parameterized). The
+    * defaults (`bits = 0`) therefore AUTO-SCALE: bits = max(8,
+    * ceil(log2(n / 2))) holds expected random-bucket occupancy at ~2
+    * regardless of n (a random pair collides with prob bands / 2^bits,
+    * so candidates stay ~ n * bands), and bands = ceil(32 * 0.85^(8 -
+    * bits)) grows
+    * geometrically with the added bits so the per-pair survival
+    * probability at cosine ~0.9 (bit-agreement p ~ 0.85) stays at the
+    * 8-bit/32-band level (miss < 1e-4, and DETERMINISTIC per corpus —
+    * the hyperplanes are seeded, so a verified corpus never flakes).
+    * Candidate volume then follows the LSH-theory n^(1+rho) curve
+    * instead of n^2. Explicit (bits, bands) override the auto-scaling.
     *
     * Plan shape: hyperplane signatures are one map-side graft_matvec pass
     * (no exchange), band rows are narrow (id, band, value), candidates
@@ -159,15 +172,31 @@ object Similarity {
     * Output: (doc_a, doc_b, sim) with doc_a < doc_b. */
   def srpNearDup(
       vecs: DataFrame, threshold: Double, dim: Int,
-      bits: Int = 8, bands: Int = 32, seed: Long = 42L): DataFrame = {
+      bits: Int = 0, bands: Int = 0, seed: Long = 42L): DataFrame = {
     val spark = vecs.sparkSession
-    val h = bits * bands
-    val rnd = new java.util.Random(seed)
-    val flat = Array.fill(h * dim)(rnd.nextGaussian())
-    val prepped = vecs
+    // single-file parquet inputs arrive as ONE partition under the default
+    // maxPartitionBytes; the h×dim projection would then run on one core
+    // (measured 22 s single-threaded vs 0.7 s spread, x10 gate)
+    val spreadVecs =
+      if (vecs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        vecs.repartition(spark.sparkContext.defaultParallelism)
+      else vecs
+    val prepped = spreadVecs
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBits =
+      if (bits > 0) bits
+      else {
+        val n = prepped.count().toDouble
+        math.max(8, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+      }
+    val nBands =
+      if (bands > 0) bands
+      else math.ceil(32.0 * math.pow(0.85, 8 - nBits)).toInt
+    val h = nBits * nBands
+    val rnd = new java.util.Random(seed)
+    val flat = Array.fill(h * dim)(rnd.nextGaussian())
     // band value = the band's `bits` hyperplane signs packed into an int.
     // The projection and the packing are BOTH kernels (graft_matvec →
     // graft_sign_bands) so the chain evaluates once per row inside the
@@ -177,8 +206,11 @@ object Similarity {
       .withColumn("bb", graft.functions.VectorExpressions.signBands(
         spark,
         graft.functions.VectorExpressions.matVecConst(spark, flat, col("v"), h),
-        bits, bands))
+        nBits, nBands))
       .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
+      // both sides of the candidate self-join read these rows: cache them
+      // or the h×dim projection runs twice (once per side)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
     val candidates = l.join(r, Seq("band", "bval"))
@@ -198,6 +230,7 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
     val cut = Lineage.cut(out)
     prepped.unpersist()
+    bandRows.unpersist()
     candidates.unpersist()
     cut
   }

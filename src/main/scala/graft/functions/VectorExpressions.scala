@@ -6,6 +6,65 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
+/** Precompiled hot loops for the vector expressions below. Generated code
+  * calls these one-line statics instead of inlining the loops: a
+  * whole-stage-codegen method that inlines several O(h·d) loops can blow
+  * past HotSpot's huge-method bytecode limit (-XX:HugeMethodLimit, 8 KB),
+  * after which the ENTIRE generated method runs in the bytecode
+  * interpreter — measured 0.5 GFLOP/s aggregate on the SRP projection at
+  * the x10 gate before this change, ~20x slower than compiled. A small
+  * static method is JIT-compiled once with full optimization, and its
+  * ArrayData accessor call sites stay monomorphic (UnsafeArrayData), so
+  * they inline. Interpreted eval delegates to the same methods — one
+  * source of truth, bit-identical accumulation order on both paths. */
+object VectorKernels {
+
+  /** Sequential left-to-right dot; null elements contribute 0 (matches
+    * the HOF fold and the DuckDB oracle bit-for-bit). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** rows×d constant-matrix × vector product over primitive arrays. */
+  def matVec(m: Array[Double], x: Array[Double], rows: Int): ArrayData = {
+    val d = x.length
+    val out = new Array[Double](rows)
+    var i = 0
+    while (i < rows) {
+      var s = 0.0; var j = 0
+      val base = i * d
+      while (j < d) { s += m(base + j) * x(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Pack `bands` groups of `bits` projection signs into int bucket ids. */
+  def signBands(p: ArrayData, bits: Int, bands: Int): ArrayData = {
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var v = 0; var i = 0
+      val base = b * bits
+      while (i < bits) {
+        if (p.getDouble(base + i) > 0d) v |= 1 << i
+        i += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Native dot product over two array<double> columns.
   *
   * The composable alternative — aggregate(zip_with(a, b, _*_), 0.0, _+_) —
@@ -24,38 +83,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      // fresh names: several DotProducts can land in ONE codegen function
-      // (e.g. the IVF cell assignment evaluates one per centroid) and
-      // fixed locals would collide -> whole-stage codegen bailout
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val i = ctx.freshName("i")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dot($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -500,44 +533,15 @@ case class MatVec(mat: Expression, vec: Expression, rows: Int)
     org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_matvec"
 
-  override def nullSafeEval(m: Any, v: Any): Any = {
-    val mm = m.asInstanceOf[ArrayData]
-    val x = v.asInstanceOf[ArrayData]
-    val d = x.numElements()
-    val out = new Array[Double](rows)
-    var i = 0
-    while (i < rows) {
-      var s = 0.0; var j = 0
-      val base = i * d
-      while (j < d) { s += mm.getDouble(base + j) * x.getDouble(j); j += 1 }
-      out(i) = s
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(m: Any, v: Any): Any =
+    VectorKernels.matVec(
+      m.asInstanceOf[ArrayData].toDoubleArray(),
+      v.asInstanceOf[ArrayData].toDoubleArray(), rows)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (m, v) => {
-      val d = ctx.freshName("d")
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
-      val base = ctx.freshName("base")
-      s"""
-         |int $d = $v.numElements();
-         |double[] $out = new double[$rows];
-         |for (int $i = 0; $i < $rows; $i++) {
-         |  double $s = 0.0;
-         |  int $base = $i * $d;
-         |  for (int $j = 0; $j < $d; $j++) {
-         |    $s += $m.getDouble($base + $j) * $v.getDouble($j);
-         |  }
-         |  $out[$i] = $s;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (m, v) =>
+      s"""${ev.value} = graft.functions.VectorKernels.matVec(
+         |  $m.toDoubleArray(), $v.toDoubleArray(), $rows);""".stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(mat = l, vec = r)
@@ -567,44 +571,15 @@ case class MatVecLit(mat: Expression, vec: Expression, rows: Int)
   @transient private lazy val matArr: Array[Double] =
     MatVecLit.unpack(mat.eval().asInstanceOf[Array[Byte]])
 
-  override def nullSafeEval(m: Any, v: Any): Any = {
-    val mm = matArr
-    val x = v.asInstanceOf[ArrayData]
-    val d = x.numElements()
-    val out = new Array[Double](rows)
-    var i = 0
-    while (i < rows) {
-      var s = 0.0; var j = 0
-      val base = i * d
-      while (j < d) { s += mm(base + j) * x.getDouble(j); j += 1 }
-      out(i) = s
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(m: Any, v: Any): Any =
+    VectorKernels.matVec(
+      matArr, v.asInstanceOf[ArrayData].toDoubleArray(), rows)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (_, v) => {
       val mm = ctx.addReferenceObj("matArr", matArr, "double[]")
-      val d = ctx.freshName("d")
-      val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
-      val base = ctx.freshName("base")
-      s"""
-         |int $d = $v.numElements();
-         |double[] $out = new double[$rows];
-         |for (int $i = 0; $i < $rows; $i++) {
-         |  double $s = 0.0;
-         |  int $base = $i * $d;
-         |  for (int $j = 0; $j < $d; $j++) {
-         |    $s += $mm[$base + $j] * $v.getDouble($j);
-         |  }
-         |  $out[$i] = $s;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-       """.stripMargin
+      s"""${ev.value} = graft.functions.VectorKernels.matVec(
+         |  $mm, $v.toDoubleArray(), $rows);""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -648,43 +623,12 @@ case class SignBands(proj: Expression, bits: Int, bands: Int)
     org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_sign_bands"
 
-  override def nullSafeEval(p: Any): Any = {
-    val hv = p.asInstanceOf[ArrayData]
-    val out = new Array[Int](bands)
-    var b = 0
-    while (b < bands) {
-      var v = 0; var i = 0
-      val base = b * bits
-      while (i < bits) {
-        if (hv.getDouble(base + i) > 0d) v |= 1 << i
-        i += 1
-      }
-      out(b) = v
-      b += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(p: Any): Any =
+    VectorKernels.signBands(p.asInstanceOf[ArrayData], bits, bands)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, p => {
-      val out = ctx.freshName("out")
-      val b = ctx.freshName("b")
-      val i = ctx.freshName("i")
-      val v = ctx.freshName("v")
-      val base = ctx.freshName("base")
-      s"""
-         |int[] $out = new int[$bands];
-         |for (int $b = 0; $b < $bands; $b++) {
-         |  int $v = 0;
-         |  int $base = $b * $bits;
-         |  for (int $i = 0; $i < $bits; $i++) {
-         |    if ($p.getDouble($base + $i) > 0.0) $v |= 1 << $i;
-         |  }
-         |  $out[$b] = $v;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.functions.VectorKernels.signBands($p, $bits, $bands);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(proj = c)

@@ -221,6 +221,59 @@ object Pipeline {
       (s, dir) => PipelineOps.decontaminate(
         Tables.load(s, dir, "documents"), col("doc_id") < 25, maxFrac = 0.3)),
 
+    // ---- Bloom-filter decontamination (self-validating gate) --------------
+    // The membership-at-scale variant: eval shingles folded distributed
+    // into a Bloom bitset, docs scored by one codegen'd counting pass.
+    // Bloom bit placement is deterministic (seed-fixed double hashing,
+    // OR-merge), so two structural properties are oracle-checkable:
+    // no_false_neg (bloom_hits >= exact shared count, guaranteed) and
+    // fpr_ok (total overshoot within 3x nominal fpp + slack — Poisson sd
+    // is ~sqrt(mean), the 3x margin is dozens of sds at any corpus size).
+    // Exact columns ride along SQL-reproduced; the engine-specific hit
+    // counts themselves never reach the hash.
+    QueryDef(
+      "q_decontaminate_bloom",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+        SELECT s.doc_id,
+               count(*) AS n_sh,
+               count(e.shingle) AS shared_sh,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac,
+               CAST(count(e.shingle) AS DOUBLE) / count(*) >= 0.3
+                 AS contaminated,
+               true AS no_false_neg,
+               true AS fpr_ok
+        FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+        WHERE s.doc_id >= 25 GROUP BY s.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val exact = PipelineOps.decontaminate(docs, col("doc_id") < 25, 0.3)
+        val bloomed = PipelineOps
+          .decontaminateBloom(docs, col("doc_id") < 25, 0.3)
+          .select(col("doc_id"), col("bloom_hits"))
+        val j = exact.join(bloomed, "doc_id")
+        val tot = j.agg(
+          sum(col("bloom_hits") - col("shared_sh")).as("__extra"),
+          sum(col("n_sh") - col("shared_sh")).as("__neg"))
+        j.crossJoin(broadcast(tot))
+          .select(
+            col("doc_id"), col("n_sh"), col("shared_sh"),
+            col("contam_frac"), col("contaminated"),
+            (col("bloom_hits") >= col("shared_sh")).as("no_false_neg"),
+            (col("__extra") <= ceil(lit(0.03) * col("__neg")) + lit(32L))
+              .as("fpr_ok"))
+      }),
+
     // ---- PII redaction (deterministic injected contacts) ------------------
     QueryDef(
       "q_redact",

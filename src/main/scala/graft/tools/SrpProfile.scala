@@ -37,8 +37,10 @@ object SrpProfile {
         spark, col("v"), col("v"))))
       .where(col("nrm") > 0)
     t("norm collect")(withNorm.select("doc_id", "nrm").collect())
+    withNorm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("withNorm cache")(withNorm.count())
 
-    val bits = 8
+    val bits = sys.env.getOrElse("SRP_BITS", "8").toInt
     val bands = sys.env.getOrElse("SRP_BANDS", "32").toInt
     val h = bits * bands; val dim = 128
     val rnd = new java.util.Random(42L)
@@ -49,8 +51,17 @@ object SrpProfile {
         graft.functions.VectorExpressions.matVecConst(spark, flat, col("v"), h),
         bits, bands))
       .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
+    val bbOnly = withNorm
+      .withColumn("bb", graft.functions.VectorExpressions.signBands(
+        spark,
+        graft.functions.VectorExpressions.matVecConst(spark, flat, col("v"), h),
+        bits, bands))
+      .select(col("doc_id"), col("bb"))
+    t("bb no-explode count")(bbOnly.count())
+    t("bb no-explode count again")(bbOnly.count())
     t("bandRows count")(bandRows.count())
     t("bandRows count again")(bandRows.count())
+    println(bandRows.queryExecution.executedPlan.toString.linesIterator.take(12).mkString("\n"))
 
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))

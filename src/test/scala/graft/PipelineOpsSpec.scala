@@ -162,4 +162,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .select(graft.ext.TextOps.fingerprint(col("text")).as("fp")).distinct()
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("decontaminateBloom: no false negatives, bounded overshoot, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = PipelineOps.decontaminate(docs, col("doc_id") < 25, 0.3)
+      .select(col("doc_id"), col("n_sh"), col("shared_sh"))
+    val bloom = PipelineOps.decontaminateBloom(docs, col("doc_id") < 25, 0.3)
+      .select(col("doc_id"), col("n_sh").as("n_sh_b"), col("bloom_hits"))
+    val j = exact.join(bloom, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      // same per-row shingle universe, and Bloom can only overshoot
+      assert(r.getAs[Long]("n_sh") === r.getAs[Long]("n_sh_b"))
+      assert(r.getAs[Long]("bloom_hits") >= r.getAs[Long]("shared_sh"))
+    }
+    val extra = j.map(r => r.getAs[Long]("bloom_hits") - r.getAs[Long]("shared_sh")).sum
+    val neg = j.map(r => r.getAs[Long]("n_sh") - r.getAs[Long]("shared_sh")).sum
+    assert(extra <= math.ceil(0.03 * neg).toLong + 32, s"fp overshoot $extra vs $neg negatives")
+    // bit placement is seed-fixed and OR-merged: a rebuild counts identically
+    val again = PipelineOps.decontaminateBloom(docs, col("doc_id") < 25, 0.3)
+      .select(col("doc_id"), col("bloom_hits"))
+    assert(bloom.select(col("doc_id"), col("bloom_hits"))
+      .exceptAll(again).isEmpty)
+  }
 }
