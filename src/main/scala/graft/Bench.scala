@@ -58,14 +58,28 @@ object Bench {
       // otherwise lands on the alphabetically-first LSH consumer
       // (measured: q_dup_clusters 5.7 s cold vs 2.5 s warm)
       graft.ext.Dedup.minhashNearDup(d64, 0.7).count()
+      // winnowing fingerprints (md5 + rolling Karp-Rabin kernels, the
+      // fingerprint self-join and overlap verify) JIT ~3 s on first use
+      graft.ext.Dedup.winnowNearDup(d64, 0.7, maxDf = Some(16L)).count()
+      graft.ext.Dedup.winnowRecallGate(d64, 0.7, maxDf = Some(16L)).count()
+      // the prefix-containment path (index build: df-count + rarest-first
+      // sort_array sets, prefix slice join, array_intersect verify) JITs
+      // ~5 s on first use (measured: q_containment 8.3 s cold vs 3.1 s
+      // warm at sf0.1)
+      graft.ext.PipelineOps.containmentPairsPrefix(d64, 0.8).count()
       // the SRP-LSH pipeline (feature-hash embed, matvec/sign-band
       // kernels, band self-join, cosine verify, lineage cut) JITs ~25 s
-      // of generated classes on first use (measured: q_hash_embed_neardup
-      // 36.6 s cold vs 9.0 s warm at sf0.1)
+      // of generated classes + kernel statics on first use (measured:
+      // q_hash_embed_neardup 36.6 s cold vs 9.0 s warm at sf0.1). A
+      // 512-row slice at the production band shape gives the shared
+      // VectorKernels statics enough invocations to tier up to C2 —
+      // 64 rows leaves them in the interpreter for the first real query.
+      val d512 = graft.sources.Tables.load(spark, sfDir, "documents")
+        .limit(512)
       graft.ext.Similarity.srpNearDup(
-        d64.select(col("doc_id"),
+        d512.select(col("doc_id"),
           graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
-        threshold = 0.6, dim = 128, bits = 8, bands = 4).count()
+        threshold = 0.6, dim = 128, bits = 8, bands = 32).count()
       // stopword-alternation regex counting (langid/quality) compiles its
       // own regex + codegen path (measured: q_langid 2.1 s cold vs 0.4 s
       // warm when another query got there first)
@@ -93,7 +107,12 @@ object Bench {
       wq.awaitTermination()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for local iteration: SPARK_GRAFT_QUERIES=q_a,q_b
+    val onlyFilter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyFilter.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // settle between queries: drop persisted intermediates of the prior
       // query and absorb the (async) unpersist + GC churn outside the
       // timed region, so it doesn't land on whichever query runs next

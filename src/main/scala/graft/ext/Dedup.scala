@@ -403,10 +403,12 @@ object Dedup {
     * 0.57) the pair sets agree — a selection or rolling-arithmetic bug
     * drops agreement and flips the boolean. */
   def winnowRecallGate(
-      docs: DataFrame, threshold: Double = 0.7, floor: Double = 0.9): DataFrame = {
-    val portable = winnowNearDup(docs, threshold).select("doc_a", "doc_b")
+      docs: DataFrame, threshold: Double = 0.7, floor: Double = 0.9,
+      maxDf: Option[Long] = None): DataFrame = {
+    val portable = winnowNearDup(docs, threshold, maxDf = maxDf)
+      .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fast = winnowNearDup(docs, threshold, rolling = true)
+    val fast = winnowNearDup(docs, threshold, rolling = true, maxDf = maxDf)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))

@@ -87,6 +87,61 @@ object MixOps {
     * aggregation broadcast back, a 16-bit hash-prefix bound prefilters
     * each source to ~4× its quota, and the per-source rank window sorts
     * only the survivors. Output: (doc_id, source, quota, rn). */
+  /** Budget-constrained quality selection: keep the highest-quality
+    * documents until a total token budget is exhausted — the data-
+    * selection step every budgeted pretraining run performs. "Quality"
+    * here is the integer per-100k stopword rate (n_stop·100000 div
+    * n_tokens) so every comparison and cumulative sum is exact integer
+    * arithmetic; callers with a model-based score can substitute any
+    * integer key.
+    *
+    * The textbook formulation is a cumulative sum over the GLOBAL
+    * quality order — a window with no partition, which Spark executes in
+    * a single partition: the 100 TB anti-pattern. This implements the
+    * distributed prefix-sum decomposition instead: (1) docs bucket by
+    * quality div 1000 (bucket is a monotone function of the sort key, so
+    * bucket-major order == global order); (2) one aggregation computes
+    * per-bucket token totals, ≤ ~101 rows collected to the driver;
+    * (3) an exclusive prefix sum over buckets (descending) broadcasts
+    * back as each bucket's starting offset; (4) the running sum windows
+    * only WITHIN buckets — fully parallel. cum_tokens = bucket offset +
+    * in-bucket running sum is IDENTICAL to the naive global window,
+    * which is exactly what the q_select_budget oracle replays.
+    * Output: (doc_id, q, n_tokens, cum_tokens, selected), all docs. */
+  def selectUnderBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val scored = docs
+      .select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.matchCount(col("text"), TextOps.LangStopwords.head._2)
+          .as("n_stop"))
+      .where(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("n_stop * 100000L div n_tokens").as("q"))
+      .withColumn("bucket", expr("q div 1000"))
+    val totals = scored.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btok"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    val offsets = totals
+      .scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val offsetDf = docs.sparkSession
+      .createDataFrame(offsets).toDF("bucket", "offset")
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(offsetDf), Seq("bucket"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("selected"))
+  }
+
   def temperatureSample(
       docs: DataFrame, sourceCol: String, k: Int): DataFrame = {
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("cnt"))

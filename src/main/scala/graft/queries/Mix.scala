@@ -94,6 +94,32 @@ object Mix {
       (s, dir) => MixOps.temperatureSample(
         Tables.load(s, dir, "documents"), "source", MixK)),
 
+    // ---- budget-constrained quality selection ------------------------------
+    // Keep the highest-quality docs until a 2000-token budget is spent.
+    // The oracle replays the NAIVE form (one global-order cumsum window);
+    // the engine runs the distributed prefix-sum decomposition (integer
+    // quality buckets -> per-bucket totals -> driver prefix sum ->
+    // within-bucket windows), so the hash gate proves the decomposition
+    // exactly equals the single-partition formulation it replaces.
+    QueryDef(
+      "q_select_budget",
+      Some("""
+        WITH s AS (SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in)\b')) AS n_stop
+                   FROM documents),
+        q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                (CAST(n_stop AS BIGINT) * 100000) // CAST(n_tokens AS BIGINT) AS q
+              FROM s WHERE n_tokens > 0)
+        SELECT doc_id, q, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 2000 AS selected
+        FROM q"""),
+      (s, dir) => MixOps.selectUnderBudget(
+        Tables.load(s, dir, "documents"), 2000L)),
+
     // ---- within-doc repetition scoring (Gopher-style quality rules) --------
     QueryDef(
       "q_repetition",

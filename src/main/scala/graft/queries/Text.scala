@@ -208,6 +208,10 @@ object Text {
     // window (distinct), pair documents by shared fingerprints, score by
     // normalized overlap |A^B|/min(|A|,|B|). Near-dups land at >= 0.9,
     // the next pair at 0.57 corpus-wide, so threshold 0.7 is exact here.
+    // Fingerprints in more than 16 documents are dropped before the join
+    // (standard MOSS hot-key cap, mirrored in the oracle): hot-fp df grows
+    // linearly with the corpus, so the uncapped self-join volume
+    // Σ df² is quadratic — measured 700M joined rows at the x10 gate.
     // The oracle rebuilds the whole pipeline with list functions; all
     // counts are integers so the one final division matches bit-for-bit.
     QueryDef(
@@ -223,9 +227,12 @@ object Text {
                 j -> list_min(hs[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)]))) AS fps
               FROM g WHERE len(hs) >= 4),
         fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-        nf AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+        rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1)
+                 WHERE c <= 16),
+        fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+        nf AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1),
         sh2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) AS overlap
@@ -233,7 +240,8 @@ object Text {
         JOIN nf na ON na.doc_id = sh2.doc_a
         JOIN nf nb ON nb.doc_id = sh2.doc_b
         WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.7"""),
-      (s, dir) => Dedup.winnowNearDup(Tables.load(s, dir, "documents"), 0.7)),
+      (s, dir) => Dedup.winnowNearDup(
+        Tables.load(s, dir, "documents"), 0.7, maxDf = Some(16L))),
 
     // Rolling-hash (Karp-Rabin) winnowing — O(len) hashing instead of
     // md5's O(len*k), the 100 TB fingerprinting path. Hash values are
@@ -253,16 +261,20 @@ object Text {
                 j -> list_min(hs[CAST(j AS BIGINT):CAST(j + 3 AS BIGINT)]))) AS fps
               FROM g WHERE len(hs) >= 4),
         fp AS (SELECT doc_id, unnest(fps) AS fp FROM w),
-        nf AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+        rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM fp GROUP BY 1)
+                 WHERE c <= 16),
+        fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+        nf AS (SELECT doc_id, count(*) AS n FROM fpc GROUP BY 1),
         sh2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
         SELECT doc_a, doc_b, true AS recall_ok
         FROM sh2
         JOIN nf na ON na.doc_id = sh2.doc_a
         JOIN nf nb ON nb.doc_id = sh2.doc_b
         WHERE CAST(c AS DOUBLE) / least(na.n, nb.n) >= 0.7"""),
-      (s, dir) => Dedup.winnowRecallGate(Tables.load(s, dir, "documents"))),
+      (s, dir) => Dedup.winnowRecallGate(
+        Tables.load(s, dir, "documents"), maxDf = Some(16L))),
 
     // ---- SimHash (portable md5 bit source, full oracle) -------------------
     // 64-bit SimHash over distinct 3-gram shingles; bit b of the signature

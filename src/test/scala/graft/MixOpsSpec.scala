@@ -117,4 +117,27 @@ class MixOpsSpec extends AnyFunSuite with SparkSpec {
       graft.queries.Mix.Blocklist.contains(r._1)))
     assert(out.exists(_._3) && out.exists(!_._3))
   }
+
+  test("selectUnderBudget: distributed prefix sum == naive global window") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val budget = 1500L
+    val got = MixOps.selectUnderBudget(docs, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.nonEmpty)
+    // naive reference: global (q desc, doc_id) order, running token sum
+    val order = got.sortBy(r => (-r._2, r._1))
+    var cum = 0L
+    order.foreach { r =>
+      cum += r._3
+      assert(r._4 === cum, s"cum_tokens mismatch for doc ${r._1}")
+      assert(r._5 === (cum <= budget))
+    }
+    // a budget that bites: some selected, some not
+    assert(got.exists(_._5) && got.exists(!_._5))
+    // selected set is a PREFIX of the quality order
+    val flags = order.map(_._5)
+    assert(!flags.dropWhile(identity).contains(true))
+  }
 }
