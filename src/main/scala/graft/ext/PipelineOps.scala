@@ -218,10 +218,21 @@ object PipelineOps {
         count(lit(1)).as("n_sh"))
       // once sorted, the dfs are dead weight: the ARRAY ITSELF, in
       // rarest-first order, serves both roles — any prefix is a plain
-      // slice of it, and array_intersect ignores order. Dropping the
-      // struct form halves what every caller persists.
+      // slice of it (candidate generation joins the index by STRING).
+      // Verification additionally gets `seth`: the same set as a SORTED
+      // xxhash64 array, so the per-candidate intersection is a zero-
+      // allocation two-pointer merge over longs (8 B shipped per shingle
+      // instead of the string) — array_intersect rebuilt a hash set AND
+      // allocated the intersection strings per candidate pair, the
+      // dominant containment stage at sf0.1 (5.5 s of 12). 64-bit
+      // collisions could in principle perturb a count (p ~ 1e-15 per
+      // pair, deterministic per corpus); the oracle's exact string
+      // recount would catch any.
       .select(col("doc_id"),
-        expr("transform(sorted, s -> s.shingle)").as("set"), col("n_sh"))
+        expr("transform(sorted, s -> s.shingle)").as("set"),
+        expr("sort_array(transform(sorted, s -> xxhash64(s.shingle)))")
+          .as("seth"),
+        col("n_sh"))
 
   /** Directed containment of `aDocs` (probe side) against the reference
     * `index`: (doc_a from aDocs, doc_b from index, |Sa ∩ Sb| / |Sa|).
@@ -237,7 +248,7 @@ object PipelineOps {
       index: ContainmentIndex, aSets0: DataFrame, threshold: Double): DataFrame = {
     val aSets = aSets0.select(
       col("doc_id"),
-      col("set").as("sa"),
+      col("seth").as("ha"),
       col("n_sh"),
       // the prefix is threshold-dependent, so it stays a query-time slice
       // of the (already rarest-first) set array
@@ -256,12 +267,13 @@ object PipelineOps {
     // arrays: each candidate row carries two compact arrays and one
     // array_intersect — candidates are never re-exploded per shingle
     cand
-      .join(aSets.select(col("doc_id").as("doc_a"), col("sa"),
+      .join(aSets.select(col("doc_id").as("doc_a"), col("ha"),
         col("n_sh").as("na")), Seq("doc_a"))
-      .join(index.sets.select(col("doc_id").as("doc_b"), col("set").as("sb")),
-        Seq("doc_b"))
+      .join(index.sets.select(col("doc_id").as("doc_b"),
+        col("seth").as("hb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        (graft.functions.SortedIntersect(
+          index.sh.sparkSession, col("ha"), col("hb")).cast("double") /
           col("na")).as("containment"))
       .where(col("containment") >= threshold)
   }
@@ -304,12 +316,17 @@ object PipelineOps {
 
   /** STATELESS per-row decontamination scoring against a pre-collected
     * eval shingle set: the shingle kernel emits each doc's whole distinct
-    * shingle set in its own row, so the score is one array_intersect per
-    * row — no explode, no shuffle, no aggregation, no state. The same
-    * expression therefore runs identically on a batch frame and on a
-    * STREAMING frame in append mode (dedup-on-ingest's simpler sibling:
-    * contamination filtering while the corpus is being ingested).
-    * Row-for-row equal to [[decontaminate]] over the non-eval docs. */
+    * shingle set in its own row, so the score is one membership-count
+    * kernel call per row — no explode, no shuffle, no aggregation, no
+    * state. The same expression therefore runs identically on a batch
+    * frame and on a STREAMING frame in append mode (dedup-on-ingest's
+    * simpler sibling: contamination filtering while the corpus is being
+    * ingested). Row-for-row equal to [[decontaminate]] over the non-eval
+    * docs. The count uses [[graft.functions.SetCountHits]] (set built
+    * once per executor) rather than array_intersect against a typedlit:
+    * ArrayIntersect rebuilds the literal-side hash set on every row,
+    * which at the x10 gate was the entire cost of the streaming query
+    * (0.44 ms/row against a 2.2k-shingle eval set). */
   def decontaminateScore(
       docs: DataFrame, evalShingles: Seq[String], maxFrac: Double = 0.3,
       n: Int = 3): DataFrame = {
@@ -321,7 +338,8 @@ object PipelineOps {
       .select(
         col("doc_id"),
         size(col("__sh")).cast("long").as("n_sh"),
-        size(array_intersect(col("__sh"), typedlit(evalShingles)))
+        graft.functions.BloomMembership
+          .countSetHits(docs.sparkSession, col("__sh"), evalShingles)
           .cast("long").as("shared_sh"))
       .select(
         col("doc_id"), col("n_sh"), col("shared_sh"),
