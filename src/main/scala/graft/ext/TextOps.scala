@@ -46,4 +46,44 @@ object TextOps {
   /** Content fingerprint: md5 of whitespace-normalized lowercased text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Vocabulary coverage / out-of-vocabulary scoring — the tokenizer-
+    * coverage check a pretraining pipeline runs before committing to a
+    * vocab: build the top-`vocabSize` tokens by corpus frequency
+    * (deterministic ties by token), then score every document's OOV
+    * token rate against it.
+    *
+    * Scale shape: the vocab build is one token-count aggregation topped
+    * by TakeOrderedAndProject (no global sort; only `vocabSize` rows
+    * reach the driver — same bounded-collect pattern as quantizer
+    * training), and scoring is one [[graft.functions.SetCountHits]]
+    * pass per document over its token array — membership against the
+    * broadcast vocab set, no explode, no second shuffle. All counts are
+    * integers; oov_rate is one exact division.
+    * Output: (doc_id, n_tokens, n_oov, oov_rate). */
+  def vocabCoverage(
+      docs: org.apache.spark.sql.DataFrame, vocabSize: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+    val vocab = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .collect().map(_.getString(0)).toIndexedSeq
+    toks
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) -
+          graft.functions.BloomMembership
+            .countSetHits(spark, col("toks"), vocab))
+          .cast("long").as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
 }

@@ -186,6 +186,31 @@ object Text {
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
           (col("alpha_chars").cast("double") / col("n_tokens")).as("mean_token_chars"))),
 
+    // ---- vocabulary coverage / OOV-rate scoring ---------------------------
+    // Top-16 tokens by corpus frequency (ties by token) become the
+    // (the synthetic corpus has only 31 distinct tokens, so 16 is the
+    // size at which coverage actually bites at every scale factor);
+    // vocab; every doc is scored by its out-of-vocabulary token rate —
+    // the tokenizer-coverage check run before committing to a vocab.
+    // The engine scores via the broadcast set-membership kernel; the
+    // oracle rebuilds vocab + scoring relationally. All-integer counts.
+    QueryDef(
+      "q_vocab_oov",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+        cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        v AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 16),
+        s AS (SELECT k.doc_id, count(*) AS n_tokens, count(v.tok) AS in_vocab
+              FROM tok k LEFT JOIN v ON k.tok = v.tok GROUP BY k.doc_id)
+        SELECT doc_id, n_tokens, n_tokens - in_vocab AS n_oov,
+               CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens AS oov_rate
+        FROM s"""),
+      (s, dir) => TextOps.vocabCoverage(
+        Tables.load(s, dir, "documents"), 16)),
+
     // ---- multimodal metadata (binary payload plumbing, oracle-checkable) ---
     QueryDef(
       "q_mm_meta",

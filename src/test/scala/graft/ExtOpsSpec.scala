@@ -259,4 +259,26 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     val (p3, w3, h3, r3) = out(3L)
     assert(!r3 && w3 === -1 && h3 === -1 && p3.toSeq === textBytes.toSeq)
   }
+
+  test("vocabCoverage: OOV counts match a brute-force recount") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val v = 16
+    val got = graft.ext.TextOps.vocabCoverage(docs, v)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force: recount tokens and vocab on the driver
+    val tokRe = "[a-z0-9]+".r
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokRe.findAllIn(r.getString(1).toLowerCase).toSeq)
+      .filter(_._2.nonEmpty)
+    val vocab = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(v).map(_._1).toSet
+    assert(got.size === texts.length)
+    texts.foreach { case (id, toks) =>
+      val (n, oov) = got(id)
+      assert(n === toks.length)
+      assert(oov === toks.count(t => !vocab.contains(t)), s"doc $id")
+    }
+    // the budget bites: some docs have OOV tokens, vocab tokens score 0
+    assert(got.values.exists(_._2 > 0))
+  }
 }
