@@ -51,7 +51,13 @@ object Dedup {
     * >= parallelism splits and passes through untouched. */
   private[ext] def spread(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    // partition count from plan metadata when the partitioning is known;
+    // file scans report UnknownPartitioning(0), so fall back to the
+    // INTERNAL RDD — unlike docs.rdd this skips planning the extra
+    // row-deserializer projection just to read a count
+    val meta = docs.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val n = if (meta > 0) meta else docs.queryExecution.toRdd.getNumPartitions
+    if (n < target) docs.repartition(target) else docs
   }
 
   /** Shingle-set sizes per doc. */

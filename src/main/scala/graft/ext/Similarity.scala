@@ -197,31 +197,55 @@ object Similarity {
     val h = nBits * nBands
     val rnd = new java.util.Random(seed)
     val flat = Array.fill(h * dim)(rnd.nextGaussian())
-    // band value = the band's `bits` hyperplane signs packed into an int.
-    // The projection and the packing are BOTH kernels (graft_matvec →
-    // graft_sign_bands) so the chain evaluates once per row inside the
-    // scan's codegen span — a transform/aggregate HOF here re-evaluates
-    // the inlined matVec per element access (see [[SignBands]]'s scaladoc).
-    val bandRows = prepped
-      .withColumn("bb", graft.functions.VectorExpressions.signBands(
-        spark,
-        graft.functions.VectorExpressions.matVecConst(spark, flat, col("v"), h),
-        nBits, nBands))
-      .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
-      // both sides of the candidate self-join read these rows: cache them
-      // or the h×dim projection runs twice (once per side)
+    // band values AND the full packed signature come from ONE projection
+    // pass (graft_matvec → graft_sign_bands / graft_pack_signs, all
+    // kernels, all inside the scan's codegen span — a transform/aggregate
+    // HOF here would re-evaluate the inlined matVec per element access,
+    // see [[SignBands]]'s scaladoc) and are cached together: both sides
+    // of the candidate self-join and the hamming filter read them.
+    val proj = graft.functions.VectorExpressions.matVecConst(
+      spark, flat, col("v"), h)
+    val sigs = prepped
+      .withColumn("__proj", proj)
+      .select(
+        col("doc_id"),
+        graft.functions.VectorExpressions.signBands(
+          spark, col("__proj"), nBits, nBands).as("bb"),
+        graft.functions.VectorExpressions.packSigns(
+          spark, col("__proj")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sigs
+      .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
     val candidates = l.join(r, Seq("band", "bval"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    // HAMMING PREFILTER: candidates carry only the two h-bit signatures
+    // (h/64 longs each — e.g. 24 longs vs 128 doubles + norm), and a
+    // popcount gate discards nearly every random collision before any
+    // vector is shipped. The gate is h·acos(t)/π + 3√h: the signature
+    // hamming of a TRUE pair at cosine exactly t concentrates at
+    // h·acos(t)/π with sd ≤ √h/2, so the margin is ≥ 6σ — a drop
+    // probability < 1e-9 per pair, deterministic per corpus (seeded
+    // hyperplanes), and re-verified pair-exact vs brute force at three
+    // scale factors by tools/SrpCheck. Exact cosine then touches only
+    // survivors (~true pairs), so the expensive verification join runs
+    // on thousands of rows, not millions.
+    val hamMax = math.ceil(
+      h * math.acos(threshold) / math.Pi + 3.0 * math.sqrt(h.toDouble)).toInt
+    val survivors = candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .where(graft.functions.VectorExpressions.hamming(
+        spark, col("sa"), col("sb")) <= hamMax)
+      .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val candIds = survivors.select(col("doc_a").as("doc_id"))
+      .union(survivors.select(col("doc_b").as("doc_id"))).distinct()
     val vv = prepped.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val out = candidates
+    val out = survivors
       .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
       .join(vv.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -230,8 +254,8 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
     val cut = Lineage.cut(out)
     prepped.unpersist()
-    bandRows.unpersist()
-    candidates.unpersist()
+    sigs.unpersist()
+    survivors.unpersist()
     cut
   }
 

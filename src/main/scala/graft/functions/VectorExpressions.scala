@@ -277,6 +277,31 @@ object VectorKernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Pack ALL projection signs into a little-endian long-array bitset
+    * (bit i of word i/64 set iff proj_i > 0) — the compact signature the
+    * SRP hamming prefilter ships per candidate instead of the full
+    * vector (24 longs vs 128 doubles + norm at h=1515). */
+  def packSigns(p0: ArrayData): ArrayData = {
+    val p = p0.toDoubleArray()
+    val out = new Array[Long]((p.length + 63) >>> 6)
+    var i = 0
+    while (i < p.length) {
+      if (p(i) > 0d) out(i >>> 6) |= 1L << (i & 63)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Hamming distance between two packed sign bitsets. */
+  def hamming(a0: ArrayData, b0: ArrayData): Int = {
+    val a = a0.toLongArray()
+    val b = b0.toLongArray()
+    val n = math.min(a.length, b.length)
+    var i = 0; var h = 0
+    while (i < n) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  }
+
   /** Pack `bands` groups of `bits` projection signs into int bucket ids. */
   def signBands(p0: ArrayData, bits: Int, bands: Int): ArrayData = {
     val p = p0.toDoubleArray()
@@ -642,6 +667,44 @@ case class SignBands(proj: Expression, bits: Int, bands: Int)
     copy(proj = c)
 }
 
+/** All projection signs as one packed long-array bitset — see
+  * [[VectorKernels.packSigns]]. */
+case class PackSigns(proj: Expression) extends UnaryExpression {
+  override def child: Expression = proj
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_pack_signs"
+
+  override def nullSafeEval(p: Any): Any =
+    VectorKernels.packSigns(p.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, p =>
+      s"${ev.value} = graft.functions.VectorKernels.packSigns($p);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(proj = c)
+}
+
+/** Hamming distance between two packed sign bitsets — see
+  * [[VectorKernels.hamming]]. */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.hamming($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** PQ decode: reconstruct the quantized vector from its m code bytes and
   * the flat [sub][centroid][dsub] codebook — the encode-time half of
   * residual (IVF x PQ) composition, where the reconstruction is added back
@@ -756,6 +819,10 @@ object VectorExpressions {
       "graft_sign_bands", exprs =>
         SignBands(exprs(0), i(exprs(1)), i(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_pack_signs", exprs => PackSigns(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hamming", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_matvec_lit", exprs =>
         MatVecLit(exprs(0), exprs(1), i(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction(
@@ -823,6 +890,16 @@ object VectorExpressions {
     register(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_sign_bands", proj, lit(bits), lit(bands))
+  }
+
+  def packSigns(spark: SparkSession, proj: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pack_signs", proj)
+  }
+
+  def hamming(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_hamming", a, b)
   }
 
   /** [[MatVecLit]]: mat is a CONSTANT Scala matrix, shipped as a packed
