@@ -86,4 +86,89 @@ object TextOps {
         col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
   }
+
+  /** Gopher/MassiveText-style repetition signals per document: the char
+    * fraction covered by the single most frequent word 2-gram and by all
+    * duplicated word 3-grams — the filters a pretraining pipeline uses
+    * to drop boilerplate-looping and degenerate-repetition documents.
+    *
+    * Scale shape: the whole computation is ONE codegen'd kernel call per
+    * row ([[graft.functions.RepetitionStatsExpr]] — the n-gram frequency
+    * maps live in the kernel, not the plan), so there is no explode, no
+    * shuffle, and no window; the operator is a pure projection at any
+    * corpus size. Counts stay integer; each fraction is one exact
+    * int-product cast and one IEEE division, so the relational oracle
+    * hash-matches. Documents with < 3 tokens (no 3-gram) are dropped.
+    * Output: (doc_id, n_tokens, alpha_chars, top2_gram, top2_cnt,
+    * top2_frac, dup3_chars, dup3_frac). */
+  def repetitionSignals(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .repetitionStatsCol(spark, col("text")).as("r"))
+      .where(col("r").isNotNull)
+      .select(
+        col("doc_id"),
+        col("r.n_tokens").as("n_tokens"),
+        col("r.alpha_chars").as("alpha_chars"),
+        col("r.top2_gram").as("top2_gram"),
+        col("r.top2_cnt").as("top2_cnt"),
+        ((col("r.top2_cnt") * (length(col("r.top2_gram")) - 1)).cast("double")
+          / col("r.alpha_chars")).as("top2_frac"),
+        col("r.dup3_chars").as("dup3_chars"),
+        (col("r.dup3_chars").cast("double") / col("r.alpha_chars"))
+          .as("dup3_frac"))
+  }
+
+  /** Character-trigram language-model scoring (the CCNet-style corpus-
+    * fit filter, made engine-portable): every document is scored by the
+    * fraction of its trigram POSITIONS whose trigram is rare in the
+    * corpus — rare meaning relative frequency <= 1/relDenom. Gibberish,
+    * wrong-charset, and off-distribution documents surface as high
+    * rare_rate exactly as they surface as high perplexity under a float
+    * n-gram LM, but every aggregate here is an integer count, so the
+    * score is reproducible bit-for-bit across engines (a float log-prob
+    * sum is summation-order-dependent and can never hash-match an
+    * independent oracle).
+    *
+    * Scale shape: pass 1 builds the trigram model — explode fuses into a
+    * map-side partial agg, so the shuffle carries at most one row per
+    * distinct trigram per partition (bounded by the char-alphabet cubed,
+    * NOT the corpus). The "common" set collected to the driver is
+    * structurally <= relDenom entries (each needs corpus frequency
+    * > 1/relDenom), so the broadcast stays small at ANY corpus size.
+    * Pass 2 scores map-side: one [[graft.functions.SetCountHits]]
+    * membership pass over each doc's positional trigram array — no join,
+    * no second shuffle.
+    * Output: (doc_id, n_tri, n_rare, rare_rate). */
+  def trigramRareRate(
+      docs: org.apache.spark.sql.DataFrame, relDenom: Long = 2000L)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val tris = docs
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .charNgramArray(spark, col("text"), 3).as("tris"))
+      .where(size(col("tris")) > 0)
+    val total = tris
+      .agg(sum(size(col("tris")).cast("long"))).collect()(0).getLong(0)
+    val common = tris
+      .select(explode(col("tris")).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * relDenom > total)
+      .collect().map(_.getString(0)).toIndexedSeq
+    tris
+      .select(
+        col("doc_id"),
+        size(col("tris")).cast("long").as("n_tri"),
+        (size(col("tris")) -
+          graft.functions.BloomMembership
+            .countSetHits(spark, col("tris"), common))
+          .cast("long").as("n_rare"))
+      .select(
+        col("doc_id"), col("n_tri"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tri")).as("rare_rate"))
+  }
 }

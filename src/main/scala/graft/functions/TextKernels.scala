@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingles of lowercased `[a-z0-9]+` tokens as ONE codegen'd
@@ -69,9 +70,140 @@ case class ChunksExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All overlapping character n-grams of the lowercased document, one per
+  * code-point position — the unit of the corpus trigram language model
+  * ([[graft.ext.TextOps.trigramRareRate]]). Positional (non-distinct):
+  * the LM scores POSITIONS, so a gram occurring five times in a doc must
+  * count five times. Code-point semantics match DuckDB's
+  * `substring(lower(text), i, n)`, which the oracle uses. Same
+  * zero-exchange codegen shape as [[ShinglesExpr]]. */
+case class CharNgramsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    TextKernels.charNgrams(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.TextKernels.charNgrams($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-document repetition signals (the Gopher/MassiveText repetition
+  * filters) in ONE pass over the token stream — no explode, no shuffle:
+  * the statistics are embarrassingly per-row, so the kernel computes the
+  * 2-gram and 3-gram frequency maps in thread-local hash tables inside
+  * the scan's codegen span, and only the five-field result struct leaves
+  * the row. Tie-break for the top 2-gram is (count DESC, gram ASC) —
+  * byte order, which for the `[a-z0-9 ]` gram alphabet equals both
+  * DuckDB's binary collation and Java's String order, making the result
+  * oracle-hashable. Returns null for documents with < 3 tokens (no
+  * 3-gram exists; callers filter).
+  *
+  * Fields: n_tokens, alpha_chars (sum of token lengths = chars the
+  * fraction denominators use), top2_gram, top2_cnt, dup3_chars (chars
+  * covered by every occurrence of 3-grams seen more than once). */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("alpha_chars", LongType, nullable = false),
+    StructField("top2_gram", StringType, nullable = false),
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.repetitionStats(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => s"""
+      ${ev.value} = graft.functions.TextKernels.repetitionStats($t);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextKernels {
 
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** See [[RepetitionStatsExpr]]. Null when the document has < 3 tokens. */
+  def repetitionStats(text: UTF8String): InternalRow = {
+    val s = text.toLowerCase.toString
+    val m = TokenPattern.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(m.group())
+    val n = toks.size
+    if (n < 3) return null
+    var alphaChars = 0L
+    var i = 0
+    while (i < n) { alphaChars += toks.get(i).length; i += 1 }
+    // top word-2-gram by (count DESC, gram ASC)
+    val g2 = new java.util.HashMap[String, Long](n * 2)
+    i = 0
+    while (i < n - 1) {
+      val g = toks.get(i) + " " + toks.get(i + 1)
+      g2.merge(g, 1L, java.lang.Long.sum(_, _))
+      i += 1
+    }
+    var topGram: String = null
+    var topCnt = 0L
+    val it2 = g2.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val better = e.getValue > topCnt ||
+        (e.getValue == topCnt && (topGram == null || e.getKey.compareTo(topGram) < 0))
+      if (better) { topGram = e.getKey; topCnt = e.getValue }
+    }
+    // chars covered by every occurrence of word-3-grams with count > 1
+    val g3 = new java.util.HashMap[String, Long](n * 2)
+    i = 0
+    while (i < n - 2) {
+      val g = toks.get(i) + " " + toks.get(i + 1) + " " + toks.get(i + 2)
+      g3.merge(g, 1L, java.lang.Long.sum(_, _))
+      i += 1
+    }
+    var dup3 = 0L
+    val it3 = g3.entrySet().iterator()
+    while (it3.hasNext) {
+      val e = it3.next()
+      if (e.getValue > 1) dup3 += e.getValue * (e.getKey.length - 2L)
+    }
+    new GenericInternalRow(Array[Any](
+      n.toLong, alphaChars, UTF8String.fromString(topGram), topCnt, dup3))
+  }
+
+  /** All overlapping char n-grams of lowercase `text`, by code point
+    * (empty array when the text has fewer than n code points). */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString
+    val cps = s.codePointCount(0, s.length)
+    val cnt = cps - (n - 1)
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    var i = 0          // char (UTF-16 unit) offset of the window start
+    var k = 0          // gram index (code-point position)
+    while (k < cnt) {
+      // advance a second pointer n code points past the window start
+      var j = i
+      var c = 0
+      while (c < n) { j += Character.charCount(s.codePointAt(j)); c += 1 }
+      out(k) = UTF8String.fromString(s.substring(i, j))
+      i += Character.charCount(s.codePointAt(i))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Non-overlapping k-token chunks (trailing partial included; empty array
     * for token-less documents). */
@@ -141,6 +273,27 @@ object TextKernels {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_chunks",
       exprs => ChunksExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_ngrams",
+      exprs => CharNgramsExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition_stats",
+      exprs => RepetitionStatsExpr(exprs(0)), "built-in")
+  }
+
+  /** Column API: per-doc repetition-signal struct (see
+    * [[RepetitionStatsExpr]]); null for documents with < 3 tokens. */
+  def repetitionStatsCol(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_repetition_stats", text)
+  }
+
+  /** Column API: positional char n-gram array of lowercase `text`. */
+  def charNgramArray(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_char_ngrams", text, org.apache.spark.sql.functions.lit(n))
   }
 
   /** Column API: non-overlapping k-token chunk array of `text`. */

@@ -406,6 +406,78 @@ object Text {
                FALSE AS decoded
         FROM a"""),
       (s, dir) => Multimodal.extractAudioFeatures(
-        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents"))))
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
+
+    // ---- repetition signals (Gopher/MassiveText filters) ------------------
+    // Top word-2-gram char fraction + duplicated word-3-gram char
+    // fraction per doc. Engine side is ONE kernel call per row (no
+    // explode/shuffle/window — graft_repetition_stats); the oracle
+    // rebuilds the n-gram frequency tables relationally. Tie-break for
+    // the top 2-gram is (count DESC, gram ASC) on both sides.
+    QueryDef(
+      "q_repetition_chars",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alpha_chars
+                   FROM documents),
+        base AS (SELECT doc_id, toks, alpha_chars,
+                        CAST(len(toks) AS BIGINT) AS n_tokens
+                 FROM t WHERE len(toks) >= 3),
+        g2 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))) AS gram
+               FROM base),
+        c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+        top2 AS (SELECT doc_id, gram AS top2_gram, CAST(cnt AS BIGINT) AS top2_cnt
+                 FROM (SELECT doc_id, gram, cnt,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY cnt DESC, gram) AS rn
+                       FROM c2) WHERE rn = 1),
+        g3 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                        || ' ' || list_extract(toks, i + 2))) AS gram
+               FROM base),
+        c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+        d3 AS (SELECT doc_id,
+                 CAST(sum(cnt * (length(gram) - 2)) AS BIGINT) AS dup3_chars
+               FROM c3 WHERE cnt > 1 GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.alpha_chars,
+               top2.top2_gram, top2.top2_cnt,
+               CAST(top2.top2_cnt * (length(top2.top2_gram) - 1) AS DOUBLE)
+                 / b.alpha_chars AS top2_frac,
+               COALESCE(d3.dup3_chars, 0) AS dup3_chars,
+               CAST(COALESCE(d3.dup3_chars, 0) AS DOUBLE) / b.alpha_chars AS dup3_frac
+        FROM base b
+        JOIN top2 USING (doc_id)
+        LEFT JOIN d3 USING (doc_id)"""),
+      (s, dir) => TextOps.repetitionSignals(Tables.load(s, dir, "documents"))),
+
+    // ---- char-trigram LM scoring (CCNet-style corpus-fit filter) ----------
+    // rare_rate = fraction of trigram positions whose trigram has corpus
+    // relative frequency <= 1/2000. Engine side: bounded-key model agg +
+    // broadcast common-set membership kernel (structurally <= 2000
+    // entries at any scale); oracle rebuilds model + scoring
+    // relationally. All-integer until the final division.
+    QueryDef(
+      "q_trigram_lm",
+      Some("""
+        WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+        p AS (SELECT doc_id,
+                unnest(list_transform(range(1, length(s) - 1),
+                  i -> substring(s, CAST(i AS INT), 3))) AS tri
+              FROM d),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p),
+        c AS (SELECT tri, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY tri),
+        com AS (SELECT tri FROM c, tot WHERE cnt * 2000 > total),
+        sc AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                      CAST(count(com.tri) AS BIGINT) AS n_common
+               FROM p LEFT JOIN com ON p.tri = com.tri GROUP BY p.doc_id)
+        SELECT doc_id, n_tri, n_tri - n_common AS n_rare,
+               CAST(n_tri - n_common AS DOUBLE) / n_tri AS rare_rate
+        FROM sc"""),
+      (s, dir) => TextOps.trigramRareRate(
+        Tables.load(s, dir, "documents"), relDenom = 2000L))
   )
 }

@@ -91,4 +91,61 @@ class TextKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(spreads.head.outputPartitioning.numPartitions ===
       spark.sparkContext.defaultParallelism)
   }
+
+  test("char n-gram kernel == substring formulation; code-point windows") {
+    import spark.implicits._
+    TextKernels.register(spark)
+    // declarative reference: substring over 1..len-2
+    val docs = Seq((1L, "Abc de"), (2L, "xy"), (3L, ""), (4L, "aaaa"))
+      .toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+        TextKernels.charNgramArray(spark, col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(kernel(1L) == Seq("abc", "bc ", "c d", " de"))
+    assert(kernel(2L).isEmpty && kernel(3L).isEmpty)
+    assert(kernel(4L) == Seq("aaa", "aaa"))
+    // non-BMP code points count as ONE position (DuckDB substring parity)
+    val emoji = Seq((1L, "a😀b")).toDF("doc_id", "text")
+      .select(TextKernels.charNgramArray(spark, col("text"), 3).as("g"))
+      .as[Seq[String]].collect().head
+    assert(emoji == Seq("a😀b"))
+  }
+
+  test("repetition-stats kernel: hand-checked fields and <3-token null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),        // 2-grams: "a b"x2,"b a"x2 -> tie, gram asc
+      (2L, "x y x y x y"),      // 3-grams "x y x"x2,"y x y"x2 -> dup3
+      (3L, "one two")           // < 3 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    val d1 = r(1L)
+    assert(d1.getAs[String]("top2_gram") == "a b")    // tie -> lexicographic
+    assert(d1.getAs[Long]("top2_cnt") == 2L)
+    assert(d1.getAs[Long]("alpha_chars") == 5L)
+    assert(d1.getAs[Double]("top2_frac") == 2.0 * 2 / 5)
+    val d2 = r(2L)
+    // "x y x" and "y x y" each occur twice: dup3 = 2*3 + 2*3 = 12 chars
+    assert(d2.getAs[Long]("dup3_chars") == 12L)
+    assert(d2.getAs[Double]("dup3_frac") == 12.0 / 6)
+  }
+
+  test("trigram rare-rate: common set bounded, degenerate-uniform corpus " +
+      "scores zero, injected gibberish scores high") {
+    import spark.implicits._
+    // uniform corpus: every trigram common -> rare_rate 0 for all docs
+    val uni = (0L until 20L).map(i => (i, "the same line of text here"))
+      .toDF("doc_id", "text")
+    val ru = TextOps.trigramRareRate(uni, relDenom = 2000L)
+    assert(ru.where(col("n_rare") > 0).isEmpty)
+    // one gibberish doc among repeats: its trigrams are rare, others' not
+    val mixed = ((0L until 40L).map(i => (i, "the same line of text here")) :+
+      (99L, "qzv jxk wqp zzv")).toDF("doc_id", "text")
+    val rm = TextOps.trigramRareRate(mixed, relDenom = 50L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(rm(99L) > 0.8, s"gibberish doc should score high: ${rm(99L)}")
+    assert(rm(0L) == 0.0)
+  }
 }
