@@ -176,11 +176,9 @@ object Similarity {
     val spark = vecs.sparkSession
     // single-file parquet inputs arrive as ONE partition under the default
     // maxPartitionBytes; the h×dim projection would then run on one core
-    // (measured 22 s single-threaded vs 0.7 s spread, x10 gate)
-    val spreadVecs =
-      if (vecs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-        vecs.repartition(spark.sparkContext.defaultParallelism)
-      else vecs
+    // (measured 22 s single-threaded vs 0.7 s spread, x10 gate). Same
+    // plan-metadata probe as Dedup.spread (no .rdd lineage instantiation).
+    val spreadVecs = Dedup.spread(vecs)
     val prepped = spreadVecs
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
@@ -257,6 +255,31 @@ object Similarity {
     sigs.unpersist()
     survivors.unpersist()
     cut
+  }
+
+  /** Semantic deduplication (the SemDeDup pattern, Abbas et al. 2023):
+    * cluster documents whose EMBEDDINGS are cosine-similar — catching
+    * paraphrases and template re-renders that share no n-grams and so
+    * slip every lexical dedup — and keep one representative (the min
+    * doc_id) per connected component.
+    *
+    * Composition, not new machinery: candidate pairs come from
+    * [[srpNearDup]] (banded sign-random-projection LSH + hamming
+    * prefilter + exact cosine verify — the n^(1+rho) scale path, where
+    * SemDeDup's original formulation k-means-partitions first for the
+    * same candidate-pruning effect), and components resolve through
+    * [[Dedup.resolveClusters]] (hybrid driver union-find under the edge
+    * bound, distributed min-label fixpoint above it). Works on any
+    * (doc_id, v: array<double>) frame — hashing-trick text vectors give
+    * an end-to-end SQL-expressible oracle; real model embeddings use the
+    * identical plan.
+    * Output: (doc_id, cluster_root, keep). */
+  def semanticDedup(
+      vecs: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 0, bands: Int = 0, seed: Long = 42L): DataFrame = {
+    val pairs = srpNearDup(vecs, threshold, dim, bits, bands, seed)
+    Dedup.resolveClusters(
+      vecs.select(col("doc_id")), pairs.select("doc_a", "doc_b"))
   }
 
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`

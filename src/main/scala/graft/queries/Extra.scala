@@ -104,6 +104,43 @@ object Extra {
         Similarity.srpNearDup(vecs, threshold = 0.6, dim = 128)
       }),
 
+    // ---- semantic dedup (SemDeDup: embedding-cluster keep-one) ------------
+    // srpNearDup pairs -> connected components -> keep min-id per
+    // cluster. The oracle rebuilds the hashing-trick embedding + brute
+    // pairs in SQL and closes components over 3 hops — exact because
+    // cosine near-dup clusters are near-cliques (same bet q_dup_clusters
+    // makes, while the engine computes TRUE components via fixpoint).
+    QueryDef(
+      "q_semdedup",
+      Some(s"""
+        WITH ${Text.shinglesCte},
+        f AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
+                (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
+              FROM sh),
+        v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
+        nr AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.x * b.x) AS d
+               FROM v a JOIN v b ON a.dim = b.dim AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        pr AS (SELECT doc_a AS a, doc_b AS b FROM dp
+               JOIN nr na ON na.doc_id = dp.doc_a
+               JOIN nr nb ON nb.doc_id = dp.doc_b
+               WHERE d / (na.nrm * nb.nrm) >= 0.6),
+        e AS (SELECT a, b FROM pr
+              UNION ALL SELECT b, a FROM pr
+              UNION ALL SELECT doc_id, doc_id FROM documents),
+        h1 AS (SELECT a, min(b) AS m FROM e GROUP BY a),
+        h2 AS (SELECT e.a, min(h1.m) AS m FROM e JOIN h1 ON h1.a = e.b GROUP BY e.a),
+        h3 AS (SELECT e.a, min(h2.m) AS m FROM e JOIN h2 ON h2.a = e.b GROUP BY e.a)
+        SELECT a AS doc_id, m AS cluster_root, a = m AS keep FROM h3"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val vecs = docs.select(col("doc_id"),
+          graft.functions.FeatureHash(s, col("text"), 128).as("v"))
+        Similarity.semanticDedup(vecs, threshold = 0.6, dim = 128)
+      }),
+
     // ---- window-function family (lag/lead/rank/running max) ---------------
     QueryDef(
       "q_window_funcs",

@@ -281,4 +281,25 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     // the budget bites: some docs have OOV tokens, vocab tokens score 0
     assert(got.values.exists(_._2 > 0))
   }
+
+  test("semanticDedup: cosine-similar vectors cluster to min-id root, " +
+      "orthogonal vectors stay singletons, transitive chains merge") {
+    import spark.implicits._
+    // 1~2 identical, 3 near both (cos ~0.97), 4 orthogonal, 5 zero-norm
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)
+    val e3 = Array.tabulate(8)(i => if (i == 0) 1.0 else if (i == 1) 0.25 else 0.0)
+    val e4 = Array.tabulate(8)(i => if (i == 1) 1.0 else 0.0)
+    val vecs = Seq(
+      (1L, e1.toSeq), (2L, e1.toSeq), (3L, e3.toSeq),
+      (4L, e4.toSeq), (5L, Array.fill(8)(0.0).toSeq)).toDF("doc_id", "v")
+    val r = graft.ext.Similarity
+      .semanticDedup(vecs, threshold = 0.9, dim = 8, bits = 4, bands = 8)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    assert(r(1L) == (1L, true))
+    assert(r(2L) == (1L, false))
+    assert(r(3L) == (1L, false))   // linked through 1/2, not to 4
+    assert(r(4L) == (4L, true))
+    assert(r(5L) == (5L, true))    // zero-norm: singleton, never paired
+  }
 }
