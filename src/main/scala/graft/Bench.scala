@@ -80,6 +80,11 @@ object Bench {
         d512.select(col("doc_id"),
           graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
         threshold = 0.6, dim = 128, bits = 8, bands = 32).count()
+      // repetition-stats and char-trigram kernels (plus the trigram
+      // model-build agg) JIT on first use like the shingle family
+      d64.select(graft.functions.TextKernels
+        .repetitionStatsCol(spark, col("text"))).count()
+      graft.ext.TextOps.trigramRareRate(d64, 2000L).count()
       // stopword-alternation regex counting (langid/quality) compiles its
       // own regex + codegen path (measured: q_langid 2.1 s cold vs 0.4 s
       // warm when another query got there first)

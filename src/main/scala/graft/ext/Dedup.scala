@@ -318,6 +318,38 @@ object Dedup {
         (coalesce(col("m"), col("doc_id")) === col("doc_id")).as("keep"))
   }
 
+  /** Keep-BEST-per-cluster dedup resolution: real pipelines keep the
+    * highest-quality member of each duplicate cluster, not an arbitrary
+    * one — here the longest document (alpha chars, ties to the smaller
+    * doc_id), with the score column swappable for any quality signal.
+    * Builds on [[duplicateClusters]]'s components; only the keep choice
+    * changes.
+    *
+    * Scale shape: ONE extra shuffle beyond clustering — the window
+    * partitions by cluster_root (overwhelmingly singleton groups, so
+    * sort cost ~ corpus scan) and ranks by (score DESC, doc_id). An
+    * aggregate-then-join formulation would shuffle twice for the same
+    * answer. Output: (doc_id, cluster_root, score, keep). */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      threshold: Double,
+      bands: Int = 3,
+      rowsPerBand: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = duplicateClusters(docs, threshold, bands, rowsPerBand)
+      .select("doc_id", "cluster_root")
+    val scored = docs.select(
+      col("doc_id"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .cast("long").as("score"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_root")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_root"), col("score"),
+        (col("rn") === 1).as("keep"))
+  }
+
   /** SimHash (64-bit) over distinct 3-gram shingles using xxhash64 —
     * Spark-native scale path (no portable oracle; verified by rows-only
     * check + unit tests). simhash bit b = sign of sum over shingles of

@@ -117,6 +117,38 @@ object Text {
         SELECT a AS doc_id, m AS cluster_root, a = m AS keep FROM h3"""),
       (s, dir) => Dedup.duplicateClusters(Tables.load(s, dir, "documents"), 0.7)),
 
+    // ---- keep-best-per-cluster dedup resolution ---------------------------
+    // Same components as q_dup_clusters, but the kept member is the
+    // LONGEST doc (alpha chars, ties to smaller id) — the resolution
+    // real pipelines run. Oracle: 3-hop closure + relational score rank.
+    QueryDef(
+      "q_dedup_keep_best",
+      Some(s"""
+        WITH $shinglesCte,
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT i.doc_a AS a, i.doc_b AS b
+                  FROM inter i
+                  JOIN sz sa ON sa.doc_id = i.doc_a
+                  JOIN sz sb ON sb.doc_id = i.doc_b
+                  WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7),
+        e AS (SELECT a, b FROM pairs
+              UNION ALL SELECT b, a FROM pairs
+              UNION ALL SELECT doc_id, doc_id FROM documents),
+        h1 AS (SELECT a, min(b) AS m FROM e GROUP BY a),
+        h2 AS (SELECT e.a, min(h1.m) AS m FROM e JOIN h1 ON h1.a = e.b GROUP BY e.a),
+        h3 AS (SELECT e.a, min(h2.m) AS m FROM e JOIN h2 ON h2.a = e.b GROUP BY e.a),
+        sc AS (SELECT doc_id,
+                 CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS score
+               FROM documents)
+        SELECT h3.a AS doc_id, h3.m AS cluster_root, sc.score,
+               row_number() OVER (PARTITION BY h3.m
+                                  ORDER BY sc.score DESC, h3.a) = 1 AS keep
+        FROM h3 JOIN sc ON sc.doc_id = h3.a"""),
+      (s, dir) => Dedup.keepBestPerCluster(
+        Tables.load(s, dir, "documents"), 0.7)),
+
     // ---- token statistics per language ------------------------------------
     QueryDef(
       "q_token_stats",
