@@ -324,4 +324,62 @@ object Multimodal {
       col("doc_id"),
       encode(col("text"), "UTF-8").as("payload"),
       struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+
+  /** Stub-"video" container geometry: fixed-size byte windows stand in
+    * for encoded frames at a nominal native fps (no video codecs exist
+    * in this container — the decode is an HONEST deterministic stand-in;
+    * the Spark-side plumbing is the real thing). */
+  val FrameBytes = 64
+  val NativeFps = 30
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("ts_ms", LongType, nullable = false),
+    StructField("frame", BinaryType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false)))
+
+  /** Video frame sampling: decode a payload into its frame sequence and
+    * keep every stride-th frame to approximate `targetFps` — the
+    * cardinality-CHANGING multimodal op (one input row → many frame
+    * rows), which is the plumbing that matters at scale: the explosion
+    * happens inside mapPartitions on the executors (never through the
+    * driver, no intermediate collection of a whole video's frames beyond
+    * the one being emitted — the iterator is lazy), downstream
+    * partitioning is inherited from the input, and frame rows carry
+    * their own (frame_idx, ts_ms) so any later per-frame model stage can
+    * shuffle/window them independently of the source video row.
+    *
+    * Frame decode is the deterministic byte-window stub ([[FrameBytes]]
+    * windows at [[NativeFps]] — trailing partial frame included, same
+    * convention as chunk dedup); a real codec would replace ONLY the
+    * `slice` call. mean_byte (unsigned) is the stand-in per-frame
+    * feature. stride = max(1, NativeFps / targetFps) using integer
+    * division, so the oracle can reproduce it exactly.
+    * Output: (doc_id, frame_idx, ts_ms, frame, mean_byte). */
+  def sampleFrames(media: DataFrame, targetFps: Int): DataFrame = {
+    require(targetFps > 0, s"targetFps must be positive, got $targetFps")
+    val spark = media.sparkSession
+    val stride = math.max(1, NativeFps / targetFps)
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames).iterator
+          .filter(_ % stride == 0)
+          .map { i =>
+            val from = i * FrameBytes
+            val until = math.min(from + FrameBytes, payload.length)
+            val frame = java.util.Arrays.copyOfRange(payload, from, until)
+            var s = 0L
+            var k = 0
+            while (k < frame.length) { s += frame(k) & 0xff; k += 1 }
+            Row(id, i.toLong, i * 1000L / NativeFps, frame,
+              s.toDouble / frame.length)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
 }

@@ -440,6 +440,44 @@ object Text {
       (s, dir) => Multimodal.extractAudioFeatures(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
 
+    // ---- video frame sampling (cardinality-changing multimodal op) --------
+    // One payload row explodes into its stride-sampled frame rows inside
+    // mapPartitions (stride 3 = 30 native fps -> 10 target). Frames are
+    // deterministic 64-byte windows (honest stub — no video codecs in
+    // the container), so the oracle reproduces frames AND the per-frame
+    // mean byte exactly via blob slicing + hex arithmetic.
+    QueryDef(
+      "q_mm_frames",
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS px,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT doc_id, px, CAST(unnest(range((n + 63) // 64)) AS BIGINT)
+                       AS frame_idx
+              FROM b),
+        g AS (SELECT doc_id, frame_idx, frame_idx * 1000 // 30 AS ts_ms,
+                     unhex(substr(px, frame_idx * 128 + 1, 128)) AS frame
+              FROM f WHERE frame_idx % 3 = 0),
+        h AS (SELECT doc_id, frame_idx, hex(frame) AS hx,
+                     octet_length(frame) AS fl
+              FROM g),
+        e AS (SELECT doc_id, frame_idx, hx, unnest(range(fl)) AS k FROM h),
+        s AS (SELECT doc_id, frame_idx,
+                     sum(('0x' || substr(hx, CAST(2 * k + 1 AS BIGINT), 2))::INT) AS sm
+              FROM e GROUP BY 1, 2)
+        SELECT g.doc_id, g.frame_idx, g.ts_ms, hex(g.frame) AS frame_hex,
+               CAST(s.sm AS DOUBLE) / octet_length(g.frame) AS mean_byte
+        FROM g JOIN s ON s.doc_id = g.doc_id AND s.frame_idx = g.frame_idx"""),
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")),
+        targetFps = 10)
+        // the operator's frame column is BINARY (the real payload shape);
+        // the gate compares its hex image — bytes round-trip through
+        // parquet/duckdb as engine-specific object types the hash
+        // comparator has no portable ordering for
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          hex(col("frame")).as("frame_hex"), col("mean_byte"))),
+
     // ---- repetition signals (Gopher/MassiveText filters) ------------------
     // Top word-2-gram char fraction + duplicated word-3-gram char
     // fraction per doc. Engine side is ONE kernel call per row (no

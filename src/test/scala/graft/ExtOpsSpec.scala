@@ -260,6 +260,32 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!r3 && w3 === -1 && h3 === -1 && p3.toSeq === textBytes.toSeq)
   }
 
+  test("sampleFrames: stride sampling, lazy frame explosion, trailing " +
+      "partial frame, exact byte windows") {
+    import spark.implicits._
+    // 150 bytes -> frames 0,1,2 (64,64,22 bytes); stride 3 keeps frame 0
+    // only; 200 bytes -> frames 0..3, stride 3 keeps 0 and 3 (8 bytes)
+    val p1 = Array.tabulate[Byte](150)(i => (i % 251).toByte)
+    val p2 = Array.tabulate[Byte](200)(i => ((i * 7) % 256 - 128).toByte)
+    val media = Seq((1L, p1), (2L, p2)).toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.sampleFrames(media, targetFps = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Array[Byte]]("frame"), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set((1L, 0L), (2L, 0L), (2L, 3L)))
+    val (ts10, f10, m10) = out((1L, 0L))
+    assert(ts10 == 0L && f10.toSeq == p1.slice(0, 64).toSeq)
+    assert(m10 == p1.slice(0, 64).map(_ & 0xff).sum.toDouble / 64)
+    val (ts23, f23, m23) = out((2L, 3L))
+    assert(ts23 == 100L)   // frame 3 at 30 fps: 3 * 1000 / 30 ms
+    assert(f23.toSeq == p2.slice(192, 200).toSeq && f23.length == 8)
+    assert(m23 == p2.slice(192, 200).map(_ & 0xff).sum.toDouble / 8)
+    // full-rate sampling returns every frame
+    val all = graft.ext.Multimodal.sampleFrames(media, targetFps = 30)
+    assert(all.where(col("doc_id") === 2L).count() == 4)
+  }
+
   test("vocabCoverage: OOV counts match a brute-force recount") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val v = 16

@@ -131,4 +131,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val s = plan.toString
     assert(s.contains("graft_pq_encode") && s.contains("graft_ivf_cell"), s.take(2000))
   }
+
+  test("q_repetition_chars is a pure projection: zero exchanges, kernel " +
+      "inside the scan's codegen span, scan pruned to (doc_id, text)") {
+    val df = graft.queries.Registry.queries("q_repetition_chars")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "repetition signals must not shuffle: " + plan.toString.take(2000))
+    val s = plan.toString
+    assert(s.contains("graft_repetition_stats"), s.take(2000))
+    assert(s.contains("*(1)"), "kernel fell out of codegen: " + s.take(500))
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
 }
