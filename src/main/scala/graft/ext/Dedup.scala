@@ -138,6 +138,23 @@ object Dedup {
     * 9 tiny string columns per doc) → band rows (narrow) → bucket
     * self-join on (band, bkey) → exact-Jaccard verification only for the
     * few candidates (broadcast of the candidate set). */
+  /** LSH band-bucket rows (doc_id, band, bkey) for a shingle frame —
+    * the bucketing half of [[minhashNearDup]], shared with the
+    * against-corpus variant. */
+  private def minhashBandRows(
+      sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(sh, bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
+    }
+    sigs.select(
+      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double,
@@ -148,20 +165,11 @@ object Dedup {
     // the signature aggregation's input (min over set == min over multiset)
     val raw = docShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(raw, bands * rowsPerBand)
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
-    }
     // band rows and candidates are tiny (docs x bands / a few hundred
     // pairs) but their subtrees are expensive (the signature aggregation)
     // and consumed multiple times (self-join sides, two broadcasts) —
     // persist both so signatures are computed exactly once
-    val bandRows = sigs.select(
-      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bandRows = minhashBandRows(raw, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
@@ -182,6 +190,54 @@ object Dedup {
     raw.unpersist()
     bandRows.unpersist()
     candidates.unpersist()
+    verified
+  }
+
+  /** Incremental near-dup: detect which documents of a NEW batch are
+    * near-duplicates of an EXISTING corpus — the dedup pass every
+    * recurring crawl/ingest runs, where re-deduping the whole corpus
+    * from scratch ([[minhashNearDup]] over the union) would redo work
+    * proportional to corpus size on every batch. Same deterministic md5
+    * LSH family as the batch operator, so candidates are identical to
+    * what the self-join variant would find across the split.
+    *
+    * Scale shape: the corpus side's band buckets are the "index" — in
+    * production they are computed once and persisted (same layout as
+    * this frame), so the recurring cost is batch-proportional: band the
+    * batch (one agg), join batch buckets against corpus buckets (shuffle
+    * keyed on (band, bkey) — the corpus side would be bucketed on disk
+    * by the same key), verify exact Jaccard only on candidates via the
+    * broadcast-pairs pattern. Doc ids must be distinct across the two
+    * frames. Output: (doc_id [batch], dup_of [corpus], jaccard). */
+  def minhashNearDupAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      threshold: Double,
+      bands: Int = 3,
+      rowsPerBand: Int = 3,
+      n: Int = 3): DataFrame = {
+    val cSh = docShingles(corpus, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSh = docShingles(batch, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cBands = minhashBandRows(cSh, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val bBands = minhashBandRows(bSh, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    // cross-side candidates only: batch x corpus, never corpus x corpus
+    val candidates = bBands.join(cBands, Seq("band", "bkey"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = cSh.union(bSh)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val verified = Lineage.cut(
+      jaccardFor(candidates, shCand).where(col("jaccard") >= threshold)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
+          col("jaccard")))
+    cSh.unpersist(); bSh.unpersist(); candidates.unpersist()
     verified
   }
 

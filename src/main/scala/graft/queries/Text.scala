@@ -92,6 +92,45 @@ object Text {
       (s, dir) => Dedup.minhashNearDup(
         Tables.load(s, dir, "documents"), 0.7, bands = 3, rowsPerBand = 3)),
 
+    // ---- incremental near-dup: new batch vs existing corpus ---------------
+    // Even doc_ids play the existing corpus, odd ids the arriving batch.
+    // Same md5 LSH family as q_minhash_lsh, but candidates are batch x
+    // corpus ONLY (never corpus x corpus — that work is already done).
+    // The oracle replays the banding with the same split.
+    QueryDef(
+      "q_dedup_against",
+      Some(s"""
+        WITH $shinglesCte,
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
+                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 3 AS band,
+                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a AS doc_id, i.doc_b AS dup_of,
+               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minhashNearDupAgainst(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), 0.7)
+      }),
+
     // ---- duplicate-cluster resolution (keep-one-per-cluster) --------------
     // Spark computes true connected components (min-label fixpoint); the
     // oracle closes over 3 hops, exact because near-dup clusters are

@@ -63,6 +63,26 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     one.foreach { case (q, sim1) => assert(two(q) >= sim1 - 1e-9, s"probe $q lost recall") }
   }
 
+  test("minhashNearDupAgainst == self-join near-dup restricted to cross " +
+      "pairs (incremental == from-scratch on the split)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val incr = graft.ext.Dedup.minhashNearDupAgainst(corpus, batch, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = graft.ext.Dedup.minhashNearDup(docs, 0.7)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        // self-join emits doc_a < doc_b; keep (batch=odd, corpus=even)
+        if (a % 2 == 1 && b % 2 == 0) Some((a, b) -> j)
+        else if (b % 2 == 1 && a % 2 == 0) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(incr.keySet == full.keySet)
+    incr.foreach { case (k, j) => assert(math.abs(j - full(k)) < 1e-12) }
+  }
+
   test("duplicateClusters equals a reference union-find on random pair graphs") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
