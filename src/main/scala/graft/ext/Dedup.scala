@@ -453,11 +453,25 @@ object Dedup {
     * thousands of documents (the sum-of-freq^2 blowup); `maxDf` drops
     * fingerprints present in more than that many documents before the
     * join — the standard MOSS practice, and a knob the oracle can mirror
-    * exactly. `rolling = true` switches to the O(len) Karp-Rabin gram
+    * exactly. Use [[winnowScaledCap]], not a constant: a FIXED cap is
+    * the fixed-parameter scale trap (measured: at sf0.1 a cap of 16
+    * silently drops 13% of true pairs from the rolling family and
+    * decouples the two hash families' pair sets — 0.76 agreement — while
+    * the corpus-relative cap restores agreement 1.0; same class of bug
+    * as fixed-k IVF and fixed SRP band bits). `rolling = true` switches
+    * to the O(len) Karp-Rabin gram
     * hash (engine-specific values; gate via [[winnowRecallGate]]).
     * Output: (doc_a, doc_b, overlap), doc_a < doc_b. Overlap counts and
     * fingerprint-set sizes are integers, so the emitted double is a
     * single exact division — bit-identical across engines. */
+  /** Corpus-relative hot-fingerprint cap: df <= max(16, nDocs / 100) —
+    * i.e. fingerprints in more than 1% of documents are boilerplate at
+    * any corpus size, while the floor of 16 keeps the small-corpus
+    * behavior the oracle was calibrated on. One bounded count() action;
+    * mirror in SQL as `c <= greatest(16, (SELECT count(*) FROM t) // 100)`. */
+  def winnowScaledCap(docs: DataFrame): Long =
+    math.max(16L, docs.count() / 100L)
+
   def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int = 8, w: Int = 4,
       rolling: Boolean = false, maxDf: Option[Long] = None): DataFrame = {
