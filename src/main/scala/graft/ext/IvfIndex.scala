@@ -57,9 +57,38 @@ object IvfIndex {
     * most one file per touched cell directory, and searches see the new
     * rows on their next file listing with no other coordination. */
   def append(delta: DataFrame, path: String): Unit =
-    IvfPq.encode(delta, load(path))
+    appendWith(delta, load(path), path)
+
+  private def appendWith(delta: DataFrame, model: IvfPq.Model, path: String): Unit =
+    IvfPq.encode(delta, model)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+
+  /** Index maintenance under CONTINUOUS ingest: drain a stream of
+    * (vec_id, embedding) rows into the saved index, one microbatch at a
+    * time. The model sidecars are loaded ONCE outside the stream (the
+    * IVF contract — centroids/codebooks are immutable until a rebuild),
+    * so each batch is a pure map-side encode plus one appended file per
+    * touched cell directory; concurrent searches pick up new rows at
+    * their next file listing with no other coordination, and the
+    * streaming checkpoint makes ingest exactly-once per batch across
+    * restarts. Batching-invariant by construction: encoding is per-row
+    * against a fixed model, so any carve-up of arrivals yields the same
+    * index as one [[append]] of the union — spec-pinned against the
+    * batch path. Drains with AvailableNow (continuous deployments just
+    * drop the trigger). */
+  def appendOnIngest(streamEmb: DataFrame, path: String): Unit = {
+    val model = load(path)
+    val q = streamEmb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$path/_ingest_checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendWith(batch.toDF(), model, path)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** Rehydrate the quantizer model from the sidecars. */
   def load(path: String): IvfPq.Model = {

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class IvfIndexSpec extends AnyFunSuite with SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   test("index search == in-memory search; model round-trips; scan is pruned") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
@@ -82,6 +83,45 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(grown))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
+    }
+  }
+
+  test("streaming ingest: microbatched appendOnIngest == one batch append; " +
+      "checkpoint makes a re-drain a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    val model = IvfPq.train(half, kCells = 8)
+    val streamed = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val batched = java.nio.file.Files.createTempDirectory("ivfbatch").toString
+    try {
+      IvfIndex.build(half, model, streamed)
+      IvfIndex.build(half, model, batched)
+      val input = MemoryStream[(Long, Array[Float])]
+      rest.grouped(math.max(1, rest.size / 3)).foreach(c => input.addData(c))
+      IvfIndex.appendOnIngest(
+        input.toDF().toDF("vec_id", "embedding"), streamed)
+      IvfIndex.append(
+        rest.toDF("vec_id", "embedding"), batched)
+      def top(path: String) = IvfIndex.search(
+        emb, path, col("vec_id") < 10, nprobe = 3, k = 5, rerank = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(top(streamed).toSeq === top(batched).toSeq)
+      val n = spark.read.parquet(s"$streamed/codes").count()
+      assert(n === emb.count())
+      // the checkpoint remembers the drained batches: replaying the same
+      // stream appends nothing
+      val replay = MemoryStream[(Long, Array[Float])]
+      rest.grouped(math.max(1, rest.size / 3)).foreach(c => replay.addData(c))
+      IvfIndex.appendOnIngest(
+        replay.toDF().toDF("vec_id", "embedding"), streamed)
+      assert(spark.read.parquet(s"$streamed/codes").count() === n)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamed))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(batched))
     }
   }
 }

@@ -132,6 +132,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(s.contains("graft_pq_encode") && s.contains("graft_ivf_cell"), s.take(2000))
   }
 
+  test("q_trigram_lm scoring is map-side: membership kernel in the plan, " +
+      "no join in the scoring query, scan pruned to (doc_id, text)") {
+    val df = graft.queries.Registry.queries("q_trigram_lm")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    // scoring = scan -> project(kernel) -> filter; the model build ran
+    // eagerly in separate bounded actions, so the SCORING plan must have
+    // no join and no aggregate
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "scoring must not join: " + plan.toString.take(1500))
+    val s = plan.toString
+    assert(s.contains("graft_set_hits"), s.take(1500))
+    assert(s.contains("graft_char_ngrams"), s.take(1500))
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
   test("q_repetition_chars is a pure projection: zero exchanges, kernel " +
       "inside the scan's codegen span, scan pruned to (doc_id, text)") {
     val df = graft.queries.Registry.queries("q_repetition_chars")(spark, sfDir)
