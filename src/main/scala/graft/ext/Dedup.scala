@@ -140,8 +140,8 @@ object Dedup {
     * few candidates (broadcast of the candidate set). */
   /** LSH band-bucket rows (doc_id, band, bkey) for a shingle frame —
     * the bucketing half of [[minhashNearDup]], shared with the
-    * against-corpus variant. */
-  private def minhashBandRows(
+    * against-corpus variant and the persisted [[DedupIndex]]. */
+  private[ext] def minhashBandRows(
       sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(sh, bands * rowsPerBand)
     val bandStructs = (0 until bands).map { b =>
@@ -201,14 +201,13 @@ object Dedup {
     * LSH family as the batch operator, so candidates are identical to
     * what the self-join variant would find across the split.
     *
-    * Scale shape: the corpus side's band buckets are the "index" — in
-    * production they are computed once and persisted (same layout as
-    * this frame), so the recurring cost is batch-proportional: band the
-    * batch (one agg), join batch buckets against corpus buckets (shuffle
-    * keyed on (band, bkey) — the corpus side would be bucketed on disk
-    * by the same key), verify exact Jaccard only on candidates via the
-    * broadcast-pairs pattern. Doc ids must be distinct across the two
-    * frames. Output: (doc_id [batch], dup_of [corpus], jaccard). */
+    * THIS overload recomputes the corpus side's shingles and band rows
+    * per call — use it for one-shot splits of in-memory frames. For
+    * recurring ingest, build a persisted [[DedupIndex]] once and probe it
+    * with [[DedupIndex.searchAgainst]] (identical output, spec-pinned):
+    * per-batch work is then O(batch + candidates), never O(corpus). Doc
+    * ids must be distinct across the two frames.
+    * Output: (doc_id [batch], dup_of [corpus], jaccard). */
   def minhashNearDupAgainst(
       corpus: DataFrame,
       batch: DataFrame,

@@ -169,10 +169,25 @@ object Similarity {
     * come from one equi-join on (band, value), and verification touches
     * only candidate vectors (semi-join pruned). Input: (doc_id,
     * v: array<double>); zero-norm rows are dropped (cosine undefined).
-    * Output: (doc_a, doc_b, sim) with doc_a < doc_b. */
+    * Output: (doc_a, doc_b, sim) with doc_a < doc_b.
+    *
+    * CONTRACT — recall is probabilistically bounded, not exact: beyond the
+    * usual LSH banding miss (< 1e-4 at the defaults), the hamming
+    * prefilter can drop a TRUE banded candidate whose signature hamming
+    * exceeds h·acos(t)/π + `hamSigma`·√h. The signature hamming of a pair
+    * at cosine exactly t concentrates at h·acos(t)/π with sd ≤ √h/2, so
+    * the default slack (3√h) is a ≥ 6σ margin — drop probability < 1e-9
+    * per pair, deterministic per corpus (seeded hyperplanes), and pairs
+    * ABOVE the threshold sit further below the gate, so their margin is
+    * strictly larger. Callers needing the pre-filter exact-verify
+    * behavior back can raise `hamSigma` (at h·π/√h ≈ any value ≥
+    * (h - h·acos(t)/π)/√h the gate passes everything); auto-scaled `bits`
+    * adds one eager count() on the input, skipped when both `bits` and
+    * `bands` are explicit. */
   def srpNearDup(
       vecs: DataFrame, threshold: Double, dim: Int,
-      bits: Int = 0, bands: Int = 0, seed: Long = 42L): DataFrame = {
+      bits: Int = 0, bands: Int = 0, seed: Long = 42L,
+      hamSigma: Double = 3.0): DataFrame = {
     val spark = vecs.sparkSession
     // single-file parquet inputs arrive as ONE partition under the default
     // maxPartitionBytes; the h×dim projection would then run on one core
@@ -232,7 +247,7 @@ object Similarity {
     // survivors (~true pairs), so the expensive verification join runs
     // on thousands of rows, not millions.
     val hamMax = math.ceil(
-      h * math.acos(threshold) / math.Pi + 3.0 * math.sqrt(h.toDouble)).toInt
+      h * math.acos(threshold) / math.Pi + hamSigma * math.sqrt(h.toDouble)).toInt
     val survivors = candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")

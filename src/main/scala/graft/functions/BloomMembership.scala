@@ -144,11 +144,21 @@ object BloomMembership {
   }
 
   /** Column API for [[SetCountHits]] — same content-addressed closure
-    * registration as [[countHits]], exact membership instead of Bloom. */
+    * registration as [[countHits]], exact membership instead of Bloom.
+    * Each element is length-framed in the digest: raw concatenation would
+    * make distinct sets like ["ab","c"] and ["a","bc"] collide to one
+    * function name, and createOrReplaceTempFunction would then silently
+    * rebind an earlier Column to the wrong membership set. */
   def countSetHits(spark: SparkSession, arr: Column,
       elems: Seq[String]): Column = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    elems.foreach(e => md.update(e.getBytes("UTF-8")))
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
+    elems.foreach { e =>
+      val b = e.getBytes("UTF-8")
+      lenBuf.clear(); lenBuf.putInt(b.length)
+      md.update(lenBuf.array())
+      md.update(b)
+    }
     val name = "graft_set_hits_" +
       md.digest().take(6).map("%02x".format(_)).mkString
     val arrElems = elems.toArray

@@ -29,36 +29,29 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * truth, bit-identical accumulation order on both paths. */
 object VectorKernels {
 
-  /** Sequential left-to-right dot; null elements contribute 0 (matches
-    * the HOF fold and the DuckDB oracle bit-for-bit). The fast path
-    * converts each side ONCE (one virtual call per row) and folds over
-    * primitive arrays: per-ELEMENT ArrayData accessors become
-    * megamorphic once a large query suite has exercised every ArrayData
-    * subclass, and the JIT then emits virtual dispatch inside the hot
-    * loop (~10x, and only reproducible under a full bench run — isolated
-    * queries stay bimorphic and look fine). Arrays with null elements
-    * (never produced by our vector pipelines) fall back to the skip-null
-    * loop. */
+  /** Sequential left-to-right dot. Converts each side ONCE (one virtual
+    * call per row) and folds over primitive arrays: per-ELEMENT ArrayData
+    * accessors become megamorphic once a large query suite has exercised
+    * every ArrayData subclass, and the JIT then emits virtual dispatch
+    * inside the hot loop (~10x, and only reproducible under a full bench
+    * run — isolated queries stay bimorphic and look fine).
+    *
+    * Null-bearing arrays are NOT supported: `toDoubleArray` never throws
+    * for null elements (GenericArrayData unboxes them to 0.0;
+    * UnsafeArrayData raw-copies zeroed slots), so a null element
+    * contributes 0.0 to the product — it does NOT skip the pair. None of
+    * the vector pipelines in this library produce null elements (embedding
+    * columns are non-null by schema; derived arrays come from kernels that
+    * never emit null), and no skip-pair fallback exists to pretend
+    * otherwise. */
   def dot(a: ArrayData, b: ArrayData): Double =
-    try dotArr(a.toDoubleArray(), b.toDoubleArray())
-    catch { case _: NullPointerException => dotNullSafe(a, b) }
+    dotArr(a.toDoubleArray(), b.toDoubleArray())
 
   def dotArr(x: Array[Double], y: Array[Double]): Double = {
     val n = math.min(x.length, y.length)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += x(i) * y(i); i += 1 }
-    acc
-  }
-
-  private def dotNullSafe(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
-      i += 1
-    }
     acc
   }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, TextOps}
+import graft.ext.{Dedup, DedupIndex, Multimodal, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,35 @@ object Text {
                ELSE [] END) AS shingle
            FROM t),
     sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+  /** Shared oracle for q_dedup_against and q_stream_dedup_against: both
+    * compute the same batch-vs-corpus near-dup result (odd ids probe the
+    * even-id corpus), one via a direct probe, one per-microbatch. */
+  private val dedupAgainstOracle = s"""
+        WITH $shinglesCte,
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
+                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 3 AS band,
+                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a AS doc_id, i.doc_b AS dup_of,
+               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -95,40 +124,41 @@ object Text {
     // ---- incremental near-dup: new batch vs existing corpus ---------------
     // Even doc_ids play the existing corpus, odd ids the arriving batch.
     // Same md5 LSH family as q_minhash_lsh, but candidates are batch x
-    // corpus ONLY (never corpus x corpus — that work is already done).
-    // The oracle replays the banding with the same split.
+    // corpus ONLY (never corpus x corpus — that work is already done),
+    // and the corpus side is a PERSISTED DedupIndex (built once, probed
+    // partition-pruned) — per-batch work is O(batch + candidates), never
+    // O(corpus). The oracle replays the banding with the same split.
     QueryDef(
       "q_dedup_against",
-      Some(s"""
-        WITH $shinglesCte,
-        sig AS (SELECT doc_id, i,
-                  min(substr(md5(shingle || '#' || (i // 2)),
-                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
-                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
-        band AS (SELECT doc_id, i // 3 AS band,
-                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
-                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
-                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
-                 FROM sig GROUP BY doc_id, i // 3),
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM band a JOIN band b
-                   ON a.band = b.band AND a.bkey = b.bkey
-                 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
-        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle
-                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
-                  GROUP BY 1, 2)
-        SELECT i.doc_a AS doc_id, i.doc_b AS dup_of,
-               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
-        FROM inter i
-        JOIN sz sa ON sa.doc_id = i.doc_a
-        JOIN sz sb ON sb.doc_id = i.doc_b
-        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      Some(dedupAgainstOracle),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        Dedup.minhashNearDupAgainst(
-          docs.where(col("doc_id") % 2 === 0),
-          docs.where(col("doc_id") % 2 === 1), 0.7)
+        val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_dedup_index"
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0), path)
+        DedupIndex.searchAgainst(
+          DedupIndex.load(s, path), docs.where(col("doc_id") % 2 === 1), 0.7)
+      }),
+
+    // ---- streaming near-dup-on-ingest vs the persisted index --------------
+    // The recurring-crawl shape: arriving (odd-id) docs probe the static
+    // even-id DedupIndex per microbatch. Stream ∪ batches == the batch
+    // probe side, and each doc is scored against the same static index
+    // regardless of its batch, so the result is pinned to the exact
+    // q_dedup_against oracle.
+    QueryDef(
+      "q_stream_dedup_against",
+      Some(dedupAgainstOracle),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_dedup_index_s"
+        DedupIndex.build(docs.where(col("doc_id") % 2 === 0), path)
+        val idx = DedupIndex.load(s, path)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        DedupIndex.nearDupOnIngest(
+          stream.where(col("doc_id") % 2 === 1), idx, 0.7)
       }),
 
     // ---- duplicate-cluster resolution (keep-one-per-cluster) --------------
