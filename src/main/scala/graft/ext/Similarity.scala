@@ -298,8 +298,9 @@ object Similarity {
   }
 
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`
-    * (IVF with pre-assigned coarse cells). One shuffle on the bucket key. */
-  def bucketedNN(emb: DataFrame, bucketCol: String): DataFrame = {
+    * (IVF with pre-assigned coarse cells). One shuffle on the bucket key.
+    * `k` = neighbors kept per vector (rank within bucket). */
+  def bucketedNN(emb: DataFrame, bucketCol: String, k: Int = 1): DataFrame = {
     val p = prepared(emb, Seq(bucketCol))
     val a = p.select(col("vec_id"), col(bucketCol), col("v"), col("nrm"))
     val b = p.select(col("vec_id").as("nn_cand"), col(bucketCol).as("__b"),
@@ -310,7 +311,7 @@ object Similarity {
     sims
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_cand"))))
-      .where(col("rn") === 1)
+      .where(col("rn") <= k)
       .select(col("vec_id"), col(bucketCol), col("nn_cand").as("nn_id"),
         round(col("cos"), 6).as("sim"))
   }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    engine-measured aggregate-recall floor boolean, so the gate
   *    hash-checks the exact kernel AND catches any recall collapse —
   *    only the codebook values themselves stay SQL-inexpressible.
-  * Fully rows-only: q_ivf_kmeans / q_ivf_multiprobe / q_imi_nn (their
-  * OUTPUT is the learned assignment itself) and q_simhash_fast /
-  * q_compress_quality (engine-specific functions). */
+  * Every query here is gated — no rows-only rows remain: the learned-
+  * assignment searches (q_ivf_kmeans / q_ivf_multiprobe / q_imi_nn) and
+  * the engine-specific functions (q_simhash_fast / q_compress_quality)
+  * all emit SQL-reproducible ground truth beside a self-validating
+  * aggregate boolean. */
 object SparkOnly {
 
   /** Oracle for the self-validating ANN recall gates
@@ -78,10 +80,19 @@ object SparkOnly {
     // (driver-side Lloyd's on a TakeOrdered sample — the 100 TB design:
     // no cluster-wide training jobs), assignment as a broadcast map-side
     // expression pass, neighbor search only within the cell (one shuffle
-    // on the cell id; candidate volume |cell|^2 instead of n^2).
+    // on the cell id; candidate volume |cell|^2 instead of n^2). The
+    // self-search still runs over the FULL corpus (the structure under
+    // test); the gate then checks its top-5 rows for the 10 probe
+    // vectors against the SQL-reproducible exact top-5 with an aggregate
+    // recall floor — closing the last no_oracle row. Floor calibration
+    // (tools/KmeansRecall): single-probe within-cell recall@5 measured
+    // 0.20-0.30 across sf0.001-0.1 (scaled-k cells on synthetic-random
+    // embeddings — recall tightens as cells multiply), while a broken
+    // assignment scores ~0.001 (chance); 0.08 sits >= 2.5x below every
+    // measured value and ~80x above noise.
     QueryDef(
       "q_ivf_kmeans",
-      None,
+      Some(annRecallOracle),
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
         // cell count scales with the corpus (sqrt(n)) — fixed k turns
@@ -91,14 +102,16 @@ object SparkOnly {
           emb, kCells, sampleN = math.max(2048, 16 * kCells))
         // persist: cell is an expression-derived join key; see
         // Similarity.multiProbeNN for why the barrier is load-bearing.
-        // Lineage-cut the small top-1 result, then release the corpus-sized
+        // Lineage-cut the small top-5 result, then release the corpus-sized
         // cache — the query leaks neither blocks nor an unpersist
         // obligation to the next one.
         val assigned = IvfKMeans.assignCells(emb, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nn = graft.ext.Lineage.cut(Similarity.bucketedNN(assigned, "cell"))
+        val nn = graft.ext.Lineage.cut(
+          Similarity.bucketedNN(assigned, "cell", k = 5))
         assigned.unpersist()
-        nn
+        val ann = nn.select(col("vec_id").as("qid"), col("nn_id").as("cid"))
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, floor = 0.08)
       }),
 
     // SQ8 quantized search + exact re-rank: 8-bit scalar-quantized corpus
