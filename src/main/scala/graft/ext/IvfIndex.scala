@@ -70,24 +70,127 @@ object IvfIndex {
     * IVF contract — centroids/codebooks are immutable until a rebuild),
     * so each batch is a pure map-side encode plus one appended file per
     * touched cell directory; concurrent searches pick up new rows at
-    * their next file listing with no other coordination, and the
-    * streaming checkpoint makes ingest exactly-once per batch across
-    * restarts. Batching-invariant by construction: encoding is per-row
-    * against a fixed model, so any carve-up of arrivals yields the same
-    * index as one [[append]] of the union — spec-pinned against the
-    * batch path. Drains with AvailableNow (continuous deployments just
-    * drop the trigger). */
-  def appendOnIngest(streamEmb: DataFrame, path: String): Unit = {
+    * their next file listing with no other coordination. Ingest is
+    * EXACTLY-ONCE in index contents: foreachBatch is at-least-once, so
+    * each batch writes idempotently via [[appendBatch]] — batchId-named
+    * files, a committed-batch marker log, and retry-time cleanup of any
+    * partial prior attempt — and a batch replayed after a restart (or
+    * re-delivered by the source) changes nothing. Batching-invariant by
+    * construction: encoding is per-row against a fixed model, so any
+    * carve-up of arrivals yields the same index as one [[append]] of the
+    * union — spec-pinned against the batch path.
+    *
+    * Every `compactEvery` batches the ingest calls [[compact]], bounding
+    * the per-cell file count that blind appends would otherwise grow
+    * monotonically (one file per touched cell per batch, forever).
+    * Drains with AvailableNow (continuous deployments drop the trigger). */
+  def appendOnIngest(
+      streamEmb: DataFrame, path: String, compactEvery: Int = 10,
+      maxFilesPerCell: Int = 8): Unit = {
     val model = load(path)
     val q = streamEmb.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$path/_ingest_checkpoint")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendWith(batch.toDF(), model, path)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        appendBatch(batch.toDF(), model, path, bid)
+        if (compactEvery > 0 && bid % compactEvery == compactEvery - 1) {
+          compact(path, maxFilesPerCell); ()
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  private def hadoopFs(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Idempotent per-batch append — exactly-once index contents under
+    * at-least-once batch delivery. Protocol, in order:
+    *  1. committed marker `_ingest_log/batch-<id>` present -> no-op;
+    *  2. delete any `b<id>-*` files a partial prior attempt of THIS batch
+    *     left in the cell directories;
+    *  3. encode to `_staging/batch-<id>` (mode overwrite — itself
+    *     idempotent), move each staged file to
+    *     `codes/cell=<c>/b<id>-<file>` (per-file rename: atomic on HDFS
+    *     and local filesystems; object stores want a manifest commit
+    *     instead — out of scope here);
+    *  4. write the marker, drop staging.
+    * A crash anywhere before (4) leaves either nothing or `b<id>-*`
+    * orphans that step (2) removes on retry; after (4) the batch is a
+    * no-op forever. Underscore-prefixed sidecars (`_staging`,
+    * `_ingest_log`) are invisible to Spark's file listing. */
+  private[graft] def appendBatch(
+      delta: DataFrame, model: IvfPq.Model, path: String, batchId: Long): Unit = {
+    val (fs, marker) = hadoopFs(s"$path/_ingest_log/batch-$batchId")
+    if (fs.exists(marker)) return
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (fs.exists(codesDir)) {
+      fs.listStatus(codesDir).filter(_.getPath.getName.startsWith("cell="))
+        .foreach { cell =>
+          fs.listStatus(cell.getPath)
+            .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+    }
+    val staging = s"$path/_staging/batch-$batchId"
+    IvfPq.encode(delta, model)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val (_, stagingPath) = hadoopFs(staging)
+    fs.listStatus(stagingPath).filter(_.getPath.getName.startsWith("cell="))
+      .foreach { cell =>
+        val dest = new org.apache.hadoop.fs.Path(codesDir, cell.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(cell.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(dest, s"b$batchId-${f.getPath.getName}"))
+          }
+      }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(stagingPath, true)
+  }
+
+  /** Rewrite every cell directory whose parquet-file count exceeds
+    * `maxFilesPerCell` down to one file per owning task (the same
+    * repartition-on-cell layout as [[build]]) — the maintenance pass that
+    * keeps continuous ingest from degrading every subsequent search's
+    * file listing. Returns the number of cells compacted. Rows are read
+    * back with the index as basePath so the `cell` partition column
+    * survives the round trip; the swap (delete old files, move staged
+    * ones in) is NOT atomic for concurrent readers — run it from the
+    * ingest loop (as [[appendOnIngest]] does) or a maintenance window,
+    * the same contract as any parquet rewrite without a transaction log. */
+  def compact(path: String, maxFilesPerCell: Int = 8): Int = {
+    val (fs, codesDir) = hadoopFs(s"$path/codes")
+    if (!fs.exists(codesDir)) return 0
+    def parquets(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val oversized = fs.listStatus(codesDir)
+      .filter(_.getPath.getName.startsWith("cell="))
+      .filter(c => parquets(c.getPath).length > maxFilesPerCell)
+    if (oversized.isEmpty) return 0
+    val tmp = s"$path/_compact_tmp"
+    spark.read.option("basePath", s"$path/codes")
+      .parquet(oversized.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val (_, tmpPath) = hadoopFs(tmp)
+    oversized.foreach { cell =>
+      val staged = new org.apache.hadoop.fs.Path(tmpPath, cell.getPath.getName)
+      parquets(cell.getPath).foreach(f => fs.delete(f.getPath, false))
+      parquets(staged).foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(cell.getPath, f.getPath.getName))
+      }
+    }
+    fs.delete(tmpPath, true)
+    oversized.length
   }
 
   /** Rehydrate the quantizer model from the sidecars. */

@@ -124,4 +124,80 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(batched))
     }
   }
+
+  test("appendBatch: replayed batch and partial-retry orphans change nothing") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+    val model = IvfPq.train(half, kCells = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfidem").toString
+    try {
+      IvfIndex.build(half, model, path)
+      IvfIndex.appendBatch(rest, model, path, batchId = 7L)
+      val n1 = spark.read.parquet(s"$path/codes").count()
+      assert(n1 === emb.count())
+      // at-least-once redelivery of a COMMITTED batch: the marker makes
+      // the replay a no-op
+      IvfIndex.appendBatch(rest, model, path, batchId = 7L)
+      assert(spark.read.parquet(s"$path/codes").count() === n1)
+      // partial prior attempt of an UNcommitted batch: a stray b9-* file
+      // sits in a cell dir (crash between move and marker) — the retry
+      // must clean it, not double-append it
+      val cellDir = new java.io.File(s"$path/codes").listFiles()
+        .find(_.getName.startsWith("cell=")).get
+      val src = cellDir.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(src.toPath,
+        cellDir.toPath.resolve("b9-stale.parquet"))
+      assert(spark.read.parquet(s"$path/codes").count() > n1)
+      val delta = emb.where(col("vec_id") < 4).withColumn(
+        "vec_id", col("vec_id") + lit(100000L))
+      IvfIndex.appendBatch(delta, model, path, batchId = 9L)
+      assert(spark.read.parquet(s"$path/codes").count() === n1 + delta.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("compact: 50-batch ingest keeps per-cell files bounded, search parity") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float])].collect().toSeq
+    val model = IvfPq.train(half, kCells = 8)
+    val grown = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val fresh = java.nio.file.Files.createTempDirectory("ivffresh2").toString
+    val maxFiles = 4
+    try {
+      IvfIndex.build(half, model, grown)
+      // 50 microbatches of continuous ingest, compacting every 10 — the
+      // long-running-ingest scenario appendOnIngest wires up
+      val slices = rest.grouped(math.max(1, rest.size / 50)).toSeq
+      def cellFileCounts(): Seq[Int] =
+        new java.io.File(s"$grown/codes").listFiles()
+          .filter(_.getName.startsWith("cell=")).toSeq
+          .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      slices.zipWithIndex.foreach { case (s, i) =>
+        IvfIndex.appendBatch(s.toDF("vec_id", "embedding"), model, grown, i.toLong)
+        if (i % 10 == 9) IvfIndex.compact(grown, maxFiles)
+      }
+      // without compaction ~50 batches x touched cells would pile up; a
+      // final pass must leave every cell at or under the bound
+      IvfIndex.compact(grown, maxFiles)
+      val counts = cellFileCounts()
+      assert(counts.nonEmpty && counts.forall(_ <= maxFiles),
+        s"per-cell file counts after compact: $counts")
+      // compaction must not change WHAT the index holds: row count and
+      // search results equal a fresh single-pass build of the union
+      IvfIndex.build(emb, model, fresh)
+      assert(spark.read.parquet(s"$grown/codes").count() === emb.count())
+      def top(path: String) = IvfIndex.search(
+        emb, path, col("vec_id") < 10, nprobe = 3, k = 5, rerank = 25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(top(grown).toSeq === top(fresh).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(grown))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
+    }
+  }
 }
