@@ -101,14 +101,30 @@ object MixOps {
     * distributed prefix-sum decomposition instead: (1) docs bucket by
     * quality div 1000 (bucket is a monotone function of the sort key, so
     * bucket-major order == global order); (2) one aggregation computes
-    * per-bucket token totals, ≤ ~101 rows collected to the driver;
-    * (3) an exclusive prefix sum over buckets (descending) broadcasts
-    * back as each bucket's starting offset; (4) the running sum windows
-    * only WITHIN buckets — fully parallel. cum_tokens = bucket offset +
-    * in-bucket running sum is IDENTICAL to the naive global window,
-    * which is exactly what the q_select_budget oracle replays.
+    * per-bucket token totals and row counts, ≤ ~101 rows collected to
+    * the driver; (3) an exclusive prefix sum over buckets (descending)
+    * broadcasts back as each bucket's starting offset; (4) the running
+    * sum windows only WITHIN buckets — fully parallel.
+    *
+    * A quality-HOMOGENEOUS corpus collapses most rows into one bucket,
+    * degenerating step (4) toward the single-partition global window the
+    * decomposition exists to avoid. Buckets over `maxBucketRows` rows
+    * therefore SUB-SPLIT: their rows get a second-level group key
+    * (q2 = exact q, d2 = doc_id div D) — both monotone in the
+    * (q desc, doc_id) sort order, so group-major order still equals
+    * global order — and the in-bucket exclusive prefix extends over the
+    * per-(bucket, q2, d2) totals with one window over that (small)
+    * totals frame. d2 splits same-q runs into `subSplits` doc_id RANGES
+    * sized from the global max id: row counts per range track doc_id
+    * density (uniform for synthetic and typical monotone id assignment;
+    * pathological id skew degrades gracefully to fewer effective
+    * splits). cum_tokens = bucket offset + group offset + in-group
+    * running sum is IDENTICAL to the naive global window, which is
+    * exactly what the q_select_budget oracle replays.
     * Output: (doc_id, q, n_tokens, cum_tokens, selected), all docs. */
-  def selectUnderBudget(docs: DataFrame, budget: Long): DataFrame = {
+  def selectUnderBudget(
+      docs: DataFrame, budget: Long, maxBucketRows: Long = 4000000L,
+      subSplits: Int = 32): DataFrame = {
     val scored = docs
       .select(
         col("doc_id"),
@@ -121,22 +137,46 @@ object MixOps {
         expr("n_stop * 100000L div n_tokens").as("q"))
       .withColumn("bucket", expr("q div 1000"))
     val totals = scored.groupBy("bucket")
-      .agg(sum(col("n_tokens")).as("btok"))
+      .agg(sum(col("n_tokens")).as("btok"), count(lit(1)).as("cnt"),
+        max(col("doc_id")).as("mx"))
       .collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(-_._1)
-    val offsets = totals
+    val offsets = totals.map(t => (t._1, t._2))
       .scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
       .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
       .toSeq
     val offsetDf = docs.sparkSession
       .createDataFrame(offsets).toDF("bucket", "offset")
-    val w = Window.partitionBy("bucket")
+    val oversized = totals.filter(_._3 > maxBucketRows).map(_._1).toSeq
+    val rangeWidth = math.max(1L,
+      totals.map(_._4).maxOption.getOrElse(0L) / subSplits + 1L)
+    val isOver =
+      if (oversized.isEmpty) lit(false) else col("bucket").isin(oversized: _*)
+    val grouped = scored
+      .withColumn("q2", when(isOver, col("q")).otherwise(lit(0L)))
+      .withColumn("d2",
+        when(isOver, expr(s"doc_id div $rangeWidth")).otherwise(lit(0L)))
+    // exclusive prefix over the per-group totals WITHIN each bucket: the
+    // totals frame is tiny relative to the corpus (≤ distinct q x
+    // subSplits rows per oversized bucket), so this window is cheap, and
+    // the join back shares the (bucket, q2, d2) hash partitioning with
+    // the final in-group window
+    val wg = Window.partitionBy("bucket")
+      .orderBy(col("q2").desc, col("d2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groupOffsets = grouped.groupBy("bucket", "q2", "d2")
+      .agg(sum(col("n_tokens")).as("gtok"))
+      .withColumn("goff", coalesce(sum(col("gtok")).over(wg), lit(0L)))
+      .drop("gtok")
+    val w = Window.partitionBy("bucket", "q2", "d2")
       .orderBy(col("q").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
+    grouped
       .join(broadcast(offsetDf), Seq("bucket"))
-      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(w))
+      .join(groupOffsets, Seq("bucket", "q2", "d2"))
+      .withColumn("cum_tokens",
+        col("offset") + col("goff") + sum(col("n_tokens")).over(w))
       .select(
         col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("selected"))

@@ -140,4 +140,35 @@ class MixOpsSpec extends AnyFunSuite with SparkSpec {
     val flags = order.map(_._5)
     assert(!flags.dropWhile(identity).contains(true))
   }
+
+  test("selectUnderBudget: constant-quality corpus sub-splits, stays exact") {
+    // every doc identical -> one q value -> every row lands in ONE
+    // quality bucket; with maxBucketRows forcing the sub-split the
+    // running sum must decompose over doc_id ranges and still equal the
+    // naive global window exactly
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, "the cat sat on the mat and the dog ran off"))
+      .toDF("doc_id", "text")
+    val budget = 600L
+    val got = MixOps.selectUnderBudget(
+        docs, budget, maxBucketRows = 16L, subSplits = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.length === 200)
+    assert(got.map(_._2).distinct.length === 1, "corpus must be single-q")
+    val order = got.sortBy(r => (-r._2, r._1))
+    var cum = 0L
+    order.foreach { r =>
+      cum += r._3
+      assert(r._4 === cum, s"cum_tokens mismatch for doc ${r._1}")
+      assert(r._5 === (cum <= budget))
+    }
+    assert(got.exists(_._5) && got.exists(!_._5))
+    // the split genuinely produced multiple doc_id-range groups: with
+    // rangeWidth = maxId/8 + 1 the 200 dense ids span several ranges
+    val rangeWidth = 199L / 8 + 1
+    assert(got.map(_._1 / rangeWidth).distinct.length > 4)
+  }
 }
