@@ -438,27 +438,51 @@ object PipelineOps {
   /** The full corpus-hygiene pipeline as ONE composed query — what a
     * training-data build actually runs: language-ID -> quality floor ->
     * boilerplate filter -> exact dedup -> eval-set decontamination ->
-    * PII redaction, emitting one row per SURVIVING document with every
-    * stage's evidence (scores, ratios, redacted fingerprint). Stages are
-    * the individually-oracled operators above, composed so the judge of
-    * any single stage is also the judge of the composition.
+    * repetition floors (word-level Gopher rules AND char-fraction rules)
+    * -> trigram-LM corpus-fit floor -> PII redaction -> budget-
+    * constrained quality selection as the FINAL stage, emitting one row
+    * per SELECTED document with every stage's evidence (scores, ratios,
+    * cumulative token position, redacted fingerprint). Stages are the
+    * individually-oracled operators above ([[boilerplate]],
+    * [[decontaminate]], [[repetitionScore]],
+    * [[TextOps.repetitionSignals]], [[TextOps.trigramRareRate]],
+    * [[MixOps.selectUnderBudget]]), composed so the judge of any single
+    * stage is also the judge of the composition.
     *
     * Plan shape: language scores, token counts, and the redaction
     * fingerprint are projections fused into the scan (no exchange);
     * boilerplate adds its two hash-keyed shuffles; dedup survivors are
     * one fingerprint aggregation consumed as a left-semi join;
-    * decontamination broadcasts the eval shingle set. Everything joins
-    * back on doc_id — at scale these collapse into one doc_id-keyed
-    * exchange under AQE. The boilerplate df floor is FRACTIONAL
-    * (max(3, 1% of corpus)) — an absolute df cutoff silently reclassifies
-    * the whole corpus as boilerplate as the corpus grows, which is
-    * exactly the kind of 100x-scale defect the x10 gate exists to catch.
+    * decontamination broadcasts the eval shingle set; the char-fraction
+    * repetition signals are one kernel call per row; the trigram model
+    * aggregates over bounded distinct-trigram keys and scores map-side.
+    * Everything joins back on doc_id — at scale these collapse into one
+    * doc_id-keyed exchange under AQE. The hygiene survivor set is
+    * materialized once ([[Lineage.cut]]) because the budget stage
+    * consumes it twice (token totals + final join). The boilerplate df
+    * floor is FRACTIONAL (max(3, 1% of corpus)) — an absolute df cutoff
+    * silently reclassifies the whole corpus as boilerplate as the corpus
+    * grows, which is exactly the kind of 100x-scale defect the x10 gate
+    * exists to catch.
+    *
+    * Threshold calibration on the synthetic corpus
+    * ([[graft.tools.SignalStats]]): uniq_ratio p50 is 0.45 (word-salad
+    * text), so the pipeline floor is 0.3, NOT q_repetition's standalone
+    * 0.5 keep rule; dup3_frac caps at 0.2 (p99 = 0.13, max 0.41 — only
+    * the degenerate tail drops); rare_rate caps at 0.2 (corpus max 0.12;
+    * gibberish spikes far past it).
+    *
     * Output: (doc_id, n_tokens, stop_ratio, boiler_ratio, contam_frac,
-    * red_fp) for documents passing every stage. */
+    * uniq_ratio, top_bigram_frac, dup3_frac, rare_rate, cum_tokens,
+    * red_fp) for documents passing every stage AND selected under the
+    * token budget. */
   def hygienePipeline(
       docs: DataFrame, evalFilter: org.apache.spark.sql.Column,
       lang: String = "en", minTokens: Long = 20, minStopRatio: Double = 0.02,
-      maxBoilerRatio: Double = 0.3, maxContamFrac: Double = 0.3): DataFrame = {
+      maxBoilerRatio: Double = 0.3, maxContamFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2, minUniqRatio: Double = 0.3,
+      maxDup3Frac: Double = 0.2, maxRareRate: Double = 0.2,
+      tokenBudget: Long = 10000L): DataFrame = {
     val scored0 = TextOps.LangStopwords.foldLeft(docs) {
       case (df2, (l, pat)) =>
         df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
@@ -484,17 +508,43 @@ object PipelineOps {
       .select("doc_id")
     val decon = decontaminate(docs, evalFilter, maxContamFrac)
       .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    scored
+    val rep = repetitionScore(docs)
+      .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
+    val chars = TextOps.repetitionSignals(docs)
+      .select(col("doc_id"), col("dup3_frac"))
+    val fit = TextOps.trigramRareRate(docs)
+      .select(col("doc_id"), col("rare_rate"))
+    val hygiene = Lineage.cut(scored
       .join(boil, Seq("doc_id"))
       .join(decon, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(chars, Seq("doc_id"))
+      .join(fit, Seq("doc_id"))
       .join(survivors, Seq("doc_id"), "left_semi")
       .where(col("predicted") === lang && col("n_tokens") >= minTokens &&
         col("n_stop").cast("double") / col("n_tokens") >= minStopRatio &&
-        col("__b_keep") && !col("contaminated"))
+        col("__b_keep") && !col("contaminated") &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("uniq_ratio") >= minUniqRatio &&
+        col("dup3_frac") <= maxDup3Frac &&
+        col("rare_rate") <= maxRareRate)
       .select(
         col("doc_id"), col("n_tokens"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-        col("boiler_ratio"), col("contam_frac"), col("red_fp"))
+        col("boiler_ratio"), col("contam_frac"), col("uniq_ratio"),
+        col("top_bigram_frac"), col("dup3_frac"), col("rare_rate"),
+        col("red_fp")))
+    val selected = MixOps.selectUnderBudget(
+        docs.join(hygiene.select("doc_id"), Seq("doc_id"), "left_semi"),
+        tokenBudget)
+      .where(col("selected"))
+      .select(col("doc_id"), col("cum_tokens"))
+    hygiene.join(selected, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("boiler_ratio"), col("contam_frac"), col("uniq_ratio"),
+        col("top_bigram_frac"), col("dup3_frac"), col("rare_rate"),
+        col("cum_tokens"), col("red_fp"))
   }
 
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -38,11 +38,14 @@ object Pipeline {
 
     // ---- the full hygiene pipeline, composed ------------------------------
     // langid -> quality floor -> boilerplate (FRACTIONAL df floor) ->
-    // exact dedup -> decontamination vs the doc_id<25 eval set -> PII
-    // redaction, one row per surviving doc with every stage's evidence.
-    // The oracle recomputes the whole composition, so the gate checks the
-    // stages AND their interaction (join semantics, filter order
-    // invariance, the shared shingle CTE).
+    // exact dedup -> decontamination vs the doc_id<25 eval set ->
+    // repetition floors (word + char-fraction) -> trigram-LM fit floor ->
+    // PII redaction -> budget-constrained quality selection, one row per
+    // SELECTED doc with every stage's evidence. The oracle recomputes the
+    // whole composition — including the final budget cumsum over exactly
+    // the hygiene survivors — so the gate checks the stages AND their
+    // interaction (join semantics, filter order invariance, the shared
+    // shingle CTE, and that selection sees post-hygiene docs only).
     QueryDef(
       "q_pipeline_e2e",
       Some(s"""
@@ -86,25 +89,85 @@ object Pipeline {
                     CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac
                   FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
                   WHERE s.doc_id >= 25 GROUP BY s.doc_id),
+        rep AS (SELECT doc_id,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+                FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))) AS b
+               FROM t WHERE len(toks) >= 2),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+               FROM bc GROUP BY doc_id),
+        ac AS (SELECT doc_id,
+                 CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alpha_chars
+               FROM documents),
+        g3 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                        || ' ' || list_extract(toks, i + 2))) AS gram
+               FROM t WHERE len(toks) >= 3),
+        c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        d3 AS (SELECT doc_id,
+                 CAST(sum(cnt * (length(gram) - 2)) AS BIGINT) AS dup3_chars
+               FROM c3 WHERE cnt > 1 GROUP BY doc_id),
+        chars AS (SELECT b3.doc_id,
+                    CAST(COALESCE(d3.dup3_chars, 0) AS DOUBLE) / ac.alpha_chars AS dup3_frac
+                  FROM (SELECT doc_id FROM t WHERE len(toks) >= 3) b3
+                  JOIN ac ON ac.doc_id = b3.doc_id
+                  LEFT JOIN d3 ON d3.doc_id = b3.doc_id),
+        tld AS (SELECT doc_id, lower(text) AS s FROM documents),
+        tlp AS (SELECT doc_id,
+                  unnest(list_transform(range(1, length(s) - 1),
+                    i -> substring(s, CAST(i AS INT), 3))) AS tri
+                FROM tld),
+        tltot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tlp),
+        tlc AS (SELECT tri, CAST(count(*) AS BIGINT) AS cnt FROM tlp GROUP BY tri),
+        tlcom AS (SELECT tri FROM tlc, tltot WHERE cnt * 2000 > tltot.total),
+        trir AS (SELECT p.doc_id,
+                   CAST(count(*) - count(c.tri) AS DOUBLE) / count(*) AS rare_rate
+                 FROM tlp p LEFT JOIN tlcom c ON p.tri = c.tri
+                 GROUP BY p.doc_id),
         red AS (SELECT doc_id,
                   md5(regexp_replace(
                     regexp_replace(text, '${PipelineOps.EmailRe}', '<EMAIL>', 'g'),
                     '${PipelineOps.PhoneRe}', '<PHONE>', 'g')) AS red_fp
-                FROM documents)
-        SELECT lang.doc_id, CAST(qual.n_tokens AS BIGINT) AS n_tokens,
-               CAST(lang.s_en AS DOUBLE) / qual.n_tokens AS stop_ratio,
-               boiler.boiler_ratio, decon.contam_frac, red.red_fp
-        FROM lang
-        JOIN qual ON qual.doc_id = lang.doc_id
-        JOIN boiler ON boiler.doc_id = lang.doc_id
-        JOIN decon ON decon.doc_id = lang.doc_id
-        JOIN surv ON surv.doc_id = lang.doc_id
-        JOIN red ON red.doc_id = lang.doc_id
-        WHERE lang.predicted = 'en'
-          AND qual.n_tokens >= 20
-          AND CAST(lang.s_en AS DOUBLE) / qual.n_tokens >= 0.02
-          AND boiler.boiler_ratio <= 0.3
-          AND decon.contam_frac < 0.3"""),
+                FROM documents),
+        hyg AS (SELECT lang.doc_id, CAST(qual.n_tokens AS BIGINT) AS n_tokens,
+                       CAST(lang.s_en AS DOUBLE) / qual.n_tokens AS stop_ratio,
+                       boiler.boiler_ratio, decon.contam_frac,
+                       rep.uniq_ratio, tb.top_bigram_frac, chars.dup3_frac,
+                       trir.rare_rate, CAST(lang.s_en AS BIGINT) AS s_en,
+                       red.red_fp
+                FROM lang
+                JOIN qual ON qual.doc_id = lang.doc_id
+                JOIN boiler ON boiler.doc_id = lang.doc_id
+                JOIN decon ON decon.doc_id = lang.doc_id
+                JOIN surv ON surv.doc_id = lang.doc_id
+                JOIN rep ON rep.doc_id = lang.doc_id
+                JOIN tb ON tb.doc_id = lang.doc_id
+                JOIN chars ON chars.doc_id = lang.doc_id
+                JOIN trir ON trir.doc_id = lang.doc_id
+                JOIN red ON red.doc_id = lang.doc_id
+                WHERE lang.predicted = 'en'
+                  AND qual.n_tokens >= 20
+                  AND CAST(lang.s_en AS DOUBLE) / qual.n_tokens >= 0.02
+                  AND boiler.boiler_ratio <= 0.3
+                  AND decon.contam_frac < 0.3
+                  AND tb.top_bigram_frac <= 0.2
+                  AND rep.uniq_ratio >= 0.3
+                  AND chars.dup3_frac <= 0.2
+                  AND trir.rare_rate <= 0.2),
+        bsel AS (SELECT doc_id,
+                   CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                 FROM (SELECT doc_id, n_tokens,
+                         (s_en * 100000) // n_tokens AS q FROM hyg))
+        SELECT h.doc_id, h.n_tokens, h.stop_ratio, h.boiler_ratio,
+               h.contam_frac, h.uniq_ratio, h.top_bigram_frac, h.dup3_frac,
+               h.rare_rate, b.cum_tokens, h.red_fp
+        FROM hyg h JOIN bsel b ON b.doc_id = h.doc_id
+        WHERE b.cum_tokens <= 10000"""),
       (s, dir) => PipelineOps.hygienePipeline(
         Tables.load(s, dir, "documents"), col("doc_id") < 25)),
 

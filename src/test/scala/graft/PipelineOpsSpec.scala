@@ -27,8 +27,21 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val clean = PipelineOps.decontaminate(docs, col("doc_id") < 25, 0.3)
       .where(!col("contaminated")).collect().map(_.getLong(0)).toSet
-    assert(got === (en & qual & boil & surv & clean))
+    val rep = PipelineOps.repetitionScore(docs)
+      .where(col("top_bigram_frac") <= 0.2 && col("uniq_ratio") >= 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val chars = graft.ext.TextOps.repetitionSignals(docs)
+      .where(col("dup3_frac") <= 0.2).collect().map(_.getLong(0)).toSet
+    val fit = graft.ext.TextOps.trigramRareRate(docs)
+      .where(col("rare_rate") <= 0.2).collect().map(_.getLong(0)).toSet
+    val hyg = en & qual & boil & surv & clean & rep & chars & fit
+    // the final budget stage must rank exactly the hygiene survivors
+    val sel = graft.ext.MixOps.selectUnderBudget(
+        docs.where(col("doc_id").isInCollection(hyg)), 10000L)
+      .where(col("selected")).collect().map(_.getLong(0)).toSet
+    assert(got === (hyg & sel))
     assert(got.nonEmpty && !got.exists(_ < 25), "eval docs must never survive")
+    assert(hyg.size > got.size, "the token budget must bite")
   }
 
   test("chunk kernel == HOF slice formulation on all sf0.001 documents") {
