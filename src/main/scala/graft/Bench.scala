@@ -80,6 +80,24 @@ object Bench {
         d512.select(col("doc_id"),
           graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
         threshold = 0.6, dim = 128, bits = 8, bands = 32).count()
+      // IVF assignment/probe kernels at REALISTIC scaled k: the official
+      // single-run bench measured q_ivf_multiprobe 6.6 s and
+      // q_ivf_kmeans 5.8 s vs 1.2/0.8 s min-of-two at identical config —
+      // a C2 recompile of the flat-matrix cell kernels landing inside
+      // the timed region. Warm the exact kernels (graft_ivf_cell/cells),
+      // the cell-join + per-qid window, and the driver Lloyd's loop at
+      // the SAME k the real queries use (k depends only on corpus size,
+      // so this matches production shape, not toy k).
+      val embAll = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      val kCells = graft.ext.IvfKMeans.scaledK(embAll.count())
+      val e2k = embAll.select("vec_id", "embedding").limit(2048)
+      val cents = graft.ext.IvfKMeans.trainCentroids(
+        e2k, kCells, sampleN = math.max(2048, 16 * kCells))
+      graft.ext.Similarity.multiProbeNN(
+        e2k, cents, nprobe = 4, k = 5,
+        probeFilter = col("vec_id") < 10).count()
+      graft.ext.Similarity.bucketedNN(
+        graft.ext.IvfKMeans.assignCells(e2k, cents), "cell", k = 5).count()
       // repetition-stats and char-trigram kernels (plus the trigram
       // model-build agg) JIT on first use like the shingle family
       d64.select(graft.functions.TextKernels

@@ -37,6 +37,9 @@ object IvfIndex {
     IvfPq.encode(emb, model)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val (fs, logDir) = hadoopFs(s"$path/_append_log")
+    if (fs.exists(logDir)) fs.delete(logDir, true)
+    writeCountFile(s"$path/_base_count", emb.count())
     val sp = spark
     import sp.implicits._
     val dim = model.centroids.head.length
@@ -59,10 +62,12 @@ object IvfIndex {
   def append(delta: DataFrame, path: String): Unit =
     appendWith(delta, load(path), path)
 
-  private def appendWith(delta: DataFrame, model: IvfPq.Model, path: String): Unit =
+  private def appendWith(delta: DataFrame, model: IvfPq.Model, path: String): Unit = {
     IvfPq.encode(delta, model)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    writeCountFile(s"$path/_append_log/a${System.nanoTime()}", delta.count())
+  }
 
   /** Index maintenance under CONTINUOUS ingest: drain a stream of
     * (vec_id, embedding) rows into the saved index, one microbatch at a
@@ -151,10 +156,55 @@ object IvfIndex {
               new org.apache.hadoop.fs.Path(dest, s"b$batchId-${f.getPath.getName}"))
           }
       }
+    // batchId-keyed staleness log BEFORE the marker: a crash between the
+    // two re-runs this branch and overwrites the same file — idempotent
+    writeCountFile(s"$path/_append_log/batch-$batchId", delta.count())
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     fs.delete(stagingPath, true)
   }
+
+  private def writeCountFile(p: String, n: Long): Unit = {
+    val (fs, hp) = hadoopFs(p)
+    fs.mkdirs(hp.getParent)
+    val out = fs.create(hp, true)
+    out.write(n.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Fraction of the index's rows appended AFTER the codebooks were
+    * trained: appended / (base + appended), from the build's base count
+    * and the per-append sidecar log (compaction rewrites files but not
+    * the log, so the accounting survives it). The IVF contract freezes
+    * centroids/codebooks at build time, so quantization error — and with
+    * it search recall — drifts as appended data outgrows the training
+    * distribution; this is the number a deployment alarms on. */
+  def staleness(path: String): Double = {
+    val (fs, baseP) = hadoopFs(s"$path/_base_count")
+    def readCount(p: org.apache.hadoop.fs.Path): Long = {
+      val in = fs.open(p)
+      val s = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close(); s.trim.toLong
+    }
+    val base = if (fs.exists(baseP)) readCount(baseP) else 0L
+    val (_, logDir) = hadoopFs(s"$path/_append_log")
+    val appended =
+      if (!fs.exists(logDir)) 0L
+      else fs.listStatus(logDir).map(f => readCount(f.getPath)).sum
+    if (base + appended == 0L) 0.0
+    else appended.toDouble / (base + appended)
+  }
+
+  /** Staleness policy: true once appends exceed `maxStaleFraction` of
+    * the index — the signal to retrain the codebooks and [[build]] fresh
+    * (a rebuild, per the IVF contract; there is no incremental retrain).
+    * The recall drift that motivates the policy is spec-pinned with the
+    * recall-gate machinery: an index serving a corpus its codebooks
+    * never saw measures strictly worse recall@k than one rebuilt on the
+    * full corpus (IvfIndexSpec). */
+  def needsRetrain(path: String, maxStaleFraction: Double = 0.5): Boolean =
+    staleness(path) >= maxStaleFraction
 
   /** Rewrite every cell directory whose parquet-file count exceeds
     * `maxFilesPerCell` down to one file per owning task (the same

@@ -200,4 +200,49 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
     }
   }
+
+  test("staleness accounting; recall drift on shifted appends motivates retrain") {
+    val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // appended data is DISTRIBUTION-SHIFTED (constant offset per dim):
+    // the frozen codebooks never saw this region, so residual
+    // quantization error explodes there — the drift the policy alarms on
+    val shifted = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    val union = emb.union(shifted)
+    val stale = java.nio.file.Files.createTempDirectory("ivfstale").toString
+    val fresh = java.nio.file.Files.createTempDirectory("ivffresh3").toString
+    try {
+      IvfIndex.build(emb, IvfPq.train(emb, kCells = 8), stale)
+      assert(IvfIndex.staleness(stale) === 0.0)
+      IvfIndex.append(shifted, stale)
+      assert(math.abs(IvfIndex.staleness(stale) - 0.5) < 1e-9)
+      assert(IvfIndex.needsRetrain(stale, maxStaleFraction = 0.5))
+      assert(!IvfIndex.needsRetrain(stale, maxStaleFraction = 0.51))
+      IvfIndex.build(union, IvfPq.train(union, kCells = 8), fresh)
+      assert(IvfIndex.staleness(fresh) === 0.0)
+      // probes from the shifted region: the stale index must measure
+      // worse recall@5 than the rebuilt one
+      val probeF = col("vec_id") >= 100000L && col("vec_id") < 100010L
+      val exact = graft.ext.Similarity.cosineTopK(union, probeF, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+      def recall(path: String): Double = {
+        val got = IvfIndex.search(
+            union, path, probeF, nprobe = 4, k = 5, rerank = 30)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+        val rs = exact.map { case (q, ids) =>
+          (got.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size }
+        rs.sum / rs.size
+      }
+      val (rStale, rFresh) = (recall(stale), recall(fresh))
+      info(f"recall@5 stale=$rStale%.2f fresh=$rFresh%.2f")
+      assert(rFresh > rStale,
+        f"rebuilt index must beat the stale one: stale=$rStale%.2f fresh=$rFresh%.2f")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stale))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
+    }
+  }
 }
