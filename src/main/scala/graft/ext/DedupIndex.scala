@@ -12,17 +12,22 @@ import org.apache.spark.sql.functions._
   * operator's incremental purpose.
   *
   * On-disk layout under `path` (all parquet):
-  *  - `bands`: (doc_id, band, bkey) partitioned by `bp` =
-  *    the first two hex chars of bkey (256 directories). A batch probe
-  *    collects its own band keys (bounded: |batch| x bands strings — the
-  *    same bounded-collect pattern as [[IvfIndex.search]]'s probed cells)
-  *    and reads ONLY matching partitions/row groups via partition pruning
-  *    + a pushed `bkey IN (...)` filter: probe cost tracks the batch, not
-  *    the corpus.
+  *  - `bands`: (doc_id, band, bkey) partitioned by `bp` = the first hex
+  *    char of bkey (16 directories), rows SORTED by bkey within each
+  *    file so every row group carries tight bkey min/max stats. A batch
+  *    probe collects its own band keys (bounded: |batch| x bands
+  *    strings — the same bounded-collect pattern as [[IvfIndex.search]]'s
+  *    probed cells) and reads only matching partitions/row groups via
+  *    partition pruning + a pushed `bkey IN (...)` filter: probe cost
+  *    tracks the batch, not the corpus. Row-group pruning off the sort
+  *    order is what scales — a small probe touches a handful of row
+  *    groups regardless of corpus size, without the file-count explosion
+  *    a finer directory scheme would pay on every listing.
   *  - `sets`: per-doc (doc_id, seth: sorted xxhash64 shingle hashes,
-  *    n_sh) partitioned by `dp` = doc_id mod 64, read partition-pruned
-  *    for the few candidate docs only. The sorted-long arrays make exact
-  *    Jaccard verification a zero-allocation two-pointer merge
+  *    n_sh) partitioned by `dp` = doc_id mod 16 and sorted by doc_id
+  *    within files, read partition- and row-group-pruned for the few
+  *    candidate docs only. The sorted-long arrays make exact Jaccard
+  *    verification a zero-allocation two-pointer merge
   *    ([[graft.functions.SortedIntersect]]) — identical construction to
   *    the containment index's `seth` (collision odds ~1e-15/pair; the
   *    oracle's exact string recount would catch any).
@@ -62,12 +67,12 @@ object DedupIndex {
     val spark = corpus.sparkSession
     val sh = Dedup.docShingles(corpus, n).persist(Lvl)
     Dedup.minhashBandRows(sh, bands, rowsPerBand)
-      .withColumn("bp", substring(col("bkey"), 1, 2))
-      .repartition(col("bp"))
+      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .repartition(col("bp")).sortWithinPartitions("bkey")
       .write.mode("overwrite").partitionBy("bp").parquet(s"$path/bands")
     hashedSets(sh)
-      .withColumn("dp", pmod(col("doc_id"), lit(64)).cast("int"))
-      .repartition(col("dp"))
+      .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("int"))
+      .repartition(col("dp")).sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("dp").parquet(s"$path/sets")
     sh.unpersist()
     import spark.implicits._
@@ -89,12 +94,12 @@ object DedupIndex {
   def append(delta: DataFrame, index: Loaded): Unit = {
     val sh = Dedup.docShingles(delta, index.n).persist(Lvl)
     Dedup.minhashBandRows(sh, index.bands, index.rowsPerBand)
-      .withColumn("bp", substring(col("bkey"), 1, 2))
-      .repartition(col("bp"))
+      .withColumn("bp", substring(col("bkey"), 1, 1))
+      .repartition(col("bp")).sortWithinPartitions("bkey")
       .write.mode("append").partitionBy("bp").parquet(s"${index.path}/bands")
     hashedSets(sh)
-      .withColumn("dp", pmod(col("doc_id"), lit(64)).cast("int"))
-      .repartition(col("dp"))
+      .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("int"))
+      .repartition(col("dp")).sortWithinPartitions("doc_id")
       .write.mode("append").partitionBy("dp").parquet(s"${index.path}/sets")
     sh.unpersist()
   }
@@ -125,7 +130,7 @@ object DedupIndex {
     val corpusBands0 = spark.read.parquet(s"${index.path}/bands")
     val corpusBands =
       if (probeKeys.length <= maxInList) {
-        val prefixes = probeKeys.map(_.substring(0, 2)).distinct.toIndexedSeq
+        val prefixes = probeKeys.map(_.substring(0, 1)).distinct.toIndexedSeq
         corpusBands0.where(col("bp").isin(prefixes: _*) &&
           col("bkey").isin(probeKeys.toIndexedSeq: _*))
       } else corpusBands0
@@ -140,7 +145,7 @@ object DedupIndex {
     val corpusSets0 = spark.read.parquet(s"${index.path}/sets")
     val corpusSets =
       if (candIds.length <= maxInList) {
-        val dps = candIds.map(id => ((id % 64) + 64) % 64).distinct.toIndexedSeq
+        val dps = candIds.map(id => ((id % 16) + 16) % 16).distinct.toIndexedSeq
         corpusSets0.where(col("dp").isin(dps: _*) &&
           col("doc_id").isin(candIds.toIndexedSeq: _*))
       } else corpusSets0
