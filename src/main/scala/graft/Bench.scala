@@ -60,8 +60,8 @@ object Bench {
       graft.ext.Dedup.minhashNearDup(d64, 0.7).count()
       // winnowing fingerprints (md5 + rolling Karp-Rabin kernels, the
       // fingerprint self-join and overlap verify) JIT ~3 s on first use
-      graft.ext.Dedup.winnowNearDup(d64, 0.7, maxDf = Some(16L)).count()
-      graft.ext.Dedup.winnowRecallGate(d64, 0.7, maxDf = Some(16L)).count()
+      graft.ext.Dedup.winnowNearDup(d64, 0.7).count()
+      graft.ext.Dedup.winnowRecallGate(d64, 0.7).count()
       // the prefix-containment path (index build: df-count + rarest-first
       // sort_array sets, prefix slice join, array_intersect verify) JITs
       // ~5 s on first use (measured: q_containment 8.3 s cold vs 3.1 s

@@ -441,62 +441,79 @@ object Dedup {
   /** Winnowing-fingerprint near-dup (MOSS): documents are reduced to their
     * winnowed fingerprint sets ([[graft.functions.Winnow]] — ~2/(w+1) of
     * all k-gram hashes, with a shared-substring guarantee), then pairs
-    * sharing fingerprints are scored by NORMALIZED overlap
-    * |F_a intersect F_b| / min(|F_a|, |F_b|) — containment-style, so a
-    * near-copy embedded in a longer document still scores ~1. The
-    * fingerprint equi-join IS the candidate pruner: documents sharing no
-    * fingerprint never pair up, and candidate volume tracks shared-run
-    * mass, not corpus size squared.
+    * are scored by NORMALIZED overlap |F_a ∩ F_b| / min(|F_a|, |F_b|) —
+    * containment-style, so a near-copy embedded in a longer document
+    * still scores ~1.
     *
-    * At 100 TB the hot keys are boilerplate fingerprints shared by
-    * thousands of documents (the sum-of-freq^2 blowup); `maxDf` drops
-    * fingerprints present in more than that many documents before the
-    * join — the standard MOSS practice, and a knob the oracle can mirror
-    * exactly. Use [[winnowScaledCap]], not a constant: a FIXED cap is
-    * the fixed-parameter scale trap (measured: at sf0.1 a cap of 16
-    * silently drops 13% of true pairs from the rolling family and
-    * decouples the two hash families' pair sets — 0.76 agreement — while
-    * the corpus-relative cap restores agreement 1.0; same class of bug
-    * as fixed-k IVF and fixed SRP band bits). `rolling = true` switches
-    * to the O(len) Karp-Rabin gram
-    * hash (engine-specific values; gate via [[winnowRecallGate]]).
+    * Candidate generation is the RAREST-FIRST PREFIX FILTER (the same
+    * recall-1 machinery as [[PipelineOps.containmentPairsPrefix]],
+    * applied to fingerprint sets): for the smaller set A of a qualifying
+    * pair, overlap >= t forces containment of A >= t, so at most
+    * ⌊(1-t)·|A|⌋ of A's fingerprints are missing from B and one of A's
+    * first ⌈(1-t)·|A|⌉ + 1 fingerprints IN GLOBAL-RARITY ORDER must be
+    * shared (pigeonhole — lossless, not probabilistic). Only those
+    * prefix fingerprints join the inverted index, so hot boilerplate
+    * fingerprints generate candidates ONLY for documents that are
+    * almost entirely boilerplate, and no df cap is needed at all. This
+    * replaced the MOSS hot-key df cap: a FIXED cap silently dropped 13%
+    * of true pairs at x10 (the fixed-parameter scale trap), and the
+    * corpus-RELATIVE cap that restored recall admitted Σ df² join
+    * volume that measured ~linear-in-corpus (38 s at the x10 gate) —
+    * the prefix filter keeps recall 1 with candidates bounded by
+    * rare-fingerprint df. Verification is a zero-allocation two-pointer
+    * merge over each pair's numerically sorted fingerprint arrays
+    * ([[graft.functions.SortedIntersect]]).
+    *
+    * `rolling = true` switches to the O(len) Karp-Rabin gram hash
+    * (engine-specific values; gate via [[winnowRecallGate]]).
     * Output: (doc_a, doc_b, overlap), doc_a < doc_b. Overlap counts and
     * fingerprint-set sizes are integers, so the emitted double is a
     * single exact division — bit-identical across engines. */
-  /** Corpus-relative hot-fingerprint cap: df <= max(16, nDocs / 100) —
-    * i.e. fingerprints in more than 1% of documents are boilerplate at
-    * any corpus size, while the floor of 16 keeps the small-corpus
-    * behavior the oracle was calibrated on. One bounded count() action;
-    * mirror in SQL as `c <= greatest(16, (SELECT count(*) FROM t) // 100)`. */
-  def winnowScaledCap(docs: DataFrame): Long =
-    math.max(16L, docs.count() / 100L)
-
   def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int = 8, w: Int = 4,
-      rolling: Boolean = false, maxDf: Option[Long] = None): DataFrame = {
+      rolling: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val fpAll = spread(docs).select(
+    val fp = spread(docs).select(
       col("doc_id"),
       explode(graft.functions.Winnow(spark, col("text"), k, w, rolling)).as("fp"))
-    val fp = maxDf.fold(fpAll) { cap =>
-      val rare = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
-        .where(col("df") <= cap).select("fp")
-      fpAll.join(rare, Seq("fp"), "left_semi")
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = fp.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    val out = shared
-      .join(nf.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(nf.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    // ONE doc_id aggregation builds everything per doc: the fingerprint
+    // array in rarest-first (global df asc, fp asc) order for prefix
+    // slicing, the numerically sorted array for two-pointer
+    // verification, and the set size
+    val sets = fp.join(df, Seq("fp"))
+      .groupBy("doc_id")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(df, fp))), s -> s.fp)")
+          .as("rare_first"),
+        sort_array(collect_list(col("fp"))).as("seth"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = sets
+      .select(col("doc_id"), explode(expr(
+        s"slice(rare_first, 1, cast(ceil(${1.0 - threshold} * n) as int) + 1)"))
+        .as("fp"))
+      .select(col("doc_id").as("doc_p"), col("fp"))
+      .join(fp.select(col("doc_id").as("doc_q"), col("fp")), Seq("fp"))
+      .where(col("doc_p") =!= col("doc_q"))
+      .select(least(col("doc_p"), col("doc_q")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_q")).as("doc_b"))
+      .distinct()
+    val inter = graft.functions.SortedIntersect(
+      spark, col("ha"), col("hb")).cast("double")
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
+        col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (col("c").cast("double") / least(col("na"), col("nb"))).as("ov"))
+        (inter / least(col("na"), col("nb"))).as("ov"))
       .where(col("ov") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("ov"), 6).as("overlap"))
     val pairs = Lineage.cut(out)
     fp.unpersist()
+    sets.unpersist()
     pairs
   }
 
@@ -510,12 +527,12 @@ object Dedup {
     * 0.57) the pair sets agree — a selection or rolling-arithmetic bug
     * drops agreement and flips the boolean. */
   def winnowRecallGate(
-      docs: DataFrame, threshold: Double = 0.7, floor: Double = 0.9,
-      maxDf: Option[Long] = None): DataFrame = {
-    val portable = winnowNearDup(docs, threshold, maxDf = maxDf)
+      docs: DataFrame, threshold: Double = 0.7,
+      floor: Double = 0.9): DataFrame = {
+    val portable = winnowNearDup(docs, threshold)
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fast = winnowNearDup(docs, threshold, rolling = true, maxDf = maxDf)
+    val fast = winnowNearDup(docs, threshold, rolling = true)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))

@@ -48,20 +48,34 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     assert(fps(text, rolling = false) === expected)
   }
 
-  test("winnowNearDup finds the known near-dup pairs; rolling variant agrees; df cap holds") {
+  test("winnowNearDup finds the known pairs; rolling agrees; prefix filter lossless") {
     for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
       val docs = Tables.load(spark, dir, "documents")
-      val portable = Dedup.winnowNearDup(docs, 0.7)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(portable.nonEmpty, s"$dir: expected near-dup pairs")
+      val got = Dedup.winnowNearDup(docs, 0.7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.nonEmpty, s"$dir: expected near-dup pairs")
       val rolling = Dedup.winnowNearDup(docs, 0.7, rolling = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(rolling === portable, s"$dir: hash variants disagree")
-      // a generous df cap only drops boilerplate fingerprints — the
-      // near-dup pair set must survive (overlap margins are wide)
-      val capped = Dedup.winnowNearDup(docs, 0.7, maxDf = Some(50L))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(capped === portable, s"$dir: df cap changed the pair set")
+      assert(rolling === got.map(p => (p._1, p._2)), s"$dir: hash variants disagree")
+      // losslessness: the rarest-first prefix filter must return exactly
+      // the direct all-pairs fingerprint self-join's rows (pairs AND
+      // overlap values — the pigeonhole bound verified end-to-end)
+      val fp = docs.select(col("doc_id"),
+        explode(graft.functions.Winnow(spark, col("text"), 8, 4,
+          rolling = false)).as("fp"))
+      val nf = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val direct = fp.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(fp.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+        .join(nf.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("c").cast("double") / least(col("na"), col("nb")), 6)
+            .as("overlap"))
+        .where(col("overlap") >= 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === direct, s"$dir: prefix filter diverged from all-pairs")
     }
   }
 
