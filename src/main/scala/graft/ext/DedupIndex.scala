@@ -115,10 +115,14 @@ object DedupIndex {
     * scan cost. A batch larger than `maxInList` keys falls back to a full
     * index scan JOINED against the batch keys (one scan, still ZERO
     * corpus recompute — the giant-backfill regime where scanning the
-    * index once is the right plan anyway). */
+    * index once is the right plan anyway). `maxInList` is deliberately
+    * small: a multi-thousand-value IN predicate stops reaching the
+    * parquet reader as a pushable filter and just burns planner/eval
+    * time, while the scan+join path broadcasts the batch side and reads
+    * the index once — the crossover measured around a few thousand keys. */
   def searchAgainst(
       index: Loaded, batch: DataFrame, threshold: Double,
-      maxInList: Int = 100000): DataFrame = {
+      maxInList: Int = 2048): DataFrame = {
     val spark = batch.sparkSession
     val bSh = Dedup.docShingles(batch, index.n).persist(Lvl)
     val bBands = Dedup.minhashBandRows(bSh, index.bands, index.rowsPerBand)
