@@ -104,6 +104,51 @@ object DedupIndex {
     sh.unpersist()
   }
 
+  /** Rewrite every partition directory (in BOTH the `bands` and `sets`
+    * subtrees) whose parquet-file count exceeds `maxFilesPerPartition`
+    * down to one sorted file per owning task — the maintenance pass for
+    * long-running [[append]] ingest, same contract as
+    * [[IvfIndex.compact]]: each append adds one file per touched
+    * partition forever, and an unbounded file count degrades every
+    * probe's listing plus the row-group pruning that sorted files
+    * provide. Restores the build-time sort (bands by bkey, sets by
+    * doc_id) so min/max stats stay tight after compaction. Returns the
+    * number of partitions compacted; the file swap is not atomic for
+    * concurrent readers (maintenance-window op, like any parquet rewrite
+    * without a transaction log). */
+  def compact(path: String, maxFilesPerPartition: Int = 8): Int =
+    compactTree(s"$path/bands", "bp", "bkey", maxFilesPerPartition) +
+      compactTree(s"$path/sets", "dp", "doc_id", maxFilesPerPartition)
+
+  private def compactTree(
+      root: String, partCol: String, sortCol: String, maxFiles: Int): Int = {
+    val spark = SparkSession.active
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return 0
+    def parquets(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val oversized = fs.listStatus(rootP)
+      .filter(_.getPath.getName.startsWith(s"$partCol="))
+      .filter(d => parquets(d.getPath).length > maxFiles)
+    if (oversized.isEmpty) return 0
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/../_compact_tmp_$partCol")
+    spark.read.option("basePath", root)
+      .parquet(oversized.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(col(partCol)).sortWithinPartitions(sortCol)
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+    oversized.foreach { d =>
+      val staged = new org.apache.hadoop.fs.Path(tmp, d.getPath.getName)
+      parquets(d.getPath).foreach(f => fs.delete(f.getPath, false))
+      parquets(staged).foreach { f =>
+        fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(d.getPath, f.getPath.getName))
+      }
+    }
+    fs.delete(tmp, true)
+    oversized.length
+  }
+
   /** Near-duplicates of `batch` against the persisted corpus index —
     * output (doc_id [batch], dup_of [corpus], jaccard), identical rows to
     * [[Dedup.minhashNearDupAgainst]] over the corpus the index was built
@@ -180,4 +225,43 @@ object DedupIndex {
     graft.streaming.StreamingOps.runBatchesToParquet(
       streamDocs, "stream_neardup",
       batch => searchAgainst(index, batch, threshold))
+
+  /** The full crawl-dedup loop: for each arriving microbatch, (1) probe
+    * the index for near-duplicates of the batch, (2) APPEND the batch's
+    * non-duplicate documents into the index so they become corpus
+    * members for every subsequent batch, (3) compact once file counts
+    * grow past `maxFilesPerPartition`. Unlike [[nearDupOnIngest]]'s
+    * static probe, this catches CROSS-BATCH duplicates: a document
+    * arriving in batch 7 that near-duplicates one from batch 3 is
+    * flagged, because batch 3's survivors were folded into the index.
+    * Emits the flagged (doc_id, dup_of, jaccard) rows; the index ends
+    * holding the original corpus plus every first-seen document. NOTE:
+    * the result depends on arrival order by construction (the first
+    * copy seen wins — the semantics every incremental dedup has);
+    * within one batch, documents are probed against the pre-batch index
+    * only, so intra-batch duplicates are resolved by a batch-local
+    * [[Dedup.minhashNearDup]] pass whose pairs keep the smaller id. */
+  def dedupAndIngest(
+      streamDocs: DataFrame, index: Loaded, threshold: Double,
+      maxFilesPerPartition: Int = 8): DataFrame =
+    graft.streaming.StreamingOps.runBatchesToParquet(
+      streamDocs, "stream_dedup_ingest",
+      batch => {
+        val vsCorpus = searchAgainst(index, batch, threshold)
+        // intra-batch near-dups (the index can't see them yet): keep the
+        // smaller id as the survivor, flag the larger against it
+        val intra = Dedup.minhashNearDup(batch, threshold,
+            index.bands, index.rowsPerBand, index.n)
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+            col("jaccard"))
+        val dups = Lineage.cut(vsCorpus.unionByName(intra)
+          .groupBy("doc_id")
+          .agg(min(struct(col("dup_of"), col("jaccard"))).as("m"))
+          .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+            col("m.jaccard").as("jaccard")))
+        val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+        append(fresh, index)
+        compact(index.path, maxFilesPerPartition)
+        dups
+      })
 }

@@ -73,6 +73,79 @@ class DedupIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compact: repeated appends stay bounded per partition, probe parity") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpusRows = docs.where(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("dedupcompact").toString
+    try {
+      val (head, rest) = corpusRows.splitAt(math.max(1, corpusRows.size / 10))
+      DedupIndex.build(head.toDF("doc_id", "text"), path)
+      val idx = DedupIndex.load(spark, path)
+      // 9 append batches of continuous corpus growth, then compact
+      rest.grouped(math.max(1, rest.size / 9))
+        .foreach(c => DedupIndex.append(c.toDF("doc_id", "text"), idx))
+      val maxFiles = 3
+      def partFileCounts(sub: String): Seq[Int] =
+        new java.io.File(s"$path/$sub").listFiles()
+          .filter(_.getName.contains("=")).toSeq
+          .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(partFileCounts("bands").exists(_ > maxFiles),
+        "appends must have accumulated files for the test to mean anything")
+      assert(DedupIndex.compact(path, maxFiles) > 0)
+      assert(partFileCounts("bands").forall(_ <= maxFiles))
+      assert(partFileCounts("sets").forall(_ <= maxFiles))
+      // compaction must not change WHAT the index holds
+      val compacted = pairs(DedupIndex.searchAgainst(idx, batch, 0.7))
+      val recompute = pairs(Dedup.minhashNearDupAgainst(
+        corpusRows.toDF("doc_id", "text"), batch, 0.7))
+      assert(compacted === recompute)
+      assert(compacted.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
+  test("dedupAndIngest: cross-batch dups caught, index grows with survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val t2 = "red orange yellow green blue indigo violet crimson teal " +
+      "magenta amber coral olive maroon navy silver"
+    val t3 = "stone river forest meadow valley summit canyon glacier " +
+      "prairie tundra delta basin mesa butte ridge cliff"
+    val t4 = "piano violin cello flute oboe clarinet bassoon trumpet " +
+      "trombone tuba harp timpani marimba organ lute fiddle"
+    val path = java.nio.file.Files.createTempDirectory("dedupgrow").toString
+    try {
+      DedupIndex.build(Seq((0L, t1 + " one"), (2L, t2)).toDF("doc_id", "text"), path)
+      val idx = DedupIndex.load(spark, path)
+      // drain 1: 11 near-dups seed doc 0; 13 is fresh; 15 near-dups 13
+      // INTRA-batch (the index cannot see 13 yet)
+      val s1 = MemoryStream[(Long, String)]
+      s1.addData(Seq((11L, t1 + " two"), (13L, t3), (15L, t3 + " extra")))
+      val d1 = pairs(DedupIndex.dedupAndIngest(
+        s1.toDF().toDF("doc_id", "text"), idx, 0.7))
+      assert(d1.map(p => (p._1, p._2)) === Seq((11L, 0L), (15L, 13L)))
+      // drain 2: 21 near-dups 13 — which arrived in DRAIN 1 as a fresh
+      // doc and must now be a corpus member; 23 is fresh
+      val s2 = MemoryStream[(Long, String)]
+      s2.addData(Seq((21L, t3 + " added"), (23L, t4)))
+      val d2 = pairs(DedupIndex.dedupAndIngest(
+        s2.toDF().toDF("doc_id", "text"), idx, 0.7))
+      assert(d2.map(p => (p._1, p._2)) === Seq((21L, 13L)),
+        "a duplicate of an earlier batch's survivor must be caught")
+      // index holds the seed corpus plus exactly the first-seen docs
+      assert(spark.read.parquet(s"$path/sets").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(0L, 2L, 13L, 23L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    }
+  }
+
   test("nearDupOnIngest: microbatched probes == one batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
