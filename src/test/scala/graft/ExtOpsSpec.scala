@@ -328,4 +328,53 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(4L) == (4L, true))
     assert(r(5L) == (5L, true))    // zero-norm: singleton, never paired
   }
+
+  test("perceptual hash: real pixels, brightness invariance, banding lossless") {
+    import spark.implicits._
+    val imgA = testPng(1, 64, 64)
+    // same spatial structure at a constant brightness shift: aHash bits
+    // compare each cell to the GLOBAL mean, so a uniform shift cancels —
+    // the invariance that makes it a perceptual hash, not a checksum
+    val shifted = testPng(9, 64, 64)
+    // genuinely different spatial structure
+    val other = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if ((x * y) % 7 < 3) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, imgA), (2L, testPng(1, 64, 64)), (3L, shifted),
+      (4L, other)).toDF("doc_id", "payload")
+    val hs = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hs.values.forall(_._2), "PNG payloads must take the real decode path")
+    assert(hs(1L)._1 === hs(2L)._1, "identical images must collide")
+    assert(hs(1L)._1 === hs(3L)._1, "constant brightness shift must cancel")
+    assert(java.lang.Long.bitCount(hs(1L)._1 ^ hs(4L)._1) > 10,
+      "different spatial structure must sit far away")
+    val pairs = Multimodal.phashNearDup(media, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) === 0L && pairs((1L, 3L)) === 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+
+    // banding losslessness on the stub corpus: banded candidates + verify
+    // == brute-force all-pairs popcount at the same threshold
+    val corpus = Multimodal.documentsAsMedia(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val got = Multimodal.phashNearDup(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val h = Multimodal.perceptualHash(corpus)
+    val brute = h.select(col("doc_id").as("doc_a"), col("phash").as("ha"))
+      .crossJoin(h.select(col("doc_id").as("doc_b"), col("phash").as("hb")))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === brute)
+    assert(got.nonEmpty, "the corpus's near-dup pairs must land within 3 bits")
+  }
 }
