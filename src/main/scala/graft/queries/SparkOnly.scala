@@ -298,6 +298,28 @@ object SparkOnly {
         Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
       }),
 
+    // Hierarchical two-level IVF: k1 top cells each owning k2 sub-cells
+    // trained on their own sample residents — k1·k2 effective cells from
+    // bounded per-cell driver training, the continuation past flat
+    // Lloyd's cell cap (the other classic route besides the IMI's
+    // product structure; unlike the IMI the sub-codebooks are
+    // resident-conditioned). Probes take the nprobeSub closest subs in
+    // each of the nprobeTop closest top cells. Recall-gated like the
+    // other learned-cell searches; measured recall@5 0.32-0.64 across
+    // sf0.001-0.1 (tools/KmeansRecall) — >= 1.6x above the 0.2 floor.
+    QueryDef(
+      "q_hier_nn",
+      Some(annRecallOracle),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+        val (k1, k2) = graft.ext.HierIvf.scaledKs(emb.count())
+        val model = graft.ext.HierIvf.train(emb, k1, k2)
+        val ann = graft.ext.HierIvf.nn(
+            emb, model, k = 5, probeFilter = col("vec_id") < 10)
+          .withColumnRenamed("nn_id", "cid")
+        Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
+      }),
+
     // Multi-probe IVF: each query probes its `nprobe` nearest cells, not
     // just its own — recovers recall lost at cell boundaries. Corpus side
     // stays single-cell (one shuffle on cell); the probe side explodes to

@@ -36,6 +36,15 @@ object KmeansRecall {
       val n = exact.count()
       val hits = exact.join(ann, Seq("qid", "cid"), "left_semi").count()
       println(f"[kmeans-recall] $dir kCells=$kCells recall@5=${hits.toDouble / n}%.3f ($hits/$n)")
+      // hierarchical two-level variant (calibrates the q_hier_nn gate)
+      val (k1, k2) = graft.ext.HierIvf.scaledKs(emb.count())
+      val hm = graft.ext.HierIvf.train(emb, k1, k2)
+      val hAnn = graft.ext.HierIvf.nn(
+          emb, hm, k = 5, probeFilter = col("vec_id") < 10)
+        .select(col("qid"), col("nn_id").as("cid"))
+      val hHits = exact.join(hAnn, Seq("qid", "cid"), "left_semi").count()
+      println(f"[hier-recall] $dir k1=$k1 k2=$k2 " +
+        f"recall@5=${hHits.toDouble / n}%.3f ($hHits/$n)")
     }
     spark.stop()
   }
