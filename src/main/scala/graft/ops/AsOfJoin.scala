@@ -85,7 +85,7 @@ object AsOfJoin {
 
     val valueStruct = struct(right.valueCols.map(col): _*)
     val valueType = right.df.select(valueStruct).schema.head.dataType
-    val probeStruct = struct(left.columns.map(col): _*)
+    val probeStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val probeType = left.select(probeStruct).schema.head.dataType
 
     val probes = left.select(
@@ -154,7 +154,8 @@ object AsOfJoin {
     val nonNull = left.where(col(leftKey).isNotNull)
     val p = nonNull
       .withColumn(SALT,
-        pmod(xxhash64(nonNull.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+        pmod(xxhash64(nonNull.columns.toIndexedSeq.map(col): _*),
+          lit(salts.toLong)).cast("int"))
       .withColumn(SK, struct(col(leftKey).as("k"), col(SALT).as("s")))
     val v = right.df
       .where(col(right.keyCol).isNotNull && col(right.timeCol).isNotNull)
