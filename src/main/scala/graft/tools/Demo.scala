@@ -140,6 +140,31 @@ object Demo {
       s" resized=${graft.ext.Multimodal.resizeTo(media, 64).where(col("resized")).count()}" +
       " (text payloads: both 0 by design)")
 
+    // Round-8: the crawl-dedup loop — build a persisted band index from
+    // the even-id half, stream the odd-id half through dedupAndIngest
+    // (probe, flag, grow with first-seen survivors), and show the index
+    // grew. Plus perceptual-hash image dedup and two-level IVF search.
+    locally {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val idxPath = s"$wh/demo_dedup_index"
+      graft.ext.DedupIndex.build(docs.where(col("doc_id") % 2 === 0), idxPath)
+      val idx = graft.ext.DedupIndex.load(spark, idxPath)
+      val docSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val arriving = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+        .where(col("doc_id") % 2 === 1)
+      val flagged = graft.ext.DedupIndex.dedupAndIngest(arriving, idx, 0.7)
+      val grown = spark.read.parquet(s"$idxPath/sets").count()
+      println(s"[demo] crawl-dedup: flagged=${flagged.count()} dups; " +
+        s"index grew to $grown docs (seed + first-seen survivors)")
+      println(s"[demo] phash near-dup pairs (hamming<=3)=" +
+        s"${graft.ext.Multimodal.phashNearDup(
+          graft.ext.Multimodal.documentsAsMedia(docs)).count()}")
+      val hm = graft.ext.HierIvf.train(emb, k1 = 5, k2 = 5)
+      println(s"[demo] hier-ivf nn rows=" +
+        s"${graft.ext.HierIvf.nn(emb, hm, k = 3, col("vec_id") < 3).count()}")
+    }
+
     // Streaming surface: same pipeline over a file stream (one pass).
     graft.sources.Tables.prepare(spark)
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
