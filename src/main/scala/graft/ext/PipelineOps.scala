@@ -550,6 +550,110 @@ object PipelineOps {
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+1-555-[0-9]{4}"
 
+  /** Frozen corpus profile for ON-INGEST hygiene scoring: the corpus-wide
+    * statistics every per-document stage needs, computed ONCE from a
+    * reference corpus and reused for every arriving batch — shingle
+    * document frequencies (boilerplate), the eval shingle set
+    * (decontamination), the common-trigram set (LM fit), and the
+    * fractional boilerplate df floor pinned to the REFERENCE corpus size
+    * (an arriving batch must not move the floor). Callers `release()`
+    * when done. */
+  final case class HygieneProfile(
+      refDf: DataFrame, evalShingles: Seq[String],
+      commonTrigrams: Seq[String], minDf: Long) {
+    def release(): Unit = { refDf.unpersist(); () }
+  }
+
+  def buildHygieneProfile(
+      refDocs: DataFrame,
+      evalFilter: org.apache.spark.sql.Column): HygieneProfile = {
+    val refDf = shingleDf(refDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    HygieneProfile(
+      refDf,
+      evalShingleSet(refDocs.where(evalFilter)),
+      TextOps.trigramCommonSet(refDocs),
+      math.max(3L, math.ceil(0.01 * refDocs.count()).toLong))
+  }
+
+  /** Per-document hygiene scoring against a frozen [[HygieneProfile]] —
+    * the stages of [[hygienePipeline]] that depend only on (document,
+    * corpus profile): language-ID, token/stopword floors, boilerplate
+    * fraction vs the reference df table, eval-set decontamination,
+    * word + char-fraction repetition floors, trigram-LM fit, PII
+    * fingerprint. The corpus-STATE stages (exact-dedup survivors, the
+    * token-budget cumsum) are inherently cross-document and stay batch
+    * ([[hygienePipeline]]); everything here is per-row or
+    * batch-vs-static, so the same function scores a batch frame and
+    * every streaming microbatch identically. Output: one row per
+    * SURVIVING document with all stage evidence. */
+  def hygieneScore(
+      profile: HygieneProfile, docs: DataFrame, lang: String = "en",
+      minTokens: Long = 20, minStopRatio: Double = 0.02,
+      maxBoilerRatio: Double = 0.3, maxContamFrac: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2, minUniqRatio: Double = 0.3,
+      maxDup3Frac: Double = 0.2, maxRareRate: Double = 0.2): DataFrame = {
+    val scored0 = TextOps.LangStopwords.foldLeft(docs) {
+      case (df2, (l, pat)) =>
+        df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
+    }
+    val scored = scored0.select(
+      col("doc_id"),
+      when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "other")
+        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+        .when(col("s_fr") >= col("s_es"), "fr")
+        .otherwise("es").as("predicted"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      col("s_en").as("n_stop"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("red_fp"))
+    val boil = boilerplateAgainst(profile.refDf, docs, profile.minDf, maxBoilerRatio)
+      .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
+    val decon = decontaminateScore(docs, profile.evalShingles, maxContamFrac)
+      .select(col("doc_id"), col("contam_frac"), col("contaminated"))
+    val rep = repetitionScore(docs)
+      .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
+    val chars = TextOps.repetitionSignals(docs)
+      .select(col("doc_id"), col("dup3_frac"))
+    val fit = TextOps.trigramScoreAgainst(docs, profile.commonTrigrams)
+      .select(col("doc_id"), col("rare_rate"))
+    scored
+      .join(boil, Seq("doc_id"))
+      .join(decon, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(chars, Seq("doc_id"))
+      .join(fit, Seq("doc_id"))
+      .where(col("predicted") === lang && col("n_tokens") >= minTokens &&
+        col("n_stop").cast("double") / col("n_tokens") >= minStopRatio &&
+        col("__b_keep") && !col("contaminated") &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("uniq_ratio") >= minUniqRatio &&
+        col("dup3_frac") <= maxDup3Frac &&
+        col("rare_rate") <= maxRareRate)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        col("boiler_ratio"), col("contam_frac"), col("uniq_ratio"),
+        col("top_bigram_frac"), col("dup3_frac"), col("rare_rate"),
+        col("red_fp"))
+  }
+
+  /** Hygiene-on-ingest: score every ARRIVING document against the frozen
+    * corpus profile, one microbatch at a time — the deployment form of
+    * the corpus build, where the profile is computed once from the
+    * existing corpus and new crawl data is filtered continuously against
+    * it. Batching-invariant by construction: every stage is per-row or
+    * batch-vs-static, so any carve-up of arrivals scores identically
+    * (pinned to the batch [[hygieneScore]] by the q_stream_pipeline
+    * oracle). Drains with AvailableNow and returns the appended rows. */
+  def hygieneOnIngest(
+      streamDocs: DataFrame, profile: HygieneProfile): DataFrame =
+    graft.streaming.StreamingOps.runBatchesToParquet(
+      streamDocs, "stream_hygiene",
+      batch => hygieneScore(profile, batch))
+
   /** Within-document repetition scoring (the Gopher-style quality rules
     * that catch degenerate/templated text): unique-token ratio, the
     * fraction of all bigram occurrences taken by the single most frequent

@@ -145,7 +145,15 @@ object TextOps {
     * Output: (doc_id, n_tri, n_rare, rare_rate). */
   def trigramRareRate(
       docs: org.apache.spark.sql.DataFrame, relDenom: Long = 2000L)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    trigramScoreAgainst(docs, trigramCommonSet(docs, relDenom))
+
+  /** The model-build half of [[trigramRareRate]]: the corpus's common
+    * trigrams (relative frequency > 1/relDenom), structurally ≤ relDenom
+    * entries at any corpus size — the frozen "corpus profile" piece that
+    * on-ingest scoring ([[trigramScoreAgainst]]) broadcasts. */
+  def trigramCommonSet(
+      docs: org.apache.spark.sql.DataFrame, relDenom: Long = 2000L): Seq[String] = {
     val spark = docs.sparkSession
     val tris = docs
       .select(col("doc_id"),
@@ -154,12 +162,25 @@ object TextOps {
       .where(size(col("tris")) > 0)
     val total = tris
       .agg(sum(size(col("tris")).cast("long"))).collect()(0).getLong(0)
-    val common = tris
+    tris
       .select(explode(col("tris")).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * relDenom > total)
       .collect().map(_.getString(0)).toIndexedSeq
-    tris
+  }
+
+  /** The scoring half of [[trigramRareRate]]: rare-trigram-position rate
+    * against a STATIC common set — one membership-kernel pass per row,
+    * no shuffle, so it runs identically on batch and streaming frames. */
+  def trigramScoreAgainst(
+      docs: org.apache.spark.sql.DataFrame, common: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .charNgramArray(spark, col("text"), 3).as("tris"))
+      .where(size(col("tris")) > 0)
       .select(
         col("doc_id"),
         size(col("tris")).cast("long").as("n_tri"),

@@ -171,6 +171,137 @@ object Pipeline {
       (s, dir) => PipelineOps.hygienePipeline(
         Tables.load(s, dir, "documents"), col("doc_id") < 25)),
 
+    // ---- hygiene-on-ingest: score arrivals vs a frozen corpus profile -----
+    // The deployment form of the corpus build: the profile (shingle dfs,
+    // eval shingles, common trigrams, fractional df floor) freezes once
+    // from the existing corpus; arriving (doc_id >= 25) docs are scored
+    // per microbatch by every per-document stage — langid, quality,
+    // boilerplate-vs-reference, decontamination, word + char repetition
+    // floors, trigram fit, PII fingerprint. Stream == corpus and
+    // profile == corpus here, so the oracle is the batch composition
+    // restricted to the arriving docs (the corpus-STATE stages — dedup
+    // survivors and the budget cumsum — are inherently cross-document
+    // and live only in the batch q_pipeline_e2e).
+    QueryDef(
+      "q_stream_pipeline",
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                     i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                          || ' ' || list_extract(toks, i + 2))
+                   ELSE [] END) AS shingle
+               FROM t),
+        lang AS (SELECT doc_id, s_en,
+                   CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'other'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS predicted
+                 FROM (SELECT doc_id,
+                         len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in)\\b')) AS s_en,
+                         len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist)\\b')) AS s_de,
+                         len(regexp_extract_all(lower(text), '\\b(?:le|la|et|les|des)\\b')) AS s_fr,
+                         len(regexp_extract_all(lower(text), '\\b(?:el|los|y|que|una)\\b')) AS s_es
+                       FROM documents)),
+        qual AS (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+                 FROM documents),
+        nd AS (SELECT count(*) AS total FROM documents),
+        d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        boiler AS (SELECT doc_id,
+                     CAST(count(CASE WHEN df >= greatest(3, CAST(ceil(0.01 * total) AS BIGINT)) THEN 1 END) AS DOUBLE)
+                       / count(*) AS boiler_ratio
+                   FROM sh JOIN d USING (shingle), nd GROUP BY doc_id),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25),
+        decon AS (SELECT s.doc_id,
+                    CAST(count(e.shingle) AS DOUBLE) / count(*) AS contam_frac
+                  FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+                  WHERE s.doc_id >= 25 GROUP BY s.doc_id),
+        rep AS (SELECT doc_id,
+                  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+                FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1))) AS b
+               FROM t WHERE len(toks) >= 2),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        tb AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+               FROM bc GROUP BY doc_id),
+        ac AS (SELECT doc_id,
+                 CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS alpha_chars
+               FROM documents),
+        g3 AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+                        || ' ' || list_extract(toks, i + 2))) AS gram
+               FROM t WHERE len(toks) >= 3),
+        c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        d3 AS (SELECT doc_id,
+                 CAST(sum(cnt * (length(gram) - 2)) AS BIGINT) AS dup3_chars
+               FROM c3 WHERE cnt > 1 GROUP BY doc_id),
+        chars AS (SELECT b3.doc_id,
+                    CAST(COALESCE(d3.dup3_chars, 0) AS DOUBLE) / ac.alpha_chars AS dup3_frac
+                  FROM (SELECT doc_id FROM t WHERE len(toks) >= 3) b3
+                  JOIN ac ON ac.doc_id = b3.doc_id
+                  LEFT JOIN d3 ON d3.doc_id = b3.doc_id),
+        tld AS (SELECT doc_id, lower(text) AS s FROM documents),
+        tlp AS (SELECT doc_id,
+                  unnest(list_transform(range(1, length(s) - 1),
+                    i -> substring(s, CAST(i AS INT), 3))) AS tri
+                FROM tld),
+        tltot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tlp),
+        tlc AS (SELECT tri, CAST(count(*) AS BIGINT) AS cnt FROM tlp GROUP BY tri),
+        tlcom AS (SELECT tri FROM tlc, tltot WHERE cnt * 2000 > tltot.total),
+        trir AS (SELECT p.doc_id,
+                   CAST(count(*) - count(c.tri) AS DOUBLE) / count(*) AS rare_rate
+                 FROM tlp p LEFT JOIN tlcom c ON p.tri = c.tri
+                 GROUP BY p.doc_id),
+        red AS (SELECT doc_id,
+                  md5(regexp_replace(
+                    regexp_replace(text, '${PipelineOps.EmailRe}', '<EMAIL>', 'g'),
+                    '${PipelineOps.PhoneRe}', '<PHONE>', 'g')) AS red_fp
+                FROM documents)
+        SELECT lang.doc_id, CAST(qual.n_tokens AS BIGINT) AS n_tokens,
+               CAST(lang.s_en AS DOUBLE) / qual.n_tokens AS stop_ratio,
+               boiler.boiler_ratio, decon.contam_frac,
+               rep.uniq_ratio, tb.top_bigram_frac, chars.dup3_frac,
+               trir.rare_rate, red.red_fp
+        FROM lang
+        JOIN qual ON qual.doc_id = lang.doc_id
+        JOIN boiler ON boiler.doc_id = lang.doc_id
+        JOIN decon ON decon.doc_id = lang.doc_id
+        JOIN rep ON rep.doc_id = lang.doc_id
+        JOIN tb ON tb.doc_id = lang.doc_id
+        JOIN chars ON chars.doc_id = lang.doc_id
+        JOIN trir ON trir.doc_id = lang.doc_id
+        JOIN red ON red.doc_id = lang.doc_id
+        WHERE lang.doc_id >= 25
+          AND lang.predicted = 'en'
+          AND qual.n_tokens >= 20
+          AND CAST(lang.s_en AS DOUBLE) / qual.n_tokens >= 0.02
+          AND boiler.boiler_ratio <= 0.3
+          AND decon.contam_frac < 0.3
+          AND tb.top_bigram_frac <= 0.2
+          AND rep.uniq_ratio >= 0.3
+          AND chars.dup3_frac <= 0.2
+          AND trir.rare_rate <= 0.2"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val profile = PipelineOps.buildHygieneProfile(docs, col("doc_id") < 25)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = PipelineOps.hygieneOnIngest(
+          stream.where(col("doc_id") >= 25), profile)
+        profile.release()
+        out
+      }),
+
     // ---- boilerplate n-gram detection / filter ----------------------------
     // Shingles in >= 3 docs are boilerplate; drop docs over 30% boilerplate.
     QueryDef(

@@ -33,6 +33,30 @@ class StreamingPipelineSpec extends AnyFunSuite with SparkSpec {
     dir
   }
 
+  test("hygiene-on-ingest == batch hygieneScore across 3 microbatches") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = slicedDocsDir()
+    val profile = PipelineOps.buildHygieneProfile(docs, col("doc_id") < 25)
+    try {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val got = PipelineOps.hygieneOnIngest(
+        stream.where(col("doc_id") >= 25), profile)
+      val want = PipelineOps.hygieneScore(
+        profile, docs.where(col("doc_id") >= 25))
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      // the frozen profile keeps corpus-wide floors batch-independent:
+      // every surviving doc passed the REFERENCE corpus's df floor, not a
+      // per-batch one (a per-batch floor would reclassify shared shingles
+      // as rare inside small batches and let boilerplate through)
+      assert(got.agg(max(col("boiler_ratio"))).collect().head.getDouble(0) <= 0.3)
+    } finally {
+      profile.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("decontaminate-on-ingest == batch decontaminate across 3 microbatches") {
     val docs = Tables.load(spark, sfDir, "documents")
     val dir = slicedDocsDir()
