@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring-span deduplication (SURVEY.md §2.9 dedup family):
+  * find every maximal token span that occurs more than once ANYWHERE in
+  * the corpus (another document or another offset of the same document)
+  * and remove it, keeping the surrounding text — the span-level exact
+  * dedup of Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better" (ACL 2022), where the unit of removal is the repeated
+  * substring itself rather than the whole document or a fixed chunk.
+  *
+  * Method (token-level, window `w`): every w-token gram is keyed by
+  * position; a position is DUPLICATED when its gram occurs >= 2 times
+  * corpus-wide; runs of duplicated positions closer than `w` merge into
+  * one maximal span [start, start_of_last_window + w - 1] (two windows at
+  * p < q overlap or adjoin exactly when q - p <= w, so islands split on
+  * gaps > w). By construction every token of a span lies inside SOME
+  * duplicated window, spans are disjoint, and any repeat of length >= w
+  * is found (a repeat shorter than w is invisible — the same floor as
+  * the reference method's min-match length).
+  *
+  * Scale shape (the suffix-array of the paper is replaced by the shuffle
+  * primitives a cluster engine is good at):
+  *   1. gram construction is one map-side codegen kernel pass
+  *      ([[graft.functions.TextKernels]] shingles) — no exchange;
+  *   2. the corpus-wide duplicate test groups by xxhash64(gram), so the
+  *      shuffle carries (hash, doc_id, pos) ~ 24 bytes per token
+  *      REGARDLESS of w — gram strings never leave the map side; the
+  *      aggregate is map-side-combined and the duplicated-key set comes
+  *      back through a semi join on the same key (AQE reuses the
+  *      exchange);
+  *   3. island-merge is one window over (doc_id, pos) — the only
+  *      doc-keyed shuffle, bounded by the marked-position count;
+  *   4. span removal re-joins spans to token positions per doc_id (spans
+  *      per doc are few; the anti join's equi key is doc_id with the
+  *      range predicate as a residual filter).
+  * With `hashGrams = true` (default) a 64-bit collision can falsely mark
+  * a position: expected colliding PAIRS ~ n_grams^2 / 2^65 — ~0 below
+  * 10^9 grams and a ~5e-7 fraction of marked positions at 100 TB scale
+  * (acceptable dedup noise; the paper's own pipeline tolerates
+  * approximate matches). `hashGrams = false` groups by the gram string
+  * itself (exact, wider shuffle); SpanDedupSpec asserts both paths agree
+  * on the test corpus.
+  */
+object SpanDedup {
+
+  /** Maximal duplicated token spans: (doc_id, span_start, span_end)
+    * in 0-based token positions, end inclusive. */
+  def duplicateSpans(docs: DataFrame, w: Int = 8,
+      hashGrams: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    val d = Dedup.spread(docs)
+    val grams = d
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextKernels.shingleArray(
+          spark, col("text"), w, distinct = false)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("gkey"))
+    val dupKeys = grams.groupBy("gkey").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gkey")
+    val marked = grams.join(dupKeys, Seq("gkey"), "left_semi")
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document span-dedup result over the whole corpus: token totals,
+    * span counts, duplicated-token counts, and an md5 fingerprint of the
+    * span-REMOVED text (tokens outside every span, space-joined) — the
+    * fingerprint pins the exact span boundaries, so any off-by-one in
+    * island merging or removal changes the hash. One row per input
+    * document, including documents with no duplicated span
+    * (n_spans = 0, clean_fp = md5 of the full token join). */
+  def spanDedup(docs: DataFrame, w: Int = 8,
+      hashGrams: Boolean = true): DataFrame = {
+    val spans = Lineage.cut(duplicateSpans(docs, w, hashGrams))
+    val toks = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+    val tokpos = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokpos.as("tp").join(spans.as("sp"),
+      col("tp.doc_id") === col("sp.doc_id") &&
+        col("tp.pos") >= col("sp.span_start") &&
+        col("tp.pos") <= col("sp.span_end"),
+      "left_anti")
+    val clean = kept.groupBy("doc_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), " +
+        "s -> s.tok), ' ')").as("clean_text"))
+    val stats = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+  }
+}

@@ -36,6 +36,52 @@ object Pipeline {
         FROM c JOIN d USING (ch) GROUP BY doc_id"""),
       (s, dir) => PipelineOps.chunkDedup(Tables.load(s, dir, "documents"), 16)),
 
+    // ---- exact substring-SPAN dedup (Lee et al. 2022) ---------------------
+    // Maximal token spans duplicated anywhere in the corpus (window w=8),
+    // removed per document; the clean_fp md5 pins the exact span
+    // boundaries — any island-merge or removal off-by-one flips the hash.
+    // DuckDB replays the whole method: positional 8-gram duplicate test,
+    // gap>w island split, span removal, ordered re-join.
+    QueryDef(
+      "q_substring_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+              WHERE len(toks) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                       THEN 1 ELSE 0 END AS brk
+                FROM m),
+        isl2 AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+               FROM isl2 GROUP BY doc_id, island),
+        tp AS (SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM t, unnest(range(1, len(toks) + 1)) AS r(i)),
+        kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                 FROM tp LEFT JOIN sp
+                   ON sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e
+                 WHERE sp.doc_id IS NULL),
+        cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+               FROM kept GROUP BY doc_id),
+        st AS (SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+               FROM sp GROUP BY doc_id)
+        SELECT t.doc_id, len(t.toks) AS total_tokens,
+               COALESCE(st.n_spans, 0) AS n_spans,
+               COALESCE(st.dup_tokens, 0) AS dup_tokens,
+               md5(COALESCE(cl.ctext, '')) AS clean_fp
+        FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+        LEFT JOIN cl ON cl.doc_id = t.doc_id"""),
+      (s, dir) => graft.ext.SpanDedup.spanDedup(
+        Tables.load(s, dir, "documents"), w = 8)),
+
     // ---- the full hygiene pipeline, composed ------------------------------
     // langid -> quality floor -> boilerplate (FRACTIONAL df floor) ->
     // exact dedup -> decontamination vs the doc_id<25 eval set ->

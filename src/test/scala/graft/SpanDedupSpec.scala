@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.SpanDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact substring-span dedup ([[graft.ext.SpanDedup]]): hand-checkable
+  * span extraction, removal fingerprints, and hashed-vs-string gram-key
+  * parity. */
+class SpanDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ten shared tokens >> w=4 so the repeat is visible to the window test;
+  // doc 3 is unrelated filler with no 4-gram repeated anywhere.
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("duplicated spans: cross-doc repeat found, boundaries maximal") {
+    val d = docs(
+      (1L, s"unique one two three $shared tail1 only"),
+      (2L, s"other prefix words here $shared different suffix"),
+      (3L, "totally unrelated filler text with no repeats at all"))
+    val spans = SpanDedup.duplicateSpans(d, w = 4)
+      .orderBy("doc_id").collect()
+    // doc1 tokens: unique one two three alpha(4)..kappa(13) tail1 only
+    // doc2 tokens: other prefix words here alpha(4)..kappa(13) different suffix
+    // duplicated 4-grams are exactly the 7 windows inside the shared run,
+    // positions 4..10; island end = 10 + 3 = 13.
+    assert(spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((1L, 4, 13), (2L, 4, 13)))
+  }
+
+  test("self-repeat within one document is a duplicate too") {
+    val d = docs(
+      (1L, "aa bb cc dd xx yy aa bb cc dd"),
+      (2L, "nothing shared with the first document at all"))
+    val spans = SpanDedup.duplicateSpans(d, w = 4).collect()
+    // "aa bb cc dd" occurs at pos 0 and pos 6 of doc 1: two islands
+    // (gap 6 > w), each exactly the 4-gram itself.
+    assert(spans.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet ===
+      Set((1L, 0, 3), (1L, 6, 9)))
+  }
+
+  test("spanDedup: stats and clean fingerprint pin the removal") {
+    val d = docs(
+      (1L, s"unique one two three $shared tail1 only"),
+      (2L, s"other prefix words here $shared different suffix"),
+      (3L, "totally unrelated filler text with no repeats at all"))
+    val out = SpanDedup.spanDedup(d, w = 4)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    val r1 = out(0)
+    assert(r1.getLong(1) === 16L) // total tokens
+    assert(r1.getLong(2) === 1L) // one span
+    assert(r1.getLong(3) === 10L) // the 10 shared tokens removed
+    // clean text of doc1 = tokens outside [4,13]
+    val expected1 = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("unique one two three tail1 only")
+    assert(r1.getString(4) === expected1)
+    val r3 = out(2)
+    assert(r3.getLong(2) === 0L)
+    assert(r3.getLong(3) === 0L)
+    assert(r3.getString(4) === org.apache.commons.codec.digest.DigestUtils
+      .md5Hex("totally unrelated filler text with no repeats at all"))
+  }
+
+  test("hashed gram keys agree with exact string keys on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hashed = SpanDedup.spanDedup(d, w = 8, hashGrams = true)
+    val exact = SpanDedup.spanDedup(d, w = 8, hashGrams = false)
+    assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty)
+    // and the operator actually fires on the synthetic corpus
+    assert(SpanDedup.duplicateSpans(d, w = 8).count() > 0)
+  }
+}
