@@ -64,11 +64,12 @@ object Similarity {
     * aggregates cross to the output rows. */
   def recallGate(
       emb: DataFrame, ann: DataFrame, probeFilter: Column, k: Int,
-      floor: Double): DataFrame = {
+      floor: Double, candFilter: Column = lit(true)): DataFrame = {
     val p = prepared(emb)
     val q = p.where(probeFilter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val c = p.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val c = prepared(emb.where(candFilter))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val exact = c.crossJoin(broadcast(q))
       .where(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
@@ -97,17 +98,23 @@ object Similarity {
     * row per vector (its own nearest cell — one shuffle on `cell`); the
     * probe side explodes to `nprobe` rows (its nprobe nearest cells), so
     * recall lost at cell boundaries is recovered for nprobe x candidate
-    * volume. Every vector is a corpus member; `probeFilter` restricts the
-    * probe side (the default `lit(true)` = all-probes self-search). */
+    * volume. `probeFilter` restricts the probe side (the default
+    * `lit(true)` = all-probes self-search); `candFilter` restricts the
+    * CANDIDATE side — FILTERED ANN search (top-k among only the vectors
+    * matching a metadata predicate, e.g. a label or language tag) with
+    * centroids still trained on the full corpus, the shared-index/
+    * per-query-predicate shape. The predicate applies before cell
+    * assignment, so non-matching vectors never shuffle, and on a
+    * persisted layout it would push into the pruned cell scan. */
   def multiProbeNN(
       emb: DataFrame, centroids: Array[Array[Double]], nprobe: Int, k: Int,
-      probeFilter: Column = lit(true)): DataFrame = {
+      probeFilter: Column = lit(true), candFilter: Column = lit(true)): DataFrame = {
     // persist both sides: cell/cells are expression-DERIVED join keys, and
     // without a materialization barrier the optimizer re-inlines the whole
     // k x dim centroid-distance tree into the join-key filter AND the
     // post-join projections — re-evaluating it per candidate PAIR instead
     // of per vector (measured 10x wall-clock on the self-join)
-    val corpus = IvfKMeans.assignCells(emb, centroids)
+    val corpus = IvfKMeans.assignCells(emb.where(candFilter), centroids)
       .select(col("vec_id").as("cid"), col("cell"),
         col("embedding").cast("array<double>").as("cv"))
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))

@@ -337,6 +337,45 @@ object SparkOnly {
             emb, centroids, nprobe = 4, k = 5, probeFilter = col("vec_id") < 10)
           .withColumnRenamed("nn_id", "cid")
         Similarity.recallGate(emb, ann, col("vec_id") < 10, 5, RecallFloor)
+      }),
+
+    // ---- FILTERED ANN: top-k under a metadata predicate -------------------
+    // Search only candidates with label IN (0,1,2) (~29% of the corpus)
+    // while the probes and the trained cells stay corpus-wide — the
+    // shared-index / per-query-predicate scenario. Exact filtered top-5 is
+    // SQL-reproduced (hash-pinning the kernel + predicate semantics); the
+    // engine's multi-probe filtered recall is floor-gated like its
+    // unfiltered siblings.
+    QueryDef(
+      "q_ivf_filtered",
+      Some("""
+        WITH e AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        s AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                     list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+              FROM n q, n c
+              WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+                AND c.label IN (0, 1, 2)),
+        r AS (SELECT qid, cid,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+              FROM s)
+        SELECT qid, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY rn) AS exact_topk,
+               true AS recall_ok
+        FROM r WHERE rn <= 5 GROUP BY qid"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val pred = col("label").isin(0, 1, 2)
+        val kCells = IvfKMeans.scaledK(emb.count())
+        val centroids = IvfKMeans.trainCentroids(
+          emb, kCells, sampleN = math.max(2048, 16 * kCells))
+        val ann = Similarity.multiProbeNN(
+            emb, centroids, nprobe = 4, k = 5,
+            probeFilter = col("vec_id") < 10, candFilter = pred)
+          .withColumnRenamed("nn_id", "cid")
+        Similarity.recallGate(
+          emb, ann, col("vec_id") < 10, 5, RecallFloor, candFilter = pred)
       })
   )
 }

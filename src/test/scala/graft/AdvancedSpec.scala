@@ -52,6 +52,44 @@ class AdvancedSpec extends AnyFunSuite with SparkSpec {
     assert(viaProbe === viaBucket)
   }
 
+  test("filtered ANN: candFilter excludes out-of-predicate vectors even " +
+      "when one is the global nearest neighbor") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val pred = col("label").isin(0, 1, 2)
+    val centroids = IvfKMeans.trainCentroids(
+      emb.select("vec_id", "embedding"), k = 4)
+    // probe ALL cells: the filtered result is then EXACTLY the filtered
+    // brute-force top-k — predicate semantics pinned with zero recall slack
+    val filtered = Similarity.multiProbeNN(emb, centroids, nprobe = 4, k = 3,
+        probeFilter = col("vec_id") < 5, candFilter = pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // filtered brute-force reference, computed locally (sf0.001 corpus)
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cands = vecs(emb.where(pred))
+    val exact = vecs(emb.where(col("vec_id") < 5)).flatMap { case (qid, qv) =>
+      cands.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3)
+        .map { case (cid, _) => (qid, cid) }
+    }.toSet
+    val allowed = cands.map(_._1).toSet
+    assert(filtered === exact)
+    assert(filtered.forall { case (_, cid) => allowed.contains(cid) })
+    // the unfiltered global top-1 of at least one probe is outside the
+    // predicate on this corpus (sanity that the test bites)
+    val global = Similarity.cosineTopK(emb, col("vec_id") < 5, 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(global.exists(cid => !allowed.contains(cid)))
+  }
+
   test("multi-probe recall: nprobe=2 finds neighbors at least as close as nprobe=1") {
     val emb = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
     val centroids = IvfKMeans.trainCentroids(emb, k = 4)
