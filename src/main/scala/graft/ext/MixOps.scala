@@ -198,4 +198,61 @@ object MixOps {
       .where(col("rn") <= col("quota"))
       .select(col("doc_id"), col(sourceCol), col("quota"), col("rn"))
   }
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al.,
+    * NeurIPS 2023): score every raw document by how much more likely its
+    * unigram bag is under the TARGET distribution (the docs matching
+    * `targetFilter`) than under the raw corpus, and keep the top `n`.
+    * Per-token log-likelihood ratio with add-`alpha` smoothing over the
+    * raw vocabulary:
+    *   w(t) = ln((c_tgt(t)+α)/(N_tgt+αV)) − ln((c_raw(t)+α)/(N_raw+αV))
+    * and a document's importance is the sum of w over its token
+    * OCCURRENCES (the paper's bag-of-features log importance weight).
+    *
+    * Engine-parity design: each token's w is rounded to micro-units and
+    * summed as BIGINT (`score_micro`) — integer sums are independent of
+    * summation order, so the score is bit-identical across engines (the
+    * same "cents" trick as the revenue queries; a double sum here would
+    * hash-flake). Ranking ties break by doc_id; documents with zero
+    * tokens score 0.
+    *
+    * Scale shape: one token-key aggregation (map-side combined) builds
+    * the count table; the three corpus scalars (N_tgt, N_raw, V) are a
+    * single driver row; weights join back to occurrences on the token
+    * key (no broadcast — vocabulary is unbounded); the per-doc sum
+    * shuffles on doc_id; top-n is a distributed partial sort + limit,
+    * never a global sort. Output: (doc_id, score_micro, selected) for
+    * the top-n rows only. */
+  def dsirSelect(
+      docs: DataFrame,
+      targetFilter: org.apache.spark.sql.Column,
+      n: Int,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), targetFilter.as("is_tgt"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("is_tgt"), 1)).as("c_tgt"))
+    // three corpus scalars; one driver row (the bounded-collect pattern)
+    val t = counts.agg(
+      sum(col("c_raw")).cast("double").as("n_raw"),
+      sum(col("c_tgt")).cast("double").as("n_tgt"),
+      count(lit(1)).cast("double").as("v")).first()
+    val (nRaw, nTgt, v) = (t.getDouble(0), t.getDouble(1), t.getDouble(2))
+    val w = counts.select(col("tok"),
+      round(
+        (log((col("c_tgt") + alpha) / (nTgt + alpha * v)) -
+          log((col("c_raw") + alpha) / (nRaw + alpha * v))) * 1e6, 0)
+        .cast("long").as("w_micro"))
+    val scores = toks.join(w, Seq("tok"))
+      .groupBy("doc_id").agg(sum(col("w_micro")).as("score_micro"))
+    docs.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(n)
+      .withColumn("selected", lit(true))
+  }
 }

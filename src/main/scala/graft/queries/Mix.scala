@@ -169,6 +169,43 @@ object Mix {
                  AS blocked
         FROM d GROUP BY domain"""),
       (s, dir) => PipelineOps.urlDomainStats(
-        Tables.load(s, dir, "documents"), Blocklist))
+        Tables.load(s, dir, "documents"), Blocklist)),
+
+    // ---- DSIR importance selection (Xie et al., NeurIPS 2023) -------------
+    // Top-50 raw docs by unigram log-likelihood ratio toward the lang='en'
+    // target distribution, add-0.5 smoothing over the raw vocabulary.
+    // Per-token weights round to integer micro-units BEFORE the per-doc
+    // sum, so scores are exact integers on both engines (order-independent
+    // summation — the cents trick).
+    QueryDef(
+      "q_dsir_select",
+      Some("""
+        WITH t AS (SELECT doc_id, lang = 'en' AS is_tgt,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                   FROM documents),
+        c AS (SELECT tok, count(*) AS c_raw,
+                count(CASE WHEN is_tgt THEN 1 END) AS c_tgt
+              FROM t GROUP BY tok),
+        tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+                       CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM c),
+        w AS (SELECT tok,
+                CAST(round((ln((c_tgt + 0.5) / (n_tgt + 0.5 * v)) -
+                            ln((c_raw + 0.5) / (n_raw + 0.5 * v))) * 1e6, 0)
+                  AS BIGINT) AS w_micro
+              FROM c, tot),
+        s AS (SELECT t.doc_id, sum(w.w_micro) AS score_micro
+              FROM t JOIN w USING (tok) GROUP BY t.doc_id),
+        r AS (SELECT d.doc_id,
+                CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro
+              FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+        k AS (SELECT doc_id, score_micro,
+                row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+              FROM r)
+        SELECT doc_id, score_micro, true AS selected FROM k WHERE rn <= 50"""),
+      (s, dir) => MixOps.dsirSelect(
+        Tables.load(s, dir, "documents"),
+        org.apache.spark.sql.functions.col("lang") === "en", 50))
   )
 }

@@ -171,4 +171,48 @@ class MixOpsSpec extends AnyFunSuite with SparkSpec {
     val rangeWidth = 199L / 8 + 1
     assert(got.map(_._1 / rangeWidth).distinct.length > 4)
   }
+
+  test("dsirSelect: toy corpus ranks target-vocabulary docs on top, " +
+      "exact n rows, deterministic") {
+    import spark.implicits._
+    // docs 1-2 share the target's vocabulary; 3-4 use disjoint tokens.
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "en"),
+      (2L, "beta gamma alpha gamma", "en"),
+      (3L, "uno dos tres cuatro cinco", "es"),
+      (4L, "eins zwei drei vier", "de"))
+      .toDF("doc_id", "text", "lang")
+    val sel = MixOps.dsirSelect(d, col("lang") === "en", 2).collect()
+    assert(sel.map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(sel.forall(_.getBoolean(2)))
+    // scores are positive for target-like docs (more likely under target)
+    assert(sel.forall(_.getLong(1) > 0))
+    val again = MixOps.dsirSelect(d, col("lang") === "en", 2).collect()
+    assert(sel.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
+  test("dsirSelect on real data: selection shifts toward the target " +
+      "distribution's over-represented tokens") {
+    // the synthetic corpus shares one 31-token vocabulary across langs
+    // (lang is an independent column), so the discriminative target here
+    // is token-defined: docs mentioning 'spark'. Selected docs must then
+    // be spark-denser than the corpus average — the importance weights
+    // fire on the distribution shift, not on a metadata accident.
+    val tgt = lower(col("text")).contains("spark")
+    val sel = MixOps.dsirSelect(docs, tgt, 50)
+    assert(sel.count() === 50)
+    def sparkDensity(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df
+        .select(
+          size(filter(graft.ext.TextOps.tokens(col("text")),
+            t => t === "spark")).cast("double").as("ns"),
+          size(graft.ext.TextOps.tokens(col("text"))).cast("double").as("n"))
+        .agg(sum(col("ns")), sum(col("n"))).first()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val selDocs = sel.join(docs, "doc_id")
+    assert(sparkDensity(selDocs) > sparkDensity(docs) * 1.2,
+      "selected docs are not spark-denser than the corpus")
+  }
 }
