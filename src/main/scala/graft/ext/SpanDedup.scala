@@ -47,44 +47,35 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Maximal duplicated token spans: (doc_id, span_start, span_end)
-    * in 0-based token positions, end inclusive. */
-  def duplicateSpans(docs: DataFrame, w: Int = 8,
-      hashGrams: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    val d = Dedup.spread(docs)
-    val grams = d
+  /** (doc_id, pos, gkey) positional w-gram keys — one map-side kernel
+    * pass, hashed by default so the key is fixed-width. */
+  private def grams(docs: DataFrame, w: Int, hashGrams: Boolean): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(graft.functions.TextKernels.shingleArray(
-          spark, col("text"), w, distinct = false)).as(Seq("pos", "gram")))
+          docs.sparkSession, col("text"), w, distinct = false))
+          .as(Seq("pos", "gram")))
       .select(col("doc_id"), col("pos"),
         (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("gkey"))
-    val dupKeys = grams.groupBy("gkey").agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select("gkey")
-    val marked = grams.join(dupKeys, Seq("gkey"), "left_semi")
-      .select("doc_id", "pos")
+
+  /** Marked positions -> disjoint maximal spans (gap > w splits). */
+  private def spansFromMarked(marked: DataFrame, w: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val islands = marked
+    marked
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands.groupBy("doc_id", "island")
+      .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (w - 1)).as("span_end"))
       .select("doc_id", "span_start", "span_end")
   }
 
-  /** Per-document span-dedup result over the whole corpus: token totals,
-    * span counts, duplicated-token counts, and an md5 fingerprint of the
-    * span-REMOVED text (tokens outside every span, space-joined) — the
-    * fingerprint pins the exact span boundaries, so any off-by-one in
-    * island merging or removal changes the hash. One row per input
-    * document, including documents with no duplicated span
-    * (n_spans = 0, clean_fp = md5 of the full token join). */
-  def spanDedup(docs: DataFrame, w: Int = 8,
-      hashGrams: Boolean = true): DataFrame = {
-    val spans = Lineage.cut(duplicateSpans(docs, w, hashGrams))
+  /** Per-doc result: token totals, span stats, and the md5 of the
+    * span-REMOVED text (pins exact span boundaries). One row per doc of
+    * `docs`, including documents with no span. */
+  private def statsWithCleanFp(docs: DataFrame, spans: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       TextOps.tokens(col("text")).as("toks"))
     val tokpos = toks.select(col("doc_id"),
@@ -108,4 +99,65 @@ object SpanDedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
   }
+
+  /** Maximal duplicated token spans: (doc_id, span_start, span_end)
+    * in 0-based token positions, end inclusive. */
+  def duplicateSpans(docs: DataFrame, w: Int = 8,
+      hashGrams: Boolean = true): DataFrame = {
+    val g = grams(Dedup.spread(docs), w, hashGrams)
+    val dupKeys = g.groupBy("gkey").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gkey")
+    val marked = g.join(dupKeys, Seq("gkey"), "left_semi")
+      .select("doc_id", "pos")
+    spansFromMarked(marked, w)
+  }
+
+  /** Per-document span-dedup result over the whole corpus: token totals,
+    * span counts, duplicated-token counts, and an md5 fingerprint of the
+    * span-REMOVED text (tokens outside every span, space-joined) — the
+    * fingerprint pins the exact span boundaries, so any off-by-one in
+    * island merging or removal changes the hash. One row per input
+    * document, including documents with no duplicated span
+    * (n_spans = 0, clean_fp = md5 of the full token join). */
+  def spanDedup(docs: DataFrame, w: Int = 8,
+      hashGrams: Boolean = true): DataFrame = {
+    val spans = Lineage.cut(duplicateSpans(docs, w, hashGrams))
+    statsWithCleanFp(docs, spans)
+  }
+
+  /** Frozen corpus side of span-dedup-on-ingest: the DISTINCT gram keys
+    * of the reference corpus. Built once and reused by every arriving
+    * batch — at 100 TB this is a keyed frame (joined, never broadcast),
+    * ~one fixed-width key per distinct corpus w-gram. */
+  final case class GramIndex(keys: DataFrame, w: Int, hashGrams: Boolean) {
+    def release(): Unit = { keys.unpersist(); () }
+  }
+
+  def buildGramIndex(corpus: DataFrame, w: Int = 8,
+      hashGrams: Boolean = true): GramIndex =
+    GramIndex(
+      grams(Dedup.spread(corpus), w, hashGrams).select("gkey").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      w, hashGrams)
+
+  /** Span-dedup an arriving batch AGAINST a frozen corpus: a position is
+    * duplicated when its gram exists ANYWHERE in the reference corpus
+    * (one corpus occurrence + the arrival = a repeat). Scores each doc
+    * against the static gram set only — intra-batch repeats are
+    * deliberately NOT consulted, so the result is batching-invariant
+    * (the crawl-loop composition that ALSO catches batch-internal dups
+    * is [[duplicateSpans]] over the batch, unioned). */
+  def spanDedupAgainst(index: GramIndex, batch: DataFrame): DataFrame = {
+    val g = grams(batch, index.w, index.hashGrams)
+    val marked = g.join(index.keys, Seq("gkey"), "left_semi")
+      .select("doc_id", "pos")
+    statsWithCleanFp(batch, Lineage.cut(spansFromMarked(marked, index.w)))
+  }
+
+  /** Streaming form: every arriving microbatch is span-scored against
+    * the frozen corpus gram index ([[spanDedupAgainst]] per batch). */
+  def spanDedupOnIngest(streamDocs: DataFrame, index: GramIndex): DataFrame =
+    graft.streaming.StreamingOps.runBatchesToParquet(
+      streamDocs, "stream_span_dedup",
+      batch => spanDedupAgainst(index, batch))
 }

@@ -82,6 +82,64 @@ object Pipeline {
       (s, dir) => graft.ext.SpanDedup.spanDedup(
         Tables.load(s, dir, "documents"), w = 8)),
 
+    // ---- span-dedup-on-ingest (vs a frozen corpus gram index) -------------
+    // Even-id docs freeze the reference gram set; odd-id docs arrive as
+    // microbatches and a position is duplicated when its 8-gram exists
+    // anywhere in the frozen corpus. Batching-invariant by construction
+    // (static set only — intra-batch repeats deliberately not consulted).
+    QueryDef(
+      "q_stream_span_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM t, unnest(range(1, len(toks) - 6)) AS r(i)
+              WHERE len(toks) >= 8),
+        m AS (SELECT a.doc_id, a.pos FROM g a
+              WHERE a.doc_id % 2 = 1
+                AND a.gram IN (SELECT gram FROM g WHERE doc_id % 2 = 0)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                       THEN 1 ELSE 0 END AS brk
+                FROM m),
+        isl2 AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl),
+        sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+               FROM isl2 GROUP BY doc_id, island),
+        arr AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1),
+        tp AS (SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM arr, unnest(range(1, len(toks) + 1)) AS r(i)),
+        kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+                 FROM tp LEFT JOIN sp
+                   ON sp.doc_id = tp.doc_id AND tp.pos BETWEEN sp.s AND sp.e
+                 WHERE sp.doc_id IS NULL),
+        cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ctext
+               FROM kept GROUP BY doc_id),
+        st AS (SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+               FROM sp GROUP BY doc_id)
+        SELECT arr.doc_id, len(arr.toks) AS total_tokens,
+               COALESCE(st.n_spans, 0) AS n_spans,
+               COALESCE(st.dup_tokens, 0) AS dup_tokens,
+               md5(COALESCE(cl.ctext, '')) AS clean_fp
+        FROM arr LEFT JOIN st ON st.doc_id = arr.doc_id
+        LEFT JOIN cl ON cl.doc_id = arr.doc_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val index = graft.ext.SpanDedup.buildGramIndex(
+          docs.where(col("doc_id") % 2 === 0), w = 8)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.ext.SpanDedup.spanDedupOnIngest(
+          stream.where(col("doc_id") % 2 === 1), index)
+        index.release()
+        out
+      }),
+
     // ---- the full hygiene pipeline, composed ------------------------------
     // langid -> quality floor -> boilerplate (FRACTIONAL df floor) ->
     // exact dedup -> decontamination vs the doc_id<25 eval set ->

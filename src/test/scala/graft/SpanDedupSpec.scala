@@ -67,6 +67,32 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       .md5Hex("totally unrelated filler text with no repeats at all"))
   }
 
+  test("spanDedupAgainst: corpus grams mark arrivals; intra-batch " +
+      "repeats deliberately do not") {
+    val corpus = docs((100L, s"corpus doc holds $shared inside it"))
+    val index = SpanDedup.buildGramIndex(corpus, w = 4)
+    // doc 1 repeats the corpus run; docs 2+3 share a run found NOWHERE
+    // in the corpus — vs-corpus scoring must ignore it (batching
+    // invariance demands the static set only)
+    val batch = docs(
+      (1L, s"arrival with $shared and a tail"),
+      (2L, "pqr stu vwx yz1 234 alone here"),
+      (3L, "pqr stu vwx yz1 234 again now"))
+    val out = SpanDedup.spanDedupAgainst(index, batch)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 1L) // doc 1: one span (the shared run)
+    assert(out(0).getLong(3) === 10L)
+    assert(out(1).getLong(2) === 0L) // docs 2-3: no corpus-backed span
+    assert(out(2).getLong(2) === 0L)
+    // batching invariance: one batch == two batches, per doc
+    val oneByOne = batch.collect().map(_.getLong(0)).sorted.flatMap { id =>
+      SpanDedup.spanDedupAgainst(index, batch.where(col("doc_id") === id))
+        .collect()
+    }
+    assert(out.map(_.toString).toSeq === oneByOne.map(_.toString).toSeq)
+    index.release()
+  }
+
   test("hashed gram keys agree with exact string keys on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hashed = SpanDedup.spanDedup(d, w = 8, hashGrams = true)
