@@ -255,4 +255,29 @@ object MixOps {
       .limit(n)
       .withColumn("selected", lit(true))
   }
+
+  /** Materialize the deterministic global shuffle ([[shardAssign]]) as
+    * on-disk training shards: `path/shard=K/` directories whose parquet
+    * rows are laid out in the md5-shuffle order — the layout a training
+    * loader consumes sequentially, so row order INSIDE the files is the
+    * contract (a training run must not see crawl order).
+    *
+    * Scale shape: one repartition on shard (each shard's rows meet on
+    * one task) + a within-partition sort by (shard, m) — no global sort;
+    * `partitionBy` then writes each shard's rows, in order, under its
+    * own directory. Parquet preserves in-file row order, so reading
+    * `shard=K` back in file-name order replays the shard's exact
+    * training sequence. Returns the written row count. */
+  def writeShards(
+      docs: DataFrame, nShards: Int, path: String,
+      payload: Seq[String] = Seq("text")): Long = {
+    val cols = col("doc_id") +: payload.map(col) :+ shuffleKey.as("m")
+    val assigned = docs.select(cols: _*)
+      .withColumn("shard",
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long") % nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("m"), col("doc_id"))
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(path)
+    assigned.sparkSession.read.parquet(path).count()
+  }
 }

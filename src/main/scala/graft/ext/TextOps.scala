@@ -192,4 +192,116 @@ object TextOps {
         col("doc_id"), col("n_tri"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_tri")).as("rare_rate"))
   }
+
+  /** fastText-style linear quality classifier scoring via the hashing
+    * trick (Joulin et al. 2017; the quality-filter shape used for
+    * GPT-3/LLaMA-class corpus curation): features are the document's
+    * unigrams plus adjacent-word bigrams, each feature is HASHED to its
+    * weight — no vocabulary lookup, no weight-table join — and the
+    * document's score is the feature-weight sum in integer micro-units
+    * (engine-exact; a float dot product could never hash-match an
+    * independent oracle).
+    *
+    * The weight function here derives each bucket's weight from md5 of
+    * the feature itself (uniform in [-1000, 1000] micro-units, seeded) —
+    * a deterministic, self-contained stand-in for a trained model's
+    * bucket array that keeps the whole operator oracle-replayable. A
+    * production model swaps ONE inner lambda: weight = trainedBuckets
+    * (hash(f) % nBuckets), with the bucket array shipped by broadcast —
+    * the scoring plan (and its scale shape) is unchanged.
+    *
+    * Scale shape: ZERO shuffles — tokenize, feature-expand, hash, and
+    * sum all happen in ONE kernel call per row inside the scan's codegen
+    * span ([[graft.functions.ClassifierScoreExpr]]; a builtin-HOF
+    * formulation was measured and replaced: transform/aggregate lambdas
+    * are CodegenFallback, and the collapsed projection re-ran the
+    * tokenizer per reference), in deliberate contrast to
+    * [[graft.ext.MixOps.dsirSelect]]'s learned per-token weights, which
+    * cost a token aggregation + join. At 100 TB a hashed classifier
+    * scores every document in exactly one pass of the scan.
+    * Output: (doc_id, n_features, score_micros, keep). */
+  /** BPE-style merge-loop tokenizer training at word granularity (the
+    * Sennrich et al. 2016 greedy loop — the canonical "fit a tokenizer
+    * to the corpus" shape, run on word symbols so merges learn multi-word
+    * phrases): `k` iterations of {count adjacent symbol pairs across the
+    * corpus; take the globally most frequent (ties by pair string);
+    * rewrite every occurrence into the merged symbol}. Symbol streams
+    * are '|'-delimited strings ('|' and the merge joiner '_' are outside
+    * the token alphabet, so symbol boundaries are unambiguous), and the
+    * merge rewrite is a leftmost non-overlapping string replace applied
+    * TWICE — the second pass catches occurrences whose leading delimiter
+    * the first pass consumed (`'|a|b|a|b|'` → one pass merges the 1st
+    * and 3rd occurrence kinds only); merged symbols contain '_' so a
+    * rewrite never CREATES a new occurrence, making two passes a
+    * fixpoint. Both engines implement replace with identical leftmost
+    * semantics, so the oracle replays the loop string-for-string.
+    *
+    * Scale shape: each iteration is one pair-count aggregation (the
+    * shuffle BPE training inherently costs — production trainers run it
+    * on a corpus sample; pass a sampled frame for that) + a ONE-row
+    * driver collect (the argmax pair — same bounded-collect pattern as
+    * Lloyd's centroids) + a map-side rewrite of the persisted symbol
+    * stream. Streams are re-persisted per iteration so iteration i never
+    * recomputes rewrites 1..i-1.
+    * Output: (doc_id, n_before, n_after, merged_fp) — one row per doc;
+    * merged_fp pins every rewrite byte-for-byte. */
+  def bpeMergeLoop(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var st = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_before"),
+      concat(lit("|"), array_join(tokens(col("text")), "|"), lit("|"))
+        .as("st"))
+      .persist(lvl)
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val syms = st.select(
+        filter(split(col("st"), "\\|"), x => x =!= "").as("sym"))
+      val top = syms
+        .where(size(col("sym")) >= 2)
+        .select(explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => concat(a, lit("|"), b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val pat = lit("|" + pair + "|")
+        val rep = lit("|" + pair.replace('|', '_') + "|")
+        val prev = st
+        st = prev.withColumn("st",
+          replace(replace(col("st"), pat, rep), pat, rep)).persist(lvl)
+        st.count()
+        prev.unpersist()
+      }
+      i += 1
+    }
+    val out = st.select(
+      col("doc_id"), col("n_before"),
+      size(filter(split(col("st"), "\\|"), x => x =!= ""))
+        .cast("long").as("n_after"),
+      md5(col("st")).as("merged_fp"))
+    out
+  }
+
+  def hashClassifier(
+      docs: org.apache.spark.sql.DataFrame, seed: String = "s1")
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .classifierScoreCol(spark, col("text"), seed).as("cs"))
+      .select(
+        col("doc_id"),
+        col("cs.n_features").as("n_features"),
+        col("cs.score_micros").as("score_micros"),
+        (col("cs.score_micros") > 0).as("keep"))
+  }
 }

@@ -133,9 +133,75 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** fastText-style hashed linear classifier scoring in ONE pass over the
+  * document (Joulin et al. 2017 hashing trick): unigram + adjacent-bigram
+  * features, each hashed straight to its weight — md5-derived micro-units
+  * in [-1000, 1000], byte-identical to the oracle's
+  * `('0x' || substr(md5(seed || ':' || f), 1, 8))::BIGINT % 2001 - 1000`
+  * — summed into an integer score. Tokenize, feature-expand, hash, and
+  * accumulate all happen inside the scan's span; only the two-field
+  * result struct leaves the row. A trained production model replaces
+  * [[TextKernels.classifierWeight]] with a bucket-array lookup
+  * (hash(f) % nBuckets) — the plan shape is unchanged.
+  *
+  * Fields: n_features, score_micros. */
+case class ClassifierScoreExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("score_micros", LongType, nullable = false)))
+  override def prettyName: String = "graft_classifier_score"
+
+  override def nullSafeEval(text: Any, seed: Any): Any =
+    TextKernels.classifierScore(
+      text.asInstanceOf[UTF8String], seed.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.functions.TextKernels.classifierScore($t, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
 
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  /** Weight of one hashed feature: first 4 md5 bytes of "seed:feature"
+    * as an unsigned 32-bit int, mod 2001, minus 1000 — exactly the
+    * oracle's hex arithmetic ([[ClassifierScoreExpr]]). */
+  def classifierWeight(
+      md: java.security.MessageDigest, seed: String, f: String): Long = {
+    val d = md.digest((seed + ":" + f).getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u % 2001L - 1000L
+  }
+
+  /** See [[ClassifierScoreExpr]]. */
+  def classifierScore(text: UTF8String, seed: UTF8String): InternalRow = {
+    val s = text.toLowerCase.toString
+    val m = TokenPattern.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(m.group())
+    val n = toks.size
+    val seedStr = seed.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      score += classifierWeight(md, seedStr, toks.get(i))
+      if (i < n - 1)
+        score += classifierWeight(
+          md, seedStr, toks.get(i) + " " + toks.get(i + 1))
+      i += 1
+    }
+    val nFeatures = if (n == 0) 0L else (2L * n) - 1L
+    new GenericInternalRow(Array[Any](nFeatures, score))
+  }
 
   /** See [[RepetitionStatsExpr]]. Null when the document has < 3 tokens. */
   def repetitionStats(text: UTF8String): InternalRow = {
@@ -279,6 +345,19 @@ object TextKernels {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition_stats",
       exprs => RepetitionStatsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_classifier_score",
+      exprs => ClassifierScoreExpr(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Column API: (n_features, score_micros) struct of the hashed linear
+    * classifier (see [[ClassifierScoreExpr]]). */
+  def classifierScoreCol(
+      spark: SparkSession, text: Column, seed: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_classifier_score", text,
+      org.apache.spark.sql.functions.lit(seed))
   }
 
   /** Column API: per-doc repetition-signal struct (see

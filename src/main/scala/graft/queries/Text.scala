@@ -287,6 +287,77 @@ object Text {
           (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
           (col("alpha_chars").cast("double") / col("n_tokens")).as("mean_token_chars"))),
 
+    // ---- hashed linear quality classifier (fastText hashing trick) --------
+    // Unigram + adjacent-bigram features, each hashed straight to its
+    // weight (md5-derived micro-units — the self-contained stand-in for
+    // a trained bucket array; see TextOps.hashClassifier). Zero shuffles:
+    // the whole scoring is one map-side projection over the scan.
+    QueryDef(
+      "q_quality_classifier",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+              FROM t, unnest(range(1, len(toks))) AS r(i)
+              WHERE len(toks) >= 2),
+        w AS (SELECT doc_id,
+                (('0x' || substr(md5('s1:' || f), 1, 8))::BIGINT % 2001) - 1000 AS wt
+              FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+        agg AS (SELECT doc_id, count(*) AS n_features,
+                  CAST(sum(wt) AS BIGINT) AS score_micros
+                FROM w GROUP BY doc_id)
+        SELECT t.doc_id,
+               COALESCE(agg.n_features, 0) AS n_features,
+               COALESCE(agg.score_micros, 0) AS score_micros,
+               COALESCE(agg.score_micros, 0) > 0 AS keep
+        FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id"""),
+      (s, dir) => TextOps.hashClassifier(
+        Tables.load(s, dir, "documents"))),
+
+    // ---- BPE-style merge-loop tokenizer training ---------------------------
+    // Three greedy merge iterations at word granularity (see
+    // TextOps.bpeMergeLoop): each oracle iteration re-derives the argmax
+    // pair and replays the double-pass rewrite string-for-string; the
+    // per-doc merged_fp pins every rewrite byte-for-byte.
+    QueryDef(
+      "q_bpe_merges",
+      Some {
+        def iter(i: Int) = s"""
+        p$i AS (SELECT sym[j] || '|' || sym[j + 1] AS pair, count(*) AS c
+                FROM (SELECT list_filter(string_split(st, '|'),
+                               x -> x <> '') AS sym
+                      FROM s${i - 1}) z,
+                     unnest(range(1, len(sym))) r(j)
+                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+        s$i AS (SELECT doc_id, n_before,
+                  replace(replace(st,
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
+                    AS st
+                FROM s${i - 1})"""
+        s"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        s0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+                 '|' || array_to_string(toks, '|') || '|' AS st
+               FROM t),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)}
+        SELECT doc_id, n_before,
+               CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
+                 AS BIGINT) AS n_after,
+               md5(st) AS merged_fp
+        FROM s3"""
+      },
+      (s, dir) => TextOps.bpeMergeLoop(
+        Tables.load(s, dir, "documents"), k = 3)),
+
     // ---- vocabulary coverage / OOV-rate scoring ---------------------------
     // Top-16 tokens by corpus frequency (ties by token) become the
     // (the synthetic corpus has only 31 distinct tokens, so 16 is the

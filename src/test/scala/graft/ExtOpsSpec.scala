@@ -308,6 +308,77 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("bpeMergeLoop: greedy merges, double-pass rewrite on consecutive " +
+      "occurrences, and the repeated-token leftmost case") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // consecutive (a,b) runs — needs the 2nd pass
+      (2L, "a b c"),
+      (3L, "x x x"))       // a==b pair: leftmost non-overlap keeps one x
+      .toDF("doc_id", "text")
+    // iter1: a|b (count 4) -> a_b; iter2: a_b|a_b (2) beats x|x (2) by
+    // pair order; iter3: x|x (2) wins over the count-1 leftovers
+    val got = graft.ext.TextOps.bpeMergeLoop(docs, k = 3)
+      .orderBy("doc_id").collect()
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getLong(1) === 6L && got(0).getLong(2) === 2L)
+    assert(got(0).getString(3) === md5Hex("|a_b_a_b|a_b|"))
+    assert(got(1).getLong(1) === 3L && got(1).getLong(2) === 2L)
+    assert(got(1).getString(3) === md5Hex("|a_b|c|"))
+    assert(got(2).getLong(1) === 3L && got(2).getLong(2) === 2L)
+    assert(got(2).getString(3) === md5Hex("|x_x|x|"))
+    // empty and single-token docs degrade cleanly
+    val edge = graft.ext.TextOps.bpeMergeLoop(
+      Seq((1L, ""), (2L, "solo")).toDF("doc_id", "text"), k = 2)
+      .orderBy("doc_id").collect()
+    assert(edge(0).getLong(1) === 0L && edge(0).getLong(2) === 0L)
+    assert(edge(1).getLong(1) === 1L && edge(1).getLong(2) === 1L)
+  }
+
+  test("hashClassifier: scores match a driver recount of hashed " +
+      "unigram+bigram weights; empty and one-token docs degrade cleanly") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def weight(seed: String, f: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$f".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "solo"),
+      (3L, ""),
+      (4L, "Alpha, BETA gamma!")) // normalizes to doc 1's tokens
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextOps.hashClassifier(docs, seed = "s1")
+      .orderBy("doc_id").collect()
+    def expected(toks: Seq[String]): (Long, Long) = {
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" "))
+      (feats.size.toLong, feats.map(weight("s1", _)).sum)
+    }
+    val (n1, s1) = expected(Seq("alpha", "beta", "gamma"))
+    assert(got(0).getLong(1) === n1) // 3 unigrams + 2 bigrams
+    assert(n1 === 5L)
+    assert(got(0).getLong(2) === s1)
+    assert(got(0).getBoolean(3) === (s1 > 0))
+    val (n2, s2) = expected(Seq("solo"))
+    assert(got(1).getLong(1) === n2 && got(1).getLong(2) === s2)
+    assert(got(2).getLong(1) === 0L && got(2).getLong(2) === 0L
+      && !got(2).getBoolean(3))
+    // tokenizer-normalized text scores identically
+    assert(got(3).getLong(2) === got(0).getLong(2))
+    // a different seed re-derives every weight
+    val reseeded = graft.ext.TextOps.hashClassifier(docs, seed = "s2")
+      .orderBy("doc_id").collect()
+    assert(reseeded(0).getLong(2) ===
+      Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+        .map(weight("s2", _)).sum)
+  }
+
   test("semanticDedup: cosine-similar vectors cluster to min-id root, " +
       "orthogonal vectors stay singletons, transitive chains merge") {
     import spark.implicits._

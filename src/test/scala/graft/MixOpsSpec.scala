@@ -27,6 +27,30 @@ class MixOpsSpec extends AnyFunSuite with SparkSpec {
     assert(byShard.values.forall(_.length <= 3 * mean))
   }
 
+  test("writeShards: shard dirs match shardAssign; in-file row order is " +
+      "the shuffle order") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = 4
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    val written = MixOps.writeShards(docs, n, path)
+    assert(written === docs.count())
+    val expected = MixOps.shardAssign(docs, n).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until n).foreach { k =>
+      val dir = new java.io.File(s"$path/shard=$k")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $k: one file per shard dir")
+      val rows = spark.read.parquet(files(0).getPath)
+        .select("doc_id", "m").collect()
+      // membership: exactly the docs shardAssign routes here
+      assert(rows.map(_.getLong(0)).toSet ===
+        expected.filter(_._2 == k).keySet)
+      // in-file order IS the md5-shuffle order
+      val ms = rows.map(_.getString(1)).toSeq
+      assert(ms === ms.sorted, s"shard $k rows not in shuffle order")
+    }
+  }
+
   test("packContexts: per-shard streams are contiguous and gapless") {
     val rows = MixOps.packContexts(docs, 4, 64)
       .orderBy("shard", "start_ctx", "doc_id").collect()
