@@ -239,6 +239,53 @@ object Advanced {
           least(floor(col("value") / 25.0), lit(19L)).cast("bigint").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // ---- link-graph authority: integer PageRank over a domain graph ------
+    // The corpus has no link data, so (as with urlDomainStats' injected
+    // URLs) each doc contributes one deterministic edge: its home domain
+    // (doc_id % 50) links to an md5-derived target domain. Three exact
+    // integer iterations; the oracle unrolls all three (see
+    // GraphOps.pageRank for the arithmetic contract).
+    QueryDef(
+      "q_domain_rank",
+      Some {
+        def iter(i: Int) = s"""
+        c$i AS (SELECT e.dst AS d, sum(r${i - 1}.r // deg.outdeg) AS s
+                FROM e JOIN deg USING (src)
+                     JOIN r${i - 1} ON r${i - 1}.d = e.src
+                GROUP BY e.dst),
+        r$i AS (SELECT n.d,
+                  CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT)
+                    AS r
+                FROM n LEFT JOIN c$i ON c$i.d = n.d)"""
+        s"""
+        WITH e AS (SELECT
+                     'site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com' AS src,
+                     'site' || CAST(('0x' ||
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 50 AS VARCHAR)
+                       || '.example.com' AS dst
+                   FROM documents),
+        n AS (SELECT DISTINCT d FROM
+                (SELECT src AS d FROM e UNION ALL SELECT dst FROM e) z),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT d, CAST(1000000 AS BIGINT) AS r FROM n),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)}
+        SELECT d AS domain, r AS rank_micro FROM r3"""
+      },
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "documents").select(
+          concat(lit("site"), (col("doc_id") % 50).cast("string"),
+            lit(".example.com")).as("src"),
+          concat(lit("site"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 50).cast("string"),
+            lit(".example.com")).as("dst"))
+        graft.ext.GraphOps.pageRank(edges, iters = 3)
+      }),
+
     // ---- sorted array aggregation (stringified) --------------------------
     // collect_set + sort, emitted as a joined string: deterministic under
     // any partitioning, and scalar output keeps the driver's
