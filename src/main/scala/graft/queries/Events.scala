@@ -230,6 +230,55 @@ object Events {
         graft.streaming.StreamingOps.runToParquet(agg, "hourly")
       }),
 
+    // ---- conversion funnel (view -> click -> purchase, 1h per step) ------
+    // Event-sequence pattern detection via cascaded running-max windows
+    // (ops.EventPatterns.funnelCounts): one exchange on user_id, no
+    // self-join. Greedy last-touch attribution; the oracle replays the
+    // cascade window-for-window.
+    QueryDef(
+      "q_funnel",
+      Some("""
+        WITH w0 AS (SELECT user_id, ts, event_id, event_type,
+                      max(CASE WHEN event_type = 'view' THEN ts END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS q0
+                    FROM events),
+        w1 AS (SELECT *,
+                 event_type = 'click' AND q0 IS NOT NULL
+                   AND ts <= q0 + INTERVAL 1 HOUR AS qual_1
+               FROM w0),
+        w2 AS (SELECT *, max(CASE WHEN qual_1 THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS q1
+               FROM w1),
+        w3 AS (SELECT *,
+                 event_type = 'purchase' AND q1 IS NOT NULL
+                   AND ts <= q1 + INTERVAL 1 HOUR AS qual_2
+               FROM w2)
+        SELECT user_id,
+          CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+            AS n_views,
+          CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+            AS n_clicks,
+          CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+            AS BIGINT) AS n_purchases,
+          CAST(count(CASE WHEN qual_1 THEN 1 END) AS BIGINT)
+            AS n_qual_clicks,
+          CAST(count(CASE WHEN qual_2 THEN 1 END) AS BIGINT)
+            AS n_conversions
+        FROM w3 GROUP BY user_id"""),
+      (s, dir) => graft.ops.EventPatterns.funnelCounts(
+          Tables.events(s, dir), Seq("view", "click", "purchase"))
+        .select(
+          col("user_id"),
+          col("n_step_0").as("n_views"),
+          col("n_step_1").as("n_clicks"),
+          col("n_step_2").as("n_purchases"),
+          col("n_qual_1").as("n_qual_clicks"),
+          col("n_qual_2").as("n_conversions"))),
+
     // ---- sessionization (30-minute inactivity gap) -----------------------
     QueryDef(
       "q_sessions",
