@@ -24,6 +24,29 @@ object Events {
           FROM events)
     WHERE streak = 2"""
 
+  /** Shared oracle CTE chain for the funnel queries: the cascaded
+    * running-max windows (view -> click -> purchase, 12h per step). */
+  private val funnelCascadeSql = """
+        w0 AS (SELECT user_id, ts, event_id, event_type,
+                 max(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS q0
+               FROM events),
+        w1 AS (SELECT *,
+                 event_type = 'click' AND q0 IS NOT NULL
+                   AND ts <= q0 + INTERVAL 12 HOUR AS qual_1
+               FROM w0),
+        w2 AS (SELECT *, max(CASE WHEN qual_1 THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS q1
+               FROM w1),
+        w3 AS (SELECT *,
+                 event_type = 'purchase' AND q1 IS NOT NULL
+                   AND ts <= q1 + INTERVAL 12 HOUR AS qual_2
+               FROM w2)"""
+
   private def eventTable(s: SparkSession, dir: String): EventTable =
     EventTable(Tables.events(s, dir), "ts", Some("user_id"))
 
@@ -230,33 +253,15 @@ object Events {
         graft.streaming.StreamingOps.runToParquet(agg, "hourly")
       }),
 
-    // ---- conversion funnel (view -> click -> purchase, 1h per step) ------
+    // ---- conversion funnel (view -> click -> purchase, 12h per step) ------
     // Event-sequence pattern detection via cascaded running-max windows
     // (ops.EventPatterns.funnelCounts): one exchange on user_id, no
     // self-join. Greedy last-touch attribution; the oracle replays the
     // cascade window-for-window.
     QueryDef(
       "q_funnel",
-      Some("""
-        WITH w0 AS (SELECT user_id, ts, event_id, event_type,
-                      max(CASE WHEN event_type = 'view' THEN ts END)
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS q0
-                    FROM events),
-        w1 AS (SELECT *,
-                 event_type = 'click' AND q0 IS NOT NULL
-                   AND ts <= q0 + INTERVAL 1 HOUR AS qual_1
-               FROM w0),
-        w2 AS (SELECT *, max(CASE WHEN qual_1 THEN ts END)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) AS q1
-               FROM w1),
-        w3 AS (SELECT *,
-                 event_type = 'purchase' AND q1 IS NOT NULL
-                   AND ts <= q1 + INTERVAL 1 HOUR AS qual_2
-               FROM w2)
+      Some(s"""
+        WITH $funnelCascadeSql
         SELECT user_id,
           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
             AS n_views,
@@ -270,7 +275,8 @@ object Events {
             AS n_conversions
         FROM w3 GROUP BY user_id"""),
       (s, dir) => graft.ops.EventPatterns.funnelCounts(
-          Tables.events(s, dir), Seq("view", "click", "purchase"))
+          Tables.events(s, dir), Seq("view", "click", "purchase"),
+          within = "12 HOURS")
         .select(
           col("user_id"),
           col("n_step_0").as("n_views"),
@@ -278,6 +284,50 @@ object Events {
           col("n_step_2").as("n_purchases"),
           col("n_qual_1").as("n_qual_clicks"),
           col("n_qual_2").as("n_conversions"))),
+
+    // ---- streaming funnel: per-conversion rows, watermark-ordered --------
+    // The cascade is order-sensitive, so arrivals buffer per user and the
+    // watermark-covered prefix replays in (ts, event_id) order through
+    // k latest-qualifying-time longs (StreamingFunnel). One row per
+    // completed funnel; the oracle is the batch cascade restricted to
+    // purchases whose ceil-ms drain timer the final watermark covers
+    // (ceil(us/1000) <= max_us // 1000 == exactly the drain condition
+    // us <= wm_ms * 1000).
+    QueryDef(
+      "q_stream_funnel",
+      Some(s"""
+        WITH $funnelCascadeSql
+        SELECT user_id, event_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+        FROM w3
+        WHERE qual_2
+          AND (epoch_us(CAST(ts AS TIMESTAMP)) + 999) // 1000
+                <= (SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000
+                    FROM events)"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        // transformWithState requires the RocksDB provider (multiple
+        // column families); restored after the bounded run completes
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try {
+          val schema = s.read.parquet(s"$dir/events.parquet").schema
+          val stream = s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          val out = graft.streaming.StreamingFunnel(
+            stream, Seq("view", "click", "purchase"), within = "12 HOURS")
+          graft.streaming.StreamingOps.runToParquet(
+            out.toDF(), "stream_funnel")
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      }),
 
     // ---- sessionization (30-minute inactivity gap) -----------------------
     QueryDef(
