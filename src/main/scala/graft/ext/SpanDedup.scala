@@ -160,4 +160,44 @@ object SpanDedup {
     graft.streaming.StreamingOps.runBatchesToParquet(
       streamDocs, "stream_span_dedup",
       batch => spanDedupAgainst(index, batch))
+
+  /** Persist the frozen gram index — the build-once/probe-many disk
+    * layout ([[DedupIndex]]/[[IvfIndex]] pattern) for the recurring-crawl
+    * deployment: keys land hash-partitioned 16 ways and sorted, so the
+    * per-batch membership semi-join shuffles only the (much smaller)
+    * batch side against a layout that never recomputes; one-row meta
+    * sidecar pins (w, hashGrams) so probes can never band differently
+    * than the build. */
+  def saveGramIndex(index: GramIndex, path: String): Unit = {
+    val spark = index.keys.sparkSession
+    index.keys
+      .withColumn("gp", pmod(xxhash64(col("gkey")), lit(16)).cast("int"))
+      .repartition(col("gp")).sortWithinPartitions("gkey")
+      .write.mode("overwrite").partitionBy("gp").parquet(s"$path/keys")
+    import spark.implicits._
+    Seq((index.w, index.hashGrams)).toDF("w", "hash_grams")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def loadGramIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): GramIndex = {
+    val m = spark.read.parquet(s"$path/meta").collect().head
+    GramIndex(spark.read.parquet(s"$path/keys").select("gkey"),
+      m.getInt(0), m.getBoolean(1))
+  }
+
+  /** Grow the persisted index with a batch's grams (the crawl loop's
+    * "remember what we've seen" step): the batch's DISTINCT keys append
+    * into the same partition layout — duplicates against existing keys
+    * are harmless (membership is a semi-join), so no read-before-write;
+    * probes see the new grams at their next file listing. */
+  def appendToGramIndex(path: String, batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/meta").collect().head
+    grams(Dedup.spread(batch), m.getInt(0), m.getBoolean(1))
+      .select("gkey").distinct()
+      .withColumn("gp", pmod(xxhash64(col("gkey")), lit(16)).cast("int"))
+      .repartition(col("gp")).sortWithinPartitions("gkey")
+      .write.mode("append").partitionBy("gp").parquet(s"$path/keys")
+  }
 }

@@ -93,6 +93,38 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     index.release()
   }
 
+  test("gram index save/load/append: loaded probe == in-memory probe; " +
+      "append == rebuild over the union") {
+    val corpus = docs((100L, s"corpus doc holds $shared inside it"))
+    val built = SpanDedup.buildGramIndex(corpus, w = 4)
+    val path = java.nio.file.Files.createTempDirectory("gramidx").toString
+    SpanDedup.saveGramIndex(built, path)
+    val loaded = SpanDedup.loadGramIndex(spark, path)
+    assert(loaded.w === 4 && loaded.hashGrams)
+    val batch = docs(
+      (1L, s"arrival with $shared and a tail"),
+      (2L, "pqr stu vwx yz1 234 alone here"))
+    val viaLoaded = SpanDedup.spanDedupAgainst(loaded, batch)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val viaBuilt = SpanDedup.spanDedupAgainst(built, batch)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaLoaded === viaBuilt)
+    // grow the index with doc 2's grams: doc 3 repeating doc 2's run now
+    // scores a span, and the grown index == a fresh build over the union
+    SpanDedup.appendToGramIndex(path, batch.where(col("doc_id") === 2))
+    val grown = SpanDedup.loadGramIndex(spark, path)
+    val probe = docs((3L, "pqr stu vwx yz1 234 again now"))
+    val viaGrown = SpanDedup.spanDedupAgainst(grown, probe)
+      .collect().map(_.toString).toSeq
+    val rebuilt = SpanDedup.buildGramIndex(
+      corpus.union(batch.where(col("doc_id") === 2)), w = 4)
+    val viaRebuilt = SpanDedup.spanDedupAgainst(rebuilt, probe)
+      .collect().map(_.toString).toSeq
+    assert(viaGrown === viaRebuilt)
+    assert(viaGrown.head.contains("1,")) // doc 3: one corpus-backed span
+    built.release(); rebuilt.release()
+  }
+
   test("hashed gram keys agree with exact string keys on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hashed = SpanDedup.spanDedup(d, w = 8, hashGrams = true)
