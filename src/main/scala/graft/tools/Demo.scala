@@ -163,6 +163,26 @@ object Demo {
       val hm = graft.ext.HierIvf.train(emb, k1 = 5, k2 = 5)
       println(s"[demo] hier-ivf nn rows=" +
         s"${graft.ext.HierIvf.nn(emb, hm, k = 3, col("vec_id") < 3).count()}")
+
+      // round-8 late wave: classifier scoring, BPE merges, funnel, PageRank
+      val scored = graft.ext.TextOps.hashClassifier(docs)
+      println(s"[demo] hashed classifier keep=" +
+        s"${scored.where(col("keep")).count()}/${scored.count()}")
+      val merged = graft.ext.TextOps.bpeMergeLoop(docs.limit(50), k = 2)
+      println(s"[demo] bpe merges: tokens " +
+        s"${merged.agg(sum("n_before")).collect()(0).getLong(0)} -> " +
+        s"${merged.agg(sum("n_after")).collect()(0).getLong(0)} symbols")
+      val funnel = graft.ops.EventPatterns.funnelCounts(
+        graft.sources.Tables.events(spark, sfDir),
+        Seq("view", "click", "purchase"), within = "12 HOURS")
+      println(s"[demo] funnel conversions=" +
+        s"${funnel.agg(sum("n_qual_2")).collect()(0).getLong(0)}")
+      val edges = docs.select(
+        concat(lit("site"), (col("doc_id") % 10).cast("string")).as("src"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string")).as("dst"))
+      println(s"[demo] pagerank top domain=" +
+        s"${graft.ext.GraphOps.pageRank(edges, iters = 2)
+          .orderBy(col("rank_micro").desc).first()}")
     }
 
     // Streaming surface: same pipeline over a file stream (one pass).
