@@ -119,4 +119,44 @@ object IvfKMeans {
         graft.functions.VectorExpressions.ivfCells(
           spark, col("v"), flatLit(centroids), centroids.length,
           math.min(nprobe, centroids.length)).as("cells"))
+
+  /** DISTRIBUTED Lloyd's refinement: improve sample-trained centroids
+    * with full-corpus iterations. Each iteration is one map-side
+    * assignment scan ([[assignCells]], codegen kernel) + ONE aggregation
+    * producing k (vector-sum, count) rows via the custom
+    * [[graft.functions.VecSumAgg]] aggregate — partial aggregation sums
+    * vectors map-side, so only k buffers of dim doubles cross the
+    * shuffle and only k rows reach the driver (the same bounded-collect
+    * contract as the sample training; empty cells keep their centroid).
+    *
+    * This is the 100 TB continuation of the sample-trained design: the
+    * sample bounds what the DRIVER computes, while refinement spends
+    * one full scan per iteration to remove the sample's bias — Lloyd's
+    * update over the full data never increases full-corpus quantization
+    * error (spec-pinned). Centroid values are deterministic only up to
+    * float summation order; consumers are recall-gated, not hash-gated. */
+  def refineCentroids(
+      emb: DataFrame, centroids: Array[Array[Double]], iters: Int = 1)
+      : Array[Array[Double]] = {
+    var cents = centroids.map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val rows = assignCells(emb, cents)
+        .groupBy("cell")
+        .agg(
+          graft.functions.VecAgg.vecSum(
+            spark, col("embedding").cast("array<double>")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2).toDouble
+        var j = 0
+        while (j < cents(c).length) { cents(c)(j) = s(j) / n; j += 1 }
+      }
+      it += 1
+    }
+    cents
+  }
 }
