@@ -256,6 +256,66 @@ object MixOps {
       .withColumn("selected", lit(true))
   }
 
+  /** Corpus-wide RANK of a score column — the primitive behind
+    * percentile-calibrated quality thresholds ("keep the top 30%"):
+    * rank = row_number over (score DESC, doc_id) across the WHOLE
+    * corpus, computed without the single-partition global window that
+    * textbook row_number implies.
+    *
+    * Same distributed prefix-sum decomposition as [[selectUnderBudget]]:
+    * (1) bucket by floor(score / 4096) — monotone in the sort key, and
+    * floor-division (not truncation) so negative scores stay ordered;
+    * exact in doubles for |score| < 2^52; (2) one aggregation collects
+    * per-bucket row counts (bounded by the score range / 4096); (3) a
+    * driver exclusive prefix in bucket-descending order broadcasts back
+    * as each bucket's starting rank; (4) row_number windows only WITHIN
+    * buckets. Oversized buckets (a score-homogeneous corpus) sub-split
+    * by (exact score, doc_id range) exactly as selectUnderBudget does.
+    * Input: (doc_id, score: bigint). Output: (doc_id, score, rnk). */
+  def globalRank(
+      scores: DataFrame, maxBucketRows: Long = 4000000L,
+      subSplits: Int = 32): DataFrame = {
+    val scored = scores.select(col("doc_id"), col("score"))
+      .withColumn("bucket",
+        expr("CAST(FLOOR(score / 4096.0) AS BIGINT)"))
+    val totals = scored.groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), max(col("doc_id")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    val offsets = totals.map(t => (t._1, t._2))
+      .scanLeft((Long.MaxValue, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }
+      .toSeq
+    val offsetDf = scores.sparkSession
+      .createDataFrame(offsets).toDF("bucket", "offset")
+    val oversized = totals.filter(_._2 > maxBucketRows).map(_._1).toSeq
+    val rangeWidth = math.max(1L,
+      totals.map(_._3).maxOption.getOrElse(0L) / subSplits + 1L)
+    val isOver =
+      if (oversized.isEmpty) lit(false) else col("bucket").isin(oversized: _*)
+    val grouped = scored
+      .withColumn("s2", when(isOver, col("score")).otherwise(lit(0L)))
+      .withColumn("d2",
+        when(isOver, expr(s"doc_id div $rangeWidth")).otherwise(lit(0L)))
+    val wg = Window.partitionBy("bucket")
+      .orderBy(col("s2").desc, col("d2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val groupOffsets = grouped.groupBy("bucket", "s2", "d2")
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("goff", coalesce(sum(col("gcnt")).over(wg), lit(0L)))
+      .drop("gcnt")
+    val w = Window.partitionBy("bucket", "s2", "d2")
+      .orderBy(col("score").desc, col("doc_id"))
+    grouped
+      .join(broadcast(offsetDf), Seq("bucket"))
+      .join(groupOffsets, Seq("bucket", "s2", "d2"))
+      .select(
+        col("doc_id"), col("score"),
+        (col("offset") + col("goff") +
+          row_number().over(w).cast("long")).as("rnk"))
+  }
+
   /** Materialize the deterministic global shuffle ([[shardAssign]]) as
     * on-disk training shards: `path/shard=K/` directories whose parquet
     * rows are laid out in the md5-shuffle order — the layout a training

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   * same regexes, same integer/double operation order. */
 object Text {
 
+  /** Shared oracle CTE chain: the hashed-classifier scoring (see
+    * `TextOps.hashClassifier` — unigram + bigram features, md5-derived
+    * integer micro-unit weights). Used by q_quality_classifier and
+    * q_rank_calibrate. */
+  private val classifierCte = """
+        t AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS f FROM t),
+        b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+              FROM t, unnest(range(1, len(toks))) AS r(i)
+              WHERE len(toks) >= 2),
+        wt AS (SELECT doc_id,
+                 (('0x' || substr(md5('s1:' || f), 1, 8))::BIGINT % 2001)
+                   - 1000 AS wt
+               FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+        agg AS (SELECT doc_id, count(*) AS n_features,
+                  CAST(sum(wt) AS BIGINT) AS score_micros
+                FROM wt GROUP BY doc_id)"""
+
   /** Shared oracle CTEs: token arrays and distinct 3-gram shingles.
     * `range(1, len-1)` == Spark's guarded `sequence(1, size-2)`. */
   private[queries] val shinglesCte = """
@@ -294,20 +314,8 @@ object Text {
     // the whole scoring is one map-side projection over the scan.
     QueryDef(
       "q_quality_classifier",
-      Some("""
-        WITH t AS (SELECT doc_id,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-                   FROM documents),
-        u AS (SELECT doc_id, unnest(toks) AS f FROM t),
-        b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
-              FROM t, unnest(range(1, len(toks))) AS r(i)
-              WHERE len(toks) >= 2),
-        w AS (SELECT doc_id,
-                (('0x' || substr(md5('s1:' || f), 1, 8))::BIGINT % 2001) - 1000 AS wt
-              FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
-        agg AS (SELECT doc_id, count(*) AS n_features,
-                  CAST(sum(wt) AS BIGINT) AS score_micros
-                FROM w GROUP BY doc_id)
+      Some(s"""
+        WITH $classifierCte
         SELECT t.doc_id,
                COALESCE(agg.n_features, 0) AS n_features,
                COALESCE(agg.score_micros, 0) AS score_micros,
@@ -315,6 +323,26 @@ object Text {
         FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id"""),
       (s, dir) => TextOps.hashClassifier(
         Tables.load(s, dir, "documents"))),
+
+    // ---- percentile calibration: corpus-wide rank of the score ----------
+    // The "keep the top X%" primitive: classifier scores ranked across
+    // the whole corpus WITHOUT a global-sort window (MixOps.globalRank —
+    // bucket offsets + within-bucket row_number). The oracle runs the
+    // textbook single global window; the hash gate proves the
+    // decomposition exactly equal.
+    QueryDef(
+      "q_rank_calibrate",
+      Some(s"""
+        WITH $classifierCte,
+        sc AS (SELECT t.doc_id, COALESCE(agg.score_micros, 0) AS score
+               FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rnk
+        FROM sc"""),
+      (s, dir) => graft.ext.MixOps.globalRank(
+        TextOps.hashClassifier(Tables.load(s, dir, "documents"))
+          .select(col("doc_id"), col("score_micros").as("score")))),
 
     // ---- BPE-style merge-loop tokenizer training ---------------------------
     // Three greedy merge iterations at word granularity (see

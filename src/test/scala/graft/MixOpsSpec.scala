@@ -27,6 +27,31 @@ class MixOpsSpec extends AnyFunSuite with SparkSpec {
     assert(byShard.values.forall(_.length <= 3 * mean))
   }
 
+  test("globalRank == naive global window, incl. negative scores and a " +
+      "score-homogeneous corpus (sub-split path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scores straddling zero and bucket boundaries (floor-div, not trunc)
+    val mixed = Seq(
+      (1L, 5000L), (2L, -5000L), (3L, 0L), (4L, 4096L), (5L, -4096L),
+      (6L, 4095L), (7L, -1L), (8L, 123456L), (9L, -123456L), (10L, 5000L))
+      .toDF("doc_id", "score")
+    def naive(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gotMixed = MixOps.globalRank(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotMixed === naive(mixed))
+    // homogeneous: every row in ONE bucket forces the sub-split path;
+    // ranks still exactly the naive window's
+    val flat = (1L to 400L).map(i => (i, 1000L + (i % 3))).toDF("doc_id", "score")
+    val gotFlat = MixOps.globalRank(flat, maxBucketRows = 50L, subSplits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotFlat === naive(flat))
+    assert(gotFlat.values.toSeq.sorted === (1L to 400L))
+  }
+
   test("writeShards: shard dirs match shardAssign; in-file row order is " +
       "the shuffle order") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
