@@ -306,10 +306,22 @@ object Similarity {
 
   /** Bucketed nearest neighbor: compare only vectors sharing `bucketCol`
     * (IVF with pre-assigned coarse cells). One shuffle on the bucket key.
-    * `k` = neighbors kept per vector (rank within bucket). */
-  def bucketedNN(emb: DataFrame, bucketCol: String, k: Int = 1): DataFrame = {
+    * `k` = neighbors kept per vector (rank within bucket).
+    *
+    * `probeFilter` restricts the QUERY side only — candidates stay the full
+    * bucket, so results are exact for every probe. With an unrestricted
+    * probe side (`lit(true)`, the self-search calibration form) work is
+    * all-pairs within each bucket: O(sum cell^2), quadratic in the corpus
+    * when cells grow with it. A fixed probe set makes it O(|probes| *
+    * cell) = linear — the shape a 100 TB query must take (measured x10
+    * exponent 1.79 uncapped vs ~1 capped; tools/ExactNn keeps the uncapped
+    * run for calibration). */
+  def bucketedNN(
+      emb: DataFrame, bucketCol: String, k: Int = 1,
+      probeFilter: Column = lit(true)): DataFrame = {
     val p = prepared(emb, Seq(bucketCol))
-    val a = p.select(col("vec_id"), col(bucketCol), col("v"), col("nrm"))
+    val a = p.where(probeFilter)
+      .select(col("vec_id"), col(bucketCol), col("v"), col("nrm"))
     val b = p.select(col("vec_id").as("nn_cand"), col(bucketCol).as("__b"),
       col("v").as("bv"), col("nrm").as("bnrm"))
     val sims = a.join(b, col(bucketCol) === col("__b") && col("nn_cand") =!= col("vec_id"))
