@@ -24,49 +24,68 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm-up steps are individually fenced: a broken table or feature
+    // must cost at most one cold first query, never the whole bench run
+    // (round 9 lost every timing to one AnalysisException here).
+    def warm(step: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$step' failed: ${e.getMessage}")
+      }
+
     graft.sources.Tables.prepare(spark)
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-    graft.sources.Tables.events(spark, sfDir).limit(10).collect()
+    warm("lineitem") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+    }
+    warm("events")(graft.sources.Tables.events(spark, sfDir).limit(10).collect())
     // touch every other input once so parquet footer reads + reader init
     // land in the warm-up, not on whichever query reads the table first
     Seq("documents", "embeddings", "orders", "customer", "nation", "region",
       "supplier", "part")
-      .foreach(t => graft.sources.Tables.load(spark, sfDir, t).count())
+      .foreach(t => warm(t)(graft.sources.Tables.load(spark, sfDir, t).count()))
     // warm the hot codegen/JIT paths on tiny slices: the tokenizer
     // regex + shingle window, md5/xxhash hashing, and the graft_dot
     // expression otherwise all land on the alphabetically-first query
     // that uses them (measured: +5s on q_dup_clusters, cold vs warm)
     locally {
       import org.apache.spark.sql.functions._
-      val d64 = graft.sources.Tables.load(spark, sfDir, "documents").limit(64)
-      graft.ext.Dedup.docShingles(d64)
-        .select(md5(col("shingle")), xxhash64(col("shingle"))).count()
-      val e64 = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
-      val v = col("embedding").cast("array<double>")
-      e64.select(graft.ext.Similarity.dot(v, v)).count()
+      def d64 = graft.sources.Tables.load(spark, sfDir, "documents").limit(64)
+      warm("shingle-hash") {
+        graft.ext.Dedup.docShingles(d64)
+          .select(md5(col("shingle")), xxhash64(col("shingle"))).count()
+      }
+      warm("vec-dot") {
+        val e64 = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(64)
+        val v = col("embedding").cast("array<double>")
+        e64.select(graft.ext.Similarity.dot(v, v)).count()
+      }
       // array-kernel codegen (sort_array/array_intersect/transform) used by
       // the prefix-containment verifier — ~3 s of JIT cold
-      d64.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("s"))
-        .select(size(array_intersect(
-          expr("transform(s, x -> x.text)"),
-          expr("transform(slice(s, 1, 1), x -> x.text)"))))
-        .count()
+      warm("array-kernels") {
+        d64.groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("s"))
+          .select(size(array_intersect(
+            expr("transform(s, x -> x.text)"),
+            expr("transform(slice(s, 1, 1), x -> x.text)"))))
+          .count()
+      }
       // the full MinHash-LSH pipeline (signature min-aggs, band-struct
       // explode, bucket self-join, verify) JITs ~3 s on first use, which
       // otherwise lands on the alphabetically-first LSH consumer
       // (measured: q_dup_clusters 5.7 s cold vs 2.5 s warm)
-      graft.ext.Dedup.minhashNearDup(d64, 0.7).count()
+      warm("minhash")(graft.ext.Dedup.minhashNearDup(d64, 0.7).count())
       // winnowing fingerprints (md5 + rolling Karp-Rabin kernels, the
       // fingerprint self-join and overlap verify) JIT ~3 s on first use
-      graft.ext.Dedup.winnowNearDup(d64, 0.7).count()
-      graft.ext.Dedup.winnowRecallGate(d64, 0.7).count()
+      warm("winnow") {
+        graft.ext.Dedup.winnowNearDup(d64, 0.7).count()
+        graft.ext.Dedup.winnowRecallGate(d64, 0.7).count()
+      }
       // the prefix-containment path (index build: df-count + rarest-first
       // sort_array sets, prefix slice join, array_intersect verify) JITs
       // ~5 s on first use (measured: q_containment 8.3 s cold vs 3.1 s
       // warm at sf0.1)
-      graft.ext.PipelineOps.containmentPairsPrefix(d64, 0.8).count()
+      warm("containment")(
+        graft.ext.PipelineOps.containmentPairsPrefix(d64, 0.8).count())
       // the SRP-LSH pipeline (feature-hash embed, matvec/sign-band
       // kernels, band self-join, cosine verify, lineage cut) JITs ~25 s
       // of generated classes + kernel statics on first use (measured:
@@ -74,12 +93,14 @@ object Bench {
       // 512-row slice at the production band shape gives the shared
       // VectorKernels statics enough invocations to tier up to C2 —
       // 64 rows leaves them in the interpreter for the first real query.
-      val d512 = graft.sources.Tables.load(spark, sfDir, "documents")
-        .limit(512)
-      graft.ext.Similarity.srpNearDup(
-        d512.select(col("doc_id"),
-          graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
-        threshold = 0.6, dim = 128, bits = 8, bands = 32).count()
+      warm("srp-lsh") {
+        val d512 = graft.sources.Tables.load(spark, sfDir, "documents")
+          .limit(512)
+        graft.ext.Similarity.srpNearDup(
+          d512.select(col("doc_id"),
+            graft.functions.FeatureHash(spark, col("text"), 128).as("v")),
+          threshold = 0.6, dim = 128, bits = 8, bands = 32).count()
+      }
       // IVF assignment/probe kernels at REALISTIC scaled k: the official
       // single-run bench measured q_ivf_multiprobe 6.6 s and
       // q_ivf_kmeans 5.8 s vs 1.2/0.8 s min-of-two at identical config —
@@ -88,46 +109,51 @@ object Bench {
       // the cell-join + per-qid window, and the driver Lloyd's loop at
       // the SAME k the real queries use (k depends only on corpus size,
       // so this matches production shape, not toy k).
-      val embAll = graft.sources.Tables.load(spark, sfDir, "embeddings")
-      val kCells = graft.ext.IvfKMeans.scaledK(embAll.count())
-      val e2k = embAll.select("vec_id", "embedding").limit(2048)
-      val cents = graft.ext.IvfKMeans.trainCentroids(
-        e2k, kCells, sampleN = math.max(2048, 16 * kCells))
-      graft.ext.Similarity.multiProbeNN(
-        e2k, cents, nprobe = 4, k = 5,
-        probeFilter = col("vec_id") < 10).count()
-      graft.ext.Similarity.bucketedNN(
-        graft.ext.IvfKMeans.assignCells(e2k, cents), "cell", k = 5).count()
+      warm("ivf") {
+        val embAll = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        val kCells = graft.ext.IvfKMeans.scaledK(embAll.count())
+        val e2k = embAll.select("vec_id", "embedding").limit(2048)
+        val cents = graft.ext.IvfKMeans.trainCentroids(
+          e2k, kCells, sampleN = math.max(2048, 16 * kCells))
+        graft.ext.Similarity.multiProbeNN(
+          e2k, cents, nprobe = 4, k = 5,
+          probeFilter = col("vec_id") < 10).count()
+        graft.ext.Similarity.bucketedNN(
+          graft.ext.IvfKMeans.assignCells(e2k, cents), "cell", k = 5).count()
+      }
       // repetition-stats and char-trigram kernels (plus the trigram
       // model-build agg) JIT on first use like the shingle family
-      d64.select(graft.functions.TextKernels
-        .repetitionStatsCol(spark, col("text"))).count()
-      graft.ext.TextOps.trigramRareRate(d64, 2000L).count()
+      warm("text-kernels") {
+        d64.select(graft.functions.TextKernels
+          .repetitionStatsCol(spark, col("text"))).count()
+        graft.ext.TextOps.trigramRareRate(d64, 2000L).count()
+      }
       // stopword-alternation regex counting (langid/quality) compiles its
       // own regex + codegen path (measured: q_langid 2.1 s cold vs 0.4 s
       // warm when another query got there first)
-      graft.ext.TextOps.LangStopwords.foldLeft(d64) { case (df, (l, pat)) =>
-        df.withColumn(s"s_$l", graft.ext.TextOps.matchCount(col("text"), pat))
-      }.count()
+      warm("langid") {
+        graft.ext.TextOps.LangStopwords.foldLeft(d64) { case (df, (l, pat)) =>
+          df.withColumn(s"s_$l", graft.ext.TextOps.matchCount(col("text"), pat))
+        }.count()
+      }
       // streaming machinery (file stream source, microbatch planner,
       // streaming-agg state store, foreachBatch) JITs on first use —
       // ~3 s that otherwise lands on the alphabetically-first q_stream_*
       // query. Drain a tiny real streaming aggregation untimed.
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val warmStream = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .where(col("event_id") < 100)
-      val wq = graft.streaming.StreamingOps.runningAggregate(
-          warmStream, "ts", "0 seconds", Seq("user_id"),
-          Seq(count(lit(1)).as("n")))
-        .writeStream.outputMode("update")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.count(); ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      wq.awaitTermination()
+      warm("streaming") {
+        val warmStream = graft.sources.Tables.eventsStream(spark, sfDir)
+          .where(col("event_id") < 100)
+        val wq = graft.streaming.StreamingOps.runningAggregate(
+            warmStream, "ts", "0 seconds", Seq("user_id"),
+            Seq(count(lit(1)).as("n")))
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.count(); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        wq.awaitTermination()
+      }
     }
 
     // optional subset for local iteration: SPARK_GRAFT_QUERIES=q_a,q_b

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // schema-drift tripwire: a testdata regeneration shows up as a named
+    // `[schema] DRIFT` line here, not as silently-absent correctness rows
+    try graft.tools.SchemaCheck.report(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[schema] check failed: ${e.getMessage}")
+    }
     // optional subset for local iteration (same contract as Bench):
     // SPARK_GRAFT_QUERIES=q_a,q_b — the driver never sets it
     val onlyFilter = sys.env.get("SPARK_GRAFT_QUERIES")

@@ -354,11 +354,7 @@ object Advanced {
         FROM sess GROUP BY user_id, sid
         HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)"""),
       (s, dir) => {
-        graft.sources.Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = graft.sources.Tables.eventsStream(s, dir)
         val agg = graft.streaming.StreamingOps.sessionized(
           stream, "ts", "0 seconds", "30 minutes",
           Seq("user_id"), Seq(count(lit(1)).as("n_events")))

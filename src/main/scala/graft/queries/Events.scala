@@ -163,11 +163,7 @@ object Events {
         FROM ex
         WHERE _label_time <= (SELECT max(ts) FROM events)"""),
       (s, dir) => {
-        Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = Tables.eventsStream(s, dir)
         val out = graft.streaming.StreamingFlagship(stream)
         graft.streaming.StreamingOps.runToParquet(out.toDF(), "flagship")
       }),
@@ -187,11 +183,7 @@ object Events {
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS err_cents
         FROM events WHERE event_type = 'error' GROUP BY user_id"""),
       (s, dir) => {
-        Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = Tables.eventsStream(s, dir)
           .where(col("event_type") === "error")
         val cl = graft.streaming.StreamingOps.changelog(
           stream, "ts", "0 seconds", Seq("user_id"),
@@ -241,11 +233,7 @@ object Events {
         GROUP BY 1, 2
         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)"""),
       (s, dir) => {
-        graft.sources.Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        val stream = Tables.eventsStream(s, dir)
         val agg = graft.streaming.StreamingOps.tumbling(
           stream, "ts", "0 seconds", "1 hour",
           Seq("event_type"), Seq(count(lit(1)).as("n")))
@@ -313,10 +301,7 @@ object Events {
         s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
           ".state.RocksDBStateStoreProvider")
         try {
-          val schema = s.read.parquet(s"$dir/events.parquet").schema
-          val stream = s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-            .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          val stream = Tables.eventsStream(s, dir)
           val out = graft.streaming.StreamingFunnel(
             stream, Seq("view", "click", "purchase"), within = "12 HOURS")
           graft.streaming.StreamingOps.runToParquet(

@@ -2,29 +2,51 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet testdata (TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS), which Spark 4
-  * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it via the legacy
-  * nanos-as-long escape hatch and rebuild a microsecond TimestampType with
-  * *integer* division (`DIV 1000`) — a double-valued division would lose
-  * precision (ns-since-epoch ≈ 1.7e18 > 2^53). The source data carries zero
-  * sub-microsecond information, so this matches DuckDB's own ns→us coercion
-  * exactly.
+  * The physical layout of `events.parquet`'s `ts` column has drifted across
+  * testdata generations: Parquet TIMESTAMP(NANOS) (which Spark 4 only reads
+  * via the nanos-as-long escape hatch), then plain `timestamp[us]` (read as
+  * TIMESTAMP_NTZ). We therefore normalize by the OBSERVED Spark type, not an
+  * assumed layout:
+  *
+  *   - `LongType` (nanos-as-long): `timestamp_micros(ts DIV 1000)` — integer
+  *     division, because a double-valued division would lose precision
+  *     (ns-since-epoch ≈ 1.7e18 > 2^53). The source data carries zero
+  *     sub-microsecond information, so this matches DuckDB's ns→us coercion.
+  *   - `TimestampNTZType`: cast to session-TZ TimestampType. The session TZ
+  *     is pinned UTC in every harness, so instants match DuckDB's naive
+  *     TIMESTAMP reading exactly.
+  *   - `TimestampType`: pass through.
   */
 object Tables {
+
+  /** Rebuild a canonical microsecond TimestampType `ts` from whatever
+    * physical form this testdata generation uses. Works on both batch and
+    * streaming DataFrames (the schema is known either way).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
-      case "events" =>
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _ => df
+      case "events" => normalizeEventsTs(df)
+      case _        => df
     }
   }
 
-  /** Runtime conf needed before any read of the events table. */
+  /** Runtime conf needed before any read of a nanos-layout events table.
+    * Harmless for other layouts; kept so older testdata keeps loading.
+    */
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
@@ -33,5 +55,19 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     prepare(spark)
     load(spark, sfDir, "events")
+  }
+
+  /** Streaming reader for the events table with the same `ts`
+    * normalization as [[events]]. File streams need an explicit schema, so
+    * we take it from a batch read of the same file (metadata-only).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    prepare(spark)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    normalizeEventsTs(raw)
   }
 }

@@ -186,12 +186,7 @@ object Demo {
     }
 
     // Streaming surface: same pipeline over a file stream (one pass).
-    graft.sources.Tables.prepare(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val stream = graft.sources.Tables.eventsStream(spark, sfDir)
     val sq = graft.streaming.StreamingFlagship(stream)
       .writeStream.format("memory").queryName("demo_stream")
       .outputMode("append")
@@ -204,9 +199,7 @@ object Demo {
 
     // Changelog with retractions (reference toChangelogStream RowKinds):
     // +I on first value per key, -U/+U pairs on change; print-sink shape.
-    val clStream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val clStream = graft.sources.Tables.eventsStream(spark, sfDir)
       .where(col("event_type") === "purchase")
     val cl = g2.changelog(clStream, "ts", "0 seconds", Seq("user_id"),
       "count(1)" -> "purchases")

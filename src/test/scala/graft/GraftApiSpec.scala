@@ -47,11 +47,7 @@ class GraftApiSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.functions._
     val g = Graft(spark)
     val sfDir = "/root/testdata/sf0.001"
-    graft.sources.Tables.prepare(spark)
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = graft.sources.Tables.eventsStream(spark, sfDir)
       .where(col("event_type") === "purchase")
     val cl = g.changelog(stream, "ts", "0 seconds", Seq("user_id"),
       "count(1)" -> "purchases")
