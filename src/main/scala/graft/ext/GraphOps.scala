@@ -33,8 +33,13 @@ object GraphOps {
     * domain graph), so AQE broadcasts it under the threshold and the
     * per-iteration cost degenerates to one map-side join + one agg;
     * ranks re-persist per iteration so iteration i never replays
-    * iterations 1..i-1. Input: (src, dst) strings. Output:
-    * (domain, rank_micro), one row per distinct node. */
+    * iterations 1..i-1. The edge/node caches (the corpus-scale memory)
+    * are unpersisted before returning; the returned frame itself stays
+    * cached — it is |nodes| rows, already materialized, and unpersisting
+    * it would make every downstream action replay the whole loop against
+    * uncached inputs. Callers that are done with it can `unpersist()`.
+    * Input: (src, dst) strings. Output: (domain, rank_micro), one row
+    * per distinct node. */
   def pageRank(
       edges: DataFrame, iters: Int = 3, unit: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
@@ -66,6 +71,10 @@ object GraphOps {
       ranks = next
       i += 1
     }
+    // the final rank frame is materialized in cache, so the corpus-scale
+    // edge/node frames can be dropped before handing the result back
+    e.unpersist()
+    nodes.unpersist()
     ranks.select(col("d").as("domain"), col("r").as("rank_micro"))
   }
 }

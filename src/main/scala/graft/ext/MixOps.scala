@@ -263,21 +263,36 @@ object MixOps {
     * textbook row_number implies.
     *
     * Same distributed prefix-sum decomposition as [[selectUnderBudget]]:
-    * (1) bucket by floor(score / 4096) — monotone in the sort key, and
-    * floor-division (not truncation) so negative scores stay ordered;
-    * exact in doubles for |score| < 2^52; (2) one aggregation collects
-    * per-bucket row counts (bounded by the score range / 4096); (3) a
-    * driver exclusive prefix in bucket-descending order broadcasts back
-    * as each bucket's starting rank; (4) row_number windows only WITHIN
-    * buckets. Oversized buckets (a score-homogeneous corpus) sub-split
-    * by (exact score, doc_id range) exactly as selectUnderBudget does.
+    * (1) bucket by floor(score / width), with width derived from the
+    * OBSERVED min/max so the bucket count — and therefore the driver
+    * collect in step 2 — is bounded by ~2^16 regardless of the score
+    * range (a fixed width would collect range/width rows: unbounded for
+    * arbitrary bigint scores). Floor of a monotone-rounded double
+    * quotient keeps buckets monotone in the sort key for the full bigint
+    * range, including negatives; (2) one aggregation collects per-bucket
+    * row counts; (3) a driver exclusive prefix in bucket-descending
+    * order broadcasts back as each bucket's starting rank; (4)
+    * row_number windows only WITHIN buckets. Oversized buckets (a
+    * score-homogeneous corpus) sub-split by (exact score, doc_id range)
+    * exactly as selectUnderBudget does.
     * Input: (doc_id, score: bigint). Output: (doc_id, score, rnk). */
   def globalRank(
       scores: DataFrame, maxBucketRows: Long = 4000000L,
       subSplits: Int = 32): DataFrame = {
+    // width from observed range: one column-pruned min/max scan caps the
+    // bucket-count collect at ~targetBuckets for ANY score distribution
+    val targetBuckets = 1L << 16
+    val mm = scores.agg(
+      min(col("score")).as("mn"), max(col("score")).as("mx")).first()
+    val width =
+      if (mm.isNullAt(0)) 4096L
+      else {
+        val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
+        ((range / targetBuckets + 1) max BigInt(4096L)).toLong
+      }
     val scored = scores.select(col("doc_id"), col("score"))
       .withColumn("bucket",
-        expr("CAST(FLOOR(score / 4096.0) AS BIGINT)"))
+        expr(s"CAST(FLOOR(score / ${width}.0D) AS BIGINT)"))
     val totals = scored.groupBy("bucket")
       .agg(count(lit(1)).as("cnt"), max(col("doc_id")).as("mx"))
       .collect()

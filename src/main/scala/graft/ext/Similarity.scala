@@ -314,8 +314,8 @@ object Similarity {
     * all-pairs within each bucket: O(sum cell^2), quadratic in the corpus
     * when cells grow with it. A fixed probe set makes it O(|probes| *
     * cell) = linear — the shape a 100 TB query must take (measured x10
-    * exponent 1.79 uncapped vs ~1 capped; tools/ExactNn keeps the uncapped
-    * run for calibration). */
+    * exponent 1.79 uncapped vs ~1 capped; the uncapped form still runs in
+    * the calibration harnesses tools/IvfProfile and tools/KmeansRecall). */
   def bucketedNN(
       emb: DataFrame, bucketCol: String, k: Int = 1,
       probeFilter: Column = lit(true)): DataFrame = {

@@ -193,33 +193,6 @@ object TextOps {
         (col("n_rare").cast("double") / col("n_tri")).as("rare_rate"))
   }
 
-  /** fastText-style linear quality classifier scoring via the hashing
-    * trick (Joulin et al. 2017; the quality-filter shape used for
-    * GPT-3/LLaMA-class corpus curation): features are the document's
-    * unigrams plus adjacent-word bigrams, each feature is HASHED to its
-    * weight — no vocabulary lookup, no weight-table join — and the
-    * document's score is the feature-weight sum in integer micro-units
-    * (engine-exact; a float dot product could never hash-match an
-    * independent oracle).
-    *
-    * The weight function here derives each bucket's weight from md5 of
-    * the feature itself (uniform in [-1000, 1000] micro-units, seeded) —
-    * a deterministic, self-contained stand-in for a trained model's
-    * bucket array that keeps the whole operator oracle-replayable. A
-    * production model swaps ONE inner lambda: weight = trainedBuckets
-    * (hash(f) % nBuckets), with the bucket array shipped by broadcast —
-    * the scoring plan (and its scale shape) is unchanged.
-    *
-    * Scale shape: ZERO shuffles — tokenize, feature-expand, hash, and
-    * sum all happen in ONE kernel call per row inside the scan's codegen
-    * span ([[graft.functions.ClassifierScoreExpr]]; a builtin-HOF
-    * formulation was measured and replaced: transform/aggregate lambdas
-    * are CodegenFallback, and the collapsed projection re-ran the
-    * tokenizer per reference), in deliberate contrast to
-    * [[graft.ext.MixOps.dsirSelect]]'s learned per-token weights, which
-    * cost a token aggregation + join. At 100 TB a hashed classifier
-    * scores every document in exactly one pass of the scan.
-    * Output: (doc_id, n_features, score_micros, keep). */
   /** BPE-style merge-loop tokenizer training at word granularity (the
     * Sennrich et al. 2016 greedy loop — the canonical "fit a tokenizer
     * to the corpus" shape, run on word symbols so merges learn multi-word
@@ -287,9 +260,42 @@ object TextOps {
       size(filter(split(col("st"), "\\|"), x => x =!= ""))
         .cast("long").as("n_after"),
       md5(col("st")).as("merged_fp"))
+    // safe to drop the loop cache here: the argmax pairs are baked into
+    // the plan as literals, so recomputing `out` downstream is ONE
+    // map-side scan of docs through k chained replaces — no shuffle, no
+    // repeat of the per-iteration pair-count aggregations
+    st.unpersist()
     out
   }
 
+  /** fastText-style linear quality classifier scoring via the hashing
+    * trick (Joulin et al. 2017; the quality-filter shape used for
+    * GPT-3/LLaMA-class corpus curation): features are the document's
+    * unigrams plus adjacent-word bigrams, each feature is HASHED to its
+    * weight — no vocabulary lookup, no weight-table join — and the
+    * document's score is the feature-weight sum in integer micro-units
+    * (engine-exact; a float dot product could never hash-match an
+    * independent oracle).
+    *
+    * The weight function here derives each bucket's weight from md5 of
+    * the feature itself (uniform in [-1000, 1000] micro-units, seeded) —
+    * a deterministic, self-contained stand-in for a trained model's
+    * bucket array that keeps the whole operator oracle-replayable. A
+    * production model swaps ONE inner lambda: weight = trainedBuckets
+    * (hash(f) % nBuckets), with the bucket array shipped by broadcast —
+    * the scoring plan (and its scale shape) is unchanged (see
+    * [[trainClassifier]] for the trained form).
+    *
+    * Scale shape: ZERO shuffles — tokenize, feature-expand, hash, and
+    * sum all happen in ONE kernel call per row inside the scan's codegen
+    * span ([[graft.functions.ClassifierScoreExpr]]; a builtin-HOF
+    * formulation was measured and replaced: transform/aggregate lambdas
+    * are CodegenFallback, and the collapsed projection re-ran the
+    * tokenizer per reference), in deliberate contrast to
+    * [[graft.ext.MixOps.dsirSelect]]'s learned per-token weights, which
+    * cost a token aggregation + join. At 100 TB a hashed classifier
+    * scores every document in exactly one pass of the scan.
+    * Output: (doc_id, n_features, score_micros, keep). */
   def hashClassifier(
       docs: org.apache.spark.sql.DataFrame, seed: String = "s1")
       : org.apache.spark.sql.DataFrame = {

@@ -45,6 +45,13 @@ case class VecSumAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData].toDoubleArray()
     val b = if (buffer.length == 0) new Array[Double](arr.length) else buffer
+    // all vectors in a group must share one dimensionality: summing a
+    // shorter vector would silently drop tail elements and a longer one
+    // would read past the buffer — fail loudly instead
+    if (arr.length != b.length)
+      throw new IllegalArgumentException(
+        s"graft_vec_sum: mixed vector lengths in one group " +
+          s"(${b.length} vs ${arr.length})")
     var i = 0
     while (i < arr.length) { b(i) += arr(i); i += 1 }
     b
@@ -53,6 +60,10 @@ case class VecSumAgg(
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
     if (b1.length == 0) return b2
     if (b2.length == 0) return b1
+    if (b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"graft_vec_sum: mixed vector lengths across partial buffers " +
+          s"(${b1.length} vs ${b2.length})")
     var i = 0
     while (i < b1.length) { b1(i) += b2(i); i += 1 }
     b1

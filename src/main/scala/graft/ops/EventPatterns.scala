@@ -38,8 +38,16 @@ object EventPatterns {
       tieCol: String = "event_id", typeCol: String = "event_type")
       : DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
+    // EXCLUSIVE frame (up to the previous row): a row may only qualify
+    // against STRICTLY EARLIER rows in (ts, tie) order. With an inclusive
+    // frame a row whose type matches both steps(i-1) and steps(i) — a
+    // same-type consecutive-step funnel — would qualify against itself.
+    // For all-distinct step types the two frames are equivalent (the
+    // current row contributes null to the other step's running max), and
+    // the exclusive form matches StreamingFunnel's check-state-before-
+    // update replay exactly.
     val w = Window.partitionBy(key).orderBy(tsCol, tieCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val t = col(tsCol)
     def inWindow(prevQ: Column): Column =
       prevQ.isNotNull && t <= prevQ + expr(s"INTERVAL $within")

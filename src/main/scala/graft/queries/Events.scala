@@ -31,7 +31,7 @@ object Events {
                  max(CASE WHEN event_type = 'view' THEN ts END)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS q0
+                           AND 1 PRECEDING) AS q0
                FROM events),
         w1 AS (SELECT *,
                  event_type = 'click' AND q0 IS NOT NULL
@@ -40,7 +40,7 @@ object Events {
         w2 AS (SELECT *, max(CASE WHEN qual_1 THEN ts END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND CURRENT ROW) AS q1
+                         AND 1 PRECEDING) AS q1
                FROM w1),
         w3 AS (SELECT *,
                  event_type = 'purchase' AND q1 IS NOT NULL

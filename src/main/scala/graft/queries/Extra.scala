@@ -44,6 +44,15 @@ object Extra {
           sum(expr("cast(round(o_totalprice * 100) as bigint)")).cast("bigint").as("total_cents"))),
 
     // ---- embedding-cosine near-dup pairs (bucketed by label) --------------
+    // Exact cosine baseline over a FIXED probe set (vec_a < 50) against the
+    // full corpus within each label bucket — the same probe-cap treatment
+    // q_ivf_nn got: candidate volume is O(|probes| * corpus/label), linear
+    // in corpus, not the O(n^2/|labels|) of an uncapped all-pairs self-join.
+    // The probe side is tiny, so Catalyst broadcasts it and the scan of the
+    // candidate side is one pass with no shuffle. The uncapped all-pairs
+    // form survives as the recall oracle inside SemDedupSpec fixtures; the
+    // production-scale path for full-corpus near-dup is
+    // q_hash_embed_neardup (SRP-LSH candidates, exponent 0.54).
     QueryDef(
       "q_embed_neardup",
       Some("""
@@ -53,14 +62,17 @@ object Extra {
         n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE a.vec_id < 50)
         SELECT vec_a, vec_b, round(cos, 6) AS sim FROM s WHERE cos >= 0.4"""),
       (s, dir) => {
         val p = Similarity.prepared(Tables.load(s, dir, "embeddings"), Seq("label"))
         val a = p.select(col("vec_id").as("vec_a"), col("label"), col("v"), col("nrm"))
+          .where(col("vec_a") < 50)
         val b = p.select(col("vec_id").as("vec_b"), col("label").as("__l"),
           col("v").as("bv"), col("nrm").as("bnrm"))
-        a.join(b, col("label") === col("__l") && col("vec_a") < col("vec_b"))
+        broadcast(a)
+          .join(b, col("label") === col("__l") && col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
             (Similarity.dot(col("v"), col("bv")) / (col("nrm") * col("bnrm"))).as("cos"))
           .where(col("cos") >= 0.4)

@@ -34,8 +34,8 @@ object Vectors {
     // the FULL label cell, so every answer is exact. The uncapped self-join
     // is all-pairs within each cell — O(sum cell^2), measured x10 exponent
     // 1.79 — while the capped form is O(|probes| * cell) = linear, the only
-    // shape that survives 100 TB. tools/ExactNn keeps the uncapped run for
-    // calibration.
+    // shape that survives 100 TB. The uncapped form still runs inside the
+    // calibration harnesses (tools/IvfProfile, tools/KmeansRecall).
     QueryDef(
       "q_ivf_nn",
       Some("""

@@ -39,6 +39,29 @@ class EventPatternsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === ((1L, 1L, 1L, 1L, 1L)))
   }
 
+  test("funnelCounts: same-type consecutive steps never self-qualify") {
+    // funnel view -> view -> purchase: a single view must NOT satisfy
+    // both steps by qualifying against itself (the inclusive-frame bug);
+    // two views in order DO cascade.
+    val events = ev(
+      // user 1: one view then a purchase — stage 1 has no earlier view,
+      // so the purchase cannot convert
+      (1L, 0L, 1L, "view"), (2L, 30L, 1L, "purchase"),
+      // user 2: two views 10m apart then a purchase — second view
+      // qualifies via the first, purchase converts via the second
+      (3L, 0L, 2L, "view"), (4L, 10L, 2L, "view"),
+      (5L, 40L, 2L, "purchase"))
+    val got = EventPatterns.funnelCounts(
+        events, Seq("view", "view", "purchase"))
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // (n_step_0=views, n_step_1=views, n_step_2=purchases, n_qual_1, n_qual_2)
+    assert(got(1L) === ((1L, 1L, 1L, 0L, 0L)))
+    assert(got(2L) === ((2L, 2L, 1L, 1L, 1L)))
+  }
+
   test("funnelCounts: last-touch greediness — a late second view re-opens " +
       "the click window; plan has ONE exchange") {
     val events = ev(

@@ -29,6 +29,22 @@ class VecAggSpec extends AnyFunSuite with SparkSpec {
     agg.indices.foreach(i => assert(math.abs(agg(i) - brute(i)) < 1e-6))
   }
 
+  test("vecSum fails loudly on mixed vector lengths instead of silently " +
+      "mis-summing") {
+    import spark.implicits._
+    val df = Seq((0, Seq(1.0, 2.0, 3.0)), (0, Seq(1.0, 2.0)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(VecAgg.vecSum(spark, col("v"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("mixed vector lengths")),
+      s"expected a mixed-vector-lengths failure, got: $e")
+  }
+
   test("refineCentroids: a full-corpus Lloyd's pass never increases " +
       "quantization error, and moves sample-trained centroids") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
