@@ -310,4 +310,113 @@ object TextOps {
         col("cs.score_micros").as("score_micros"),
         (col("cs.score_micros") > 0).as("keep"))
   }
+
+  /** The deterministic keep/drop label the trained classifier fits:
+    * "stopword-bearing English-like prose" — at least 1 in 20 tokens is
+    * an English stopword. A pure per-row predicate both engines replay
+    * exactly (integer comparison, no float threshold). */
+  def classifierLabel(text: Column): Column =
+    matchCount(text, LangStopwords.head._2) * 20 >= size(
+      regexp_extract_all(lower(text), lit(TokenPattern), lit(0)))
+
+  /** Fit bucket-array weights for the hashed classifier on labeled
+    * documents: event-level naive-Bayes log-odds per feature bucket
+    * (add-one smoothed), in integer micro-units — the same
+    * log-ratio-rounded-to-micro recipe as [[MixOps.dsirSelect]], so an
+    * independent SQL engine replays every weight bit-for-bit.
+    *
+    * Scale shape: feature expansion is the shingle kernel (unigrams +
+    * bigrams, one call per row, map-side); the only shuffle is the
+    * bucket-count aggregation whose output is <= nBuckets rows — the
+    * bounded driver collect (nBuckets * 24 B) that Lloyd's centroids and
+    * the BPE argmax also use. Weights for buckets unseen in training get
+    * the smoothed empty-bucket log-odds, computed with the same Spark
+    * `log`/`round` expressions so rounding matches the per-bucket path.
+    * Returns the nBuckets-length micro-unit weight array. */
+  def trainClassifier(
+      docs: org.apache.spark.sql.DataFrame, labelCol: Column,
+      nBuckets: Int = 65536): Array[Long] = {
+    val spark = docs.sparkSession
+    graft.functions.TextKernels.register(spark)
+    val toks = tokens(col("text"))
+    val feats = docs
+      .select(labelCol.as("pos"),
+        concat(
+          call_function("graft_shingles", col("text"), lit(1)),
+          call_function("graft_shingles", col("text"), lit(2))).as("fs"))
+      .select(col("pos"), explode(col("fs")).as("f"))
+      .select(col("pos"),
+        (conv(substr(md5(col("f")), lit(1), lit(8)), 16, 10)
+          .cast("long") % nBuckets).as("b"))
+    val cnt = feats.groupBy("b").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val tot = cnt.agg(
+      sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg")).first()
+    val (npos, nneg) = (tot.getLong(0), tot.getLong(1))
+    def logOdds(cpos: Column, cneg: Column): Column =
+      round(
+        (log((cpos + lit(1.0)) / lit(npos + nBuckets.toDouble)) -
+          log((cneg + lit(1.0)) / lit(nneg + nBuckets.toDouble))) * 1e6, 0)
+        .cast("long")
+    // empty-bucket default through the SAME engine expressions, so its
+    // rounding matches what an oracle computes for an unseen bucket
+    val w0 = spark.range(1)
+      .select(logOdds(lit(0L), lit(0L)).as("w")).first().getLong(0)
+    val w = Array.fill(nBuckets)(w0)
+    cnt.select(col("b"), logOdds(col("cpos"), col("cneg")).as("w"))
+      .collect()
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    w
+  }
+
+  /** Trained-classifier scoring of the whole corpus: fit on the even
+    * doc_ids (a deterministic 50% split), score every document with the
+    * learned bucket array, and CALIBRATE the keep threshold on the train
+    * half. The raw naive-Bayes score carries a per-feature smoothing bias
+    * that scales with document length (measured: threshold-0 keep
+    * collapses to the majority class), so the decision statistic is the
+    * PER-FEATURE score `vm = round(score_micros * 1000 / n_features)` —
+    * integer milli-units, identical IEEE ops in any engine — and the
+    * threshold is the k-th largest train vm where k = positive train
+    * docs, so the train keep-rate matches the label rate (the standard
+    * quantile calibration, and the same trick q_rank_calibrate uses).
+    * The k-th value comes from [[MixOps.globalRank]] — a distributed
+    * prefix-sum rank, never a driver sort — so calibration stays one
+    * bounded (1-row) collect at any corpus size.
+    *
+    * Scoring is EXACTLY [[hashClassifier]]'s plan — one kernel call per
+    * row, zero shuffles — plus one broadcast-threshold comparison.
+    * Output: (doc_id, n_features, score_micros, keep = vm > thr). */
+  def trainedClassifier(
+      docs: org.apache.spark.sql.DataFrame, nBuckets: Int = 65536)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val label = classifierLabel(col("text"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val w = trainClassifier(train, label, nBuckets)
+    def scored(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        graft.functions.TextKernels
+          .classifierTrainedCol(spark, col("text"), w).as("cs"))
+      .select(
+        col("doc_id"),
+        col("cs.n_features").as("n_features"),
+        col("cs.score_micros").as("score_micros"))
+      .withColumn("vm",
+        when(col("n_features") > 0,
+          round(col("score_micros") * lit(1000.0) / col("n_features"), 0)
+            .cast("long"))
+          .otherwise(lit(0L)))
+    val k = train.where(label).count()
+    val thr =
+      if (k == 0L) Long.MaxValue
+      else MixOps.globalRank(
+          scored(train).select(col("doc_id"), col("vm").as("score")))
+        .where(col("rnk") === k)
+        .select(col("score")).first().getLong(0)
+    scored(docs).select(
+      col("doc_id"), col("n_features"), col("score_micros"),
+      (col("vm") > thr).as("keep"))
+  }
 }

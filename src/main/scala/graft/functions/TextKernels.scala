@@ -166,6 +166,42 @@ case class ClassifierScoreExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[ClassifierScoreExpr]] with a TRAINED bucket array instead of
+  * md5-derived pseudo-weights: each unigram/bigram feature hashes to
+  * `u32(md5(f)) % nBuckets` and its bucket's learned micro-unit weight is
+  * summed. The weight array ships as a BINARY literal (little-endian
+  * longs, unpacked once per task — the [[MatVecLit]] lesson: a boxed
+  * array literal poisons plan copies/canonicalization), so the scoring
+  * plan is byte-for-byte the strawman's: one kernel call per row inside
+  * the scan's codegen span, zero shuffles, nBuckets*8 bytes broadcast
+  * with the plan.
+  *
+  * Fields: n_features, score_micros. */
+case class TrainedClassifierExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_features", LongType, nullable = false),
+    StructField("score_micros", LongType, nullable = false)))
+  override def prettyName: String = "graft_classifier_trained"
+
+  @transient private lazy val wArr: Array[Long] =
+    TextKernels.unpackWeights(right.eval().asInstanceOf[Array[Byte]])
+
+  override def nullSafeEval(text: Any, wts: Any): Any =
+    TextKernels.trainedClassifierScore(text.asInstanceOf[UTF8String], wArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val w = ctx.addReferenceObj("wArr", wArr, "long[]")
+      s"${ev.value} = graft.functions.TextKernels.trainedClassifierScore($t, $w);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
 
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
@@ -179,6 +215,55 @@ object TextKernels {
     val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     u % 2001L - 1000L
+  }
+
+  /** Bucket of one hashed feature: first 4 md5 bytes of the feature as
+    * an unsigned 32-bit int, mod nBuckets — the oracle's
+    * `('0x' || substr(md5(f), 1, 8))::BIGINT % B`. */
+  def featureBucket(
+      md: java.security.MessageDigest, f: String, nBuckets: Int): Int = {
+    val d = md.digest(f.getBytes("UTF-8"))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (u % nBuckets).toInt
+  }
+
+  /** See [[TrainedClassifierExpr]]: unigram + adjacent-bigram features,
+    * each summing its learned bucket weight. */
+  def trainedClassifierScore(text: UTF8String, w: Array[Long]): InternalRow = {
+    val s = text.toLowerCase.toString
+    val m = TokenPattern.matcher(s)
+    val toks = new java.util.ArrayList[String]()
+    while (m.find()) toks.add(m.group())
+    val n = toks.size
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = w.length
+    var score = 0L
+    var i = 0
+    while (i < n) {
+      score += w(featureBucket(md, toks.get(i), b))
+      if (i < n - 1)
+        score += w(featureBucket(md, toks.get(i) + " " + toks.get(i + 1), b))
+      i += 1
+    }
+    val nFeatures = if (n == 0) 0L else (2L * n) - 1L
+    new GenericInternalRow(Array[Any](nFeatures, score))
+  }
+
+  def packWeights(w: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(w.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    w.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def unpackWeights(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(i * 8); i += 1 }
+    out
   }
 
   /** See [[ClassifierScoreExpr]]. */
@@ -348,6 +433,9 @@ object TextKernels {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_classifier_score",
       exprs => ClassifierScoreExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_classifier_trained",
+      exprs => TrainedClassifierExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API: (n_features, score_micros) struct of the hashed linear
@@ -358,6 +446,17 @@ object TextKernels {
     org.apache.spark.sql.functions.call_function(
       "graft_classifier_score", text,
       org.apache.spark.sql.functions.lit(seed))
+  }
+
+  /** Column API: (n_features, score_micros) struct of the TRAINED hashed
+    * classifier (see [[TrainedClassifierExpr]]); `weights(b)` is bucket
+    * b's micro-unit weight. */
+  def classifierTrainedCol(
+      spark: SparkSession, text: Column, weights: Array[Long]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(
+      "graft_classifier_trained", text,
+      org.apache.spark.sql.functions.lit(packWeights(weights)))
   }
 
   /** Column API: per-doc repetition-signal struct (see

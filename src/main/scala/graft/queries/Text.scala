@@ -324,6 +324,80 @@ object Text {
       (s, dir) => TextOps.hashClassifier(
         Tables.load(s, dir, "documents"))),
 
+    // ---- TRAINED hashed classifier (naive-Bayes log-odds buckets) --------
+    // The trained form of q_quality_classifier: bucket weights are FIT on
+    // the even-doc_id half against the deterministic stopword-prose label
+    // (event-level add-one NB log-odds in integer micro-units — the
+    // dsirSelect recipe), then every document scores through the same
+    // one-kernel-call-per-row plan with the learned array shipped as a
+    // binary literal, and the keep threshold is CALIBRATED to the train
+    // label rate on the per-feature score (globalRank picks the k-th
+    // largest train value without a driver sort). Training cost: one
+    // feature-bucket aggregation (<= 65536 rows out, bounded driver
+    // collect) + one rank pass; scoring: zero shuffles. The oracle refits
+    // the same weights and threshold from scratch in SQL and replays
+    // every score bit-for-bit. ClassifierTrainSpec holds the accuracy
+    // gate: the trained keep-set beats the hash-weight strawman on
+    // held-out docs.
+    QueryDef(
+      "q_classifier_trained",
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     len(regexp_extract_all(lower(text),
+                         '\b(?:the|and|of|to|in)\b')) * 20
+                       >= len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS pos
+                   FROM documents),
+        feat AS (
+          SELECT doc_id, pos, unnest(toks) AS f FROM t
+          UNION ALL
+          SELECT doc_id, pos, toks[i] || ' ' || toks[i + 1] AS f
+          FROM t, unnest(range(1, len(toks))) AS r(i)
+          WHERE len(toks) >= 2),
+        bf AS (SELECT doc_id, pos,
+                 ('0x' || substr(md5(f), 1, 8))::BIGINT % 65536 AS b
+               FROM feat),
+        cnt AS (SELECT b,
+                  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+                  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+                FROM bf WHERE doc_id % 2 = 0 GROUP BY b),
+        tot AS (SELECT sum(cpos) AS npos, sum(cneg) AS nneg FROM cnt),
+        w AS (SELECT b,
+                CAST(round((ln((cpos + 1.0) / (npos + 65536.0))
+                  - ln((cneg + 1.0) / (nneg + 65536.0))) * 1e6, 0) AS BIGINT)
+                  AS w
+              FROM cnt, tot),
+        w0 AS (SELECT CAST(round((ln(1.0 / (npos + 65536.0))
+                 - ln(1.0 / (nneg + 65536.0))) * 1e6, 0) AS BIGINT) AS w0
+               FROM tot),
+        sc AS (SELECT bf.doc_id,
+                 count(*) AS n_features,
+                 CAST(sum(COALESCE(w.w, (SELECT w0 FROM w0))) AS BIGINT)
+                   AS score_micros
+               FROM bf LEFT JOIN w ON w.b = bf.b
+               GROUP BY bf.doc_id),
+        alldocs AS (SELECT t.doc_id, t.pos,
+                      COALESCE(sc.n_features, 0) AS n_features,
+                      COALESCE(sc.score_micros, 0) AS score_micros
+                    FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id),
+        vms AS (SELECT *, CASE WHEN n_features > 0
+                  THEN CAST(round(score_micros * 1000.0 / n_features, 0)
+                            AS BIGINT)
+                  ELSE 0 END AS vm
+                FROM alldocs),
+        k AS (SELECT count(*) AS k FROM vms WHERE pos AND doc_id % 2 = 0),
+        thr AS (SELECT vm AS thr FROM
+                  (SELECT vm, row_number()
+                     OVER (ORDER BY vm DESC, doc_id) AS rnk
+                   FROM vms WHERE doc_id % 2 = 0) q, k
+                WHERE q.rnk = k.k)
+        SELECT doc_id, n_features, score_micros,
+               vm > (SELECT thr FROM thr) AS keep
+        FROM vms"""),
+      (s, dir) => TextOps.trainedClassifier(
+        Tables.load(s, dir, "documents"))),
+
     // ---- percentile calibration: corpus-wide rank of the score ----------
     // The "keep the top X%" primitive: classifier scores ranked across
     // the whole corpus WITHOUT a global-sort window (MixOps.globalRank —

@@ -80,8 +80,9 @@ object ScaleData {
             (x, d) => (x + (pmod(lit(k) * d, lit(7)) - lit(3.0)) * lit(0.01f)).cast("float")))
     }, "embeddings")
 
-    // events: ts stays a NANOS long (the Tables.events loader converts);
-    // event volume per hour scales with the user population
+    // events: ts passes through in whatever physical layout the source
+    // generation uses (Tables.normalizeEventsTs adapts on read); event
+    // volume per hour scales with the user population
     val events = spark.read.parquet(s"$src/events.parquet")
     write(shiftBy(events, Seq("event_id", "user_id")), "events")
 
