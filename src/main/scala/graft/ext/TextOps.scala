@@ -268,6 +268,91 @@ object TextOps {
     out
   }
 
+  /** SUBWORD BPE merge-loop training (Sennrich et al. 2016 at its native
+    * character granularity — [[bpeMergeLoop]] runs the same loop on word
+    * symbols and learns phrases; this one learns the tokenizer's subword
+    * units): the corpus collapses to its (word, freq) vocabulary, every
+    * word becomes a '|'-delimited character stream closed by the '</w>'
+    * end-of-word marker, and each of `k` iterations {counts adjacent
+    * symbol pairs WEIGHTED BY WORD FREQUENCY; merges the globally most
+    * frequent pair (ties by pair string); rewrites every occurrence}.
+    * The rewrite is the identical leftmost double-pass string replace as
+    * the word-level loop ('|'/'_'/'<'/'/'/'>' are all outside the
+    * [a-z0-9] token alphabet, so symbol boundaries stay unambiguous and
+    * a rewrite never creates a new occurrence).
+    *
+    * Scale shape: the corpus-sized work is the ONE tokenize+count
+    * aggregation building the vocabulary; every iteration after that
+    * runs on |vocab| rows (sublinear in corpus, Heaps' law) — one
+    * freq-weighted pair aggregation + a one-row argmax collect + a
+    * map-side rewrite, re-persisted per iteration. The final frame is
+    * unpersisted before returning: downstream recompute replays the
+    * vocab aggregation plus k literal-pattern replaces, never the
+    * pair-count aggregations.
+    *
+    * Returns (per-word frame (word, freq, n_syms, st), merge list in
+    * order, e.g. "e|s" meaning symbols 'e','s' merged to 'e_s'). */
+  def bpeSubwordTrain(
+      words: org.apache.spark.sql.DataFrame, k: Int)
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var st = words.select(
+      col("word"), col("freq"),
+      concat(lit("|"),
+        regexp_replace(col("word"), "(.)", "$1|"),
+        lit("</w>|")).as("st"))
+      .persist(lvl)
+    val merges = Seq.newBuilder[String]
+    var i = 0
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val syms = st.select(
+        col("freq"),
+        filter(split(col("st"), "\\|"), x => x =!= "").as("sym"))
+      val top = syms
+        .where(size(col("sym")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => concat(a, lit("|"), b))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += pair
+        val pat = lit("|" + pair + "|")
+        val rep = lit("|" + pair.replace('|', '_') + "|")
+        val prev = st
+        st = prev.withColumn("st",
+          replace(replace(col("st"), pat, rep), pat, rep)).persist(lvl)
+        st.count()
+        prev.unpersist()
+      }
+      i += 1
+    }
+    val out = st.select(
+      col("word"), col("freq"),
+      size(filter(split(col("st"), "\\|"), x => x =!= ""))
+        .cast("long").as("n_syms"),
+      col("st"))
+    st.unpersist()
+    (out, merges.result())
+  }
+
+  /** [[bpeSubwordTrain]] over a document corpus: vocabulary from the
+    * standard tokenizer, one row per distinct word with its learned
+    * segmentation after k merges. */
+  def bpeSubwordLoop(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeSubwordTrain(words, k)._1
+  }
+
   /** fastText-style linear quality classifier scoring via the hashing
     * trick (Joulin et al. 2017; the quality-filter shape used for
     * GPT-3/LLaMA-class corpus curation): features are the document's

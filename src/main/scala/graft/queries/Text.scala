@@ -426,14 +426,18 @@ object Text {
     QueryDef(
       "q_bpe_merges",
       Some {
+        // MATERIALIZED: see q_bpe_subword — the iteration chain is
+        // exponential in k if DuckDB inlines the CTE references
         def iter(i: Int) = s"""
-        p$i AS (SELECT sym[j] || '|' || sym[j + 1] AS pair, count(*) AS c
+        p$i AS MATERIALIZED (
+                SELECT sym[j] || '|' || sym[j + 1] AS pair, count(*) AS c
                 FROM (SELECT list_filter(string_split(st, '|'),
                                x -> x <> '') AS sym
                       FROM s${i - 1}) z,
                      unnest(range(1, len(sym))) r(j)
                 GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
-        s$i AS (SELECT doc_id, n_before,
+        s$i AS MATERIALIZED (
+                SELECT doc_id, n_before,
                   replace(replace(st,
                     (SELECT '|' || pair || '|' FROM p$i),
                     (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
@@ -459,6 +463,63 @@ object Text {
       },
       (s, dir) => TextOps.bpeMergeLoop(
         Tables.load(s, dir, "documents"), k = 3)),
+
+    // ---- SUBWORD BPE merge loop (character granularity) ------------------
+    // The real tokenizer-training form of the merge loop (see
+    // TextOps.bpeSubwordTrain): the corpus collapses to its (word, freq)
+    // vocabulary, words split to character symbols + '</w>', and six
+    // freq-weighted greedy merges run. The oracle replays each argmax and
+    // double-pass rewrite string-for-string on the same vocabulary;
+    // BpeSubwordSpec pins the textbook Sennrich merge sequence on the
+    // canonical low/lower/newest/widest fixture.
+    QueryDef(
+      "q_bpe_subword",
+      Some {
+        // MATERIALIZED: each s_i/p_i is referenced several times by the
+        // next iteration; inlined CTEs would re-derive the whole prior
+        // chain per reference — exponential in k (measured: >5 min
+        // inlined vs 0.5 s materialized at k=6)
+        def iter(i: Int) = s"""
+        p$i AS MATERIALIZED (
+                SELECT sym[j] || '|' || sym[j + 1] AS pair, sum(freq) AS c
+                FROM (SELECT freq, list_filter(string_split(st, '|'),
+                               x -> x <> '') AS sym
+                      FROM s${i - 1}) z,
+                     unnest(range(1, len(sym))) r(j)
+                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+        s$i AS MATERIALIZED (
+                SELECT word, freq,
+                  replace(replace(st,
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
+                    AS st
+                FROM s${i - 1})"""
+        s"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        wf AS (SELECT word, count(*) AS freq
+               FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+        s0 AS (SELECT word, freq,
+                 '|' || regexp_replace(word, '(.)', '\\1|', 'g') || '</w>|'
+                   AS st
+               FROM wf),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)},
+        ${iter(4)},
+        ${iter(5)},
+        ${iter(6)}
+        SELECT word, freq,
+               CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
+                 AS BIGINT) AS n_syms,
+               st
+        FROM s6"""
+      },
+      (s, dir) => TextOps.bpeSubwordLoop(
+        Tables.load(s, dir, "documents"), k = 6)),
 
     // ---- vocabulary coverage / OOV-rate scoring ---------------------------
     // Top-16 tokens by corpus frequency (ties by token) become the
