@@ -353,6 +353,53 @@ object TextOps {
     bpeSubwordTrain(words, k)._1
   }
 
+  /** APPLY the merges learned by [[bpeSubwordTrain]] to tokenize every
+    * document — the encode half of BPE. Training and encoding share one
+    * symbol-stream representation, so encoding is the same k ordered
+    * merge rewrites replayed on each document's stream.
+    *
+    * No join is needed: a document's stream is the concatenation of its
+    * tokens' word streams (`|c|h|a|r|s|</w>|` each), which puts `||`
+    * between adjacent words — and since a merge pattern `|x|y|` needs
+    * its symbols separated by a SINGLE delimiter, no rewrite can span a
+    * word boundary. Applying the k merges to the whole-document stream
+    * therefore segments every word exactly as its trained vocabulary row
+    * (`BpeEncodeSpec` pins this equivalence), without shipping the
+    * vocabulary anywhere.
+    *
+    * Scale shape: the corpus-sized work is the vocabulary aggregation the
+    * training loop already does plus ONE map-side projection pass over
+    * the corpus — k literal-pattern replaces inside the scan's codegen
+    * span, zero additional shuffles, no driver state beyond the k merge
+    * strings (the Lloyd's-centroid bounded-collect pattern). At 100 TB
+    * encoding is scan-bound, exactly like the hashed classifier.
+    *
+    * Output: (doc_id, n_tokens, n_subtokens, enc_fp) — enc_fp is md5 of
+    * the encoded stream, pinning every merge byte-for-byte. */
+  def bpeEncode(
+      docs: org.apache.spark.sql.DataFrame, k: Int = 6)
+      : org.apache.spark.sql.DataFrame = {
+    val words = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = bpeSubwordTrain(words, k)._2
+    val toks = tokens(col("text"))
+    val st0 = concat_ws("", transform(toks,
+      t => concat(lit("|"), regexp_replace(t, "(.)", "$1|"), lit("</w>|"))))
+    val stEnc = merges.foldLeft(st0) { (c, m) =>
+      val pat = lit("|" + m + "|")
+      val rep = lit("|" + m.replace('|', '_') + "|")
+      replace(replace(c, pat, rep), pat, rep)
+    }
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        stEnc.as("st"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(split(col("st"), "\\|"), x => x =!= ""))
+          .cast("long").as("n_subtokens"),
+        md5(col("st")).as("enc_fp"))
+  }
+
   /** fastText-style linear quality classifier scoring via the hashing
     * trick (Joulin et al. 2017; the quality-filter shape used for
     * GPT-3/LLaMA-class corpus curation): features are the document's

@@ -521,6 +521,78 @@ object Text {
       (s, dir) => TextOps.bpeSubwordLoop(
         Tables.load(s, dir, "documents"), k = 6)),
 
+    // ---- BPE ENCODE: apply the learned merges to every document ----------
+    // The apply half of the tokenizer (see TextOps.bpeEncode): the oracle
+    // re-derives the 6 merges on the vocabulary (same chain as
+    // q_bpe_subword), then replays them in order on each document's
+    // concatenated symbol stream. No join on either side — merge patterns
+    // cannot span the '||' word boundary — so per-doc enc_fp pins every
+    // rewrite byte-for-byte.
+    QueryDef(
+      "q_bpe_encode",
+      Some {
+        def iter(i: Int) = s"""
+        p$i AS MATERIALIZED (
+                SELECT sym[j] || '|' || sym[j + 1] AS pair, sum(freq) AS c
+                FROM (SELECT freq, list_filter(string_split(st, '|'),
+                               x -> x <> '') AS sym
+                      FROM s${i - 1}) z,
+                     unnest(range(1, len(sym))) r(j)
+                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+        s$i AS MATERIALIZED (
+                SELECT word, freq,
+                  replace(replace(st,
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
+                    AS st
+                FROM s${i - 1})"""
+        def enc(i: Int) = s"""
+        d$i AS (SELECT doc_id, n_tokens,
+                  replace(replace(st,
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
+                    (SELECT '|' || pair || '|' FROM p$i),
+                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
+                    AS st
+                FROM d${i - 1})"""
+        s"""
+        WITH t AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM documents),
+        wf AS (SELECT word, count(*) AS freq
+               FROM (SELECT unnest(toks) AS word FROM t) GROUP BY word),
+        s0 AS (SELECT word, freq,
+                 '|' || regexp_replace(word, '(.)', '\\1|', 'g') || '</w>|'
+                   AS st
+               FROM wf),
+        ${iter(1)},
+        ${iter(2)},
+        ${iter(3)},
+        ${iter(4)},
+        ${iter(5)},
+        ${iter(6)},
+        d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 array_to_string(list_transform(toks,
+                   x -> '|' || regexp_replace(x, '(.)', '\\1|', 'g')
+                     || '</w>|'), '') AS st
+               FROM t),
+        ${enc(1)},
+        ${enc(2)},
+        ${enc(3)},
+        ${enc(4)},
+        ${enc(5)},
+        ${enc(6)}
+        SELECT doc_id, n_tokens,
+               CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
+                 AS BIGINT) AS n_subtokens,
+               md5(st) AS enc_fp
+        FROM d6"""
+      },
+      (s, dir) => TextOps.bpeEncode(
+        Tables.load(s, dir, "documents"), k = 6)),
+
     // ---- vocabulary coverage / OOV-rate scoring ---------------------------
     // Top-16 tokens by corpus frequency (ties by token) become the
     // (the synthetic corpus has only 31 distinct tokens, so 16 is the
