@@ -480,9 +480,14 @@ object TextOps {
       .select(col("pos"),
         (conv(substr(md5(col("f")), lit(1), lit(8)), 16, 10)
           .cast("long") % nBuckets).as("b"))
+    // <= nBuckets rows; persisted because BOTH the totals action and the
+    // weight collect below would otherwise replay the feature explode +
+    // aggregation over the whole training text (measured: one full fit
+    // pass each at sf0.1)
     val cnt = feats.groupBy("b").agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cnt.agg(
       sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg")).first()
     val (npos, nneg) = (tot.getLong(0), tot.getLong(1))
@@ -499,6 +504,7 @@ object TextOps {
     cnt.select(col("b"), logOdds(col("cpos"), col("cneg")).as("w"))
       .collect()
       .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    cnt.unpersist()
     w
   }
 
@@ -541,12 +547,19 @@ object TextOps {
             .cast("long"))
           .otherwise(lit(0L)))
     val k = train.where(label).count()
+    // (doc_id, score) only — persisted because globalRank's prefix-sum
+    // decomposition takes four passes over its input (min/max, bucket
+    // totals, group offsets, final join), each of which would otherwise
+    // re-run the scoring kernel over the training text
+    val trainScores = scored(train)
+      .select(col("doc_id"), col("vm").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thr =
       if (k == 0L) Long.MaxValue
-      else MixOps.globalRank(
-          scored(train).select(col("doc_id"), col("vm").as("score")))
+      else MixOps.globalRank(trainScores)
         .where(col("rnk") === k)
         .select(col("score")).first().getLong(0)
+    trainScores.unpersist()
     scored(docs).select(
       col("doc_id"), col("n_features"), col("score_micros"),
       (col("vm") > thr).as("keep"))
