@@ -172,6 +172,15 @@ object Demo {
       println(s"[demo] bpe merges: tokens " +
         s"${merged.agg(sum("n_before")).collect()(0).getLong(0)} -> " +
         s"${merged.agg(sum("n_after")).collect()(0).getLong(0)} symbols")
+
+      // round-10 wave: trained classifier + subword BPE encode
+      val trained = graft.ext.TextOps.trainedClassifier(docs)
+      println(s"[demo] trained classifier keep=" +
+        s"${trained.where(col("keep")).count()}/${trained.count()}")
+      val encoded = graft.ext.TextOps.bpeEncode(docs.limit(50), k = 3)
+      println(s"[demo] bpe encode: tokens " +
+        s"${encoded.agg(sum("n_tokens")).collect()(0).getLong(0)} -> " +
+        s"${encoded.agg(sum("n_subtokens")).collect()(0).getLong(0)} subwords")
       val funnel = graft.ops.EventPatterns.funnelCounts(
         graft.sources.Tables.events(spark, sfDir),
         Seq("view", "click", "purchase"), within = "12 HOURS")
