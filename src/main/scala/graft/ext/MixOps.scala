@@ -199,6 +199,70 @@ object MixOps {
       .select(col("doc_id"), col(sourceCol), col("quota"), col("rn"))
   }
 
+  /** UniMax-style epoch allocation (Chung et al., 2023): distribute a
+    * token budget across groups (languages/sources) so that no group
+    * repeats more than `maxEpochs` times and the leftover budget is
+    * spread UNIFORMLY over the groups too large to cap — the mixing rule
+    * that avoids both starving small languages and over-repeating them.
+    *
+    * The paper's greedy loop (visit groups ascending by size; each takes
+    * min(cap, remaining budget / remaining groups)) has a CLOSED
+    * windowed form: with exact (unfloored) shares, once a group takes
+    * less than its cap the uniform share is invariant for every later
+    * group (B' / (k-1) = (B - B/k) / (k-1) = B/k), so capped groups are
+    * exactly the prefix where `cap_i * (n-i+1) + cumcap_{<i} <= budget`
+    * — and that test is monotone in i (caps ascend), so no iteration is
+    * needed: group i is capped iff its own test passes. Allocations
+    * floor only at the end (uncapped share = (budget - capped_sum) DIV
+    * n_uncapped), which is the loop with rational shares, not the loop
+    * with per-step floored shares (EpochAllocateSpec pins the
+    * equivalence).
+    *
+    * All arithmetic is integer (caps, budget = total * num DIV den,
+    * floor-divided uniform share, micro-epochs), so an independent SQL
+    * engine reproduces every row bit-for-bit.
+    *
+    * Scale shape: the corpus-sized work is the ONE tokenize+count
+    * aggregation; everything after runs in window functions over
+    * |groups| rows (languages/domains — bounded far below partition
+    * size), with zero driver collects and no joins back to the corpus.
+    * Output: (group, n_docs, n_tokens, capped, alloc_tokens,
+    * epochs_micro). */
+  def epochAllocate(
+      docs: DataFrame, groupCol: String = "lang", maxEpochs: Long = 2L,
+      budgetNum: Long = 3L, budgetDen: Long = 2L): DataFrame = {
+    val per = docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val wOrd = Window.orderBy(col("n_tokens"), col(groupCol))
+    val wPrefix = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("cum_prev",
+        coalesce(sum(col("cap")).over(wPrefix), lit(0L)))
+      .withColumn("n_groups", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n_tokens")).over(wAll))
+      .withColumn("budget", expr(s"(total * $budgetNum) DIV $budgetDen"))
+      .withColumn("capped",
+        col("cap") * (col("n_groups") - col("i") + 1) + col("cum_prev")
+          <= col("budget"))
+      .withColumn("capped_sum", coalesce(
+        sum(when(col("capped"), col("cap"))).over(wAll), lit(0L)))
+      .withColumn("n_uncapped",
+        col("n_groups") -
+          sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap")).otherwise(expr(
+          "(budget - capped_sum) DIV greatest(n_uncapped, 1)")))
+      .withColumn("epochs_micro",
+        expr("alloc_tokens * 1000000 DIV n_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("capped"),
+        col("alloc_tokens"), col("epochs_micro"))
+  }
+
   /** Data Selection via Importance Resampling (DSIR — Xie et al.,
     * NeurIPS 2023): score every raw document by how much more likely its
     * unigram bag is under the TARGET distribution (the docs matching

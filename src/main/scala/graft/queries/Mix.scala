@@ -120,6 +120,52 @@ object Mix {
       (s, dir) => MixOps.selectUnderBudget(
         Tables.load(s, dir, "documents"), 2000L)),
 
+    // ---- UniMax epoch allocation across languages --------------------------
+    // Chung et al. 2023: budget = 1.5x the corpus tokens, max 2 epochs
+    // per language. The greedy ascending-size loop is replayed through
+    // its closed windowed form on BOTH sides (capped groups are the
+    // prefix where cap_i*(n-i+1)+cumcap < budget; the uniform leftover
+    // share is loop-invariant). On this corpus the four small languages
+    // cap at 2 epochs and English absorbs the remainder below 1 epoch —
+    // all-integer arithmetic end to end.
+    QueryDef(
+      "q_epoch_mix",
+      Some("""
+        WITH t AS (SELECT lang, count(*) AS n_docs,
+                     CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                       AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY lang),
+        w AS (SELECT lang, n_docs, n_tokens,
+                n_tokens * 2 AS cap,
+                CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+                CAST(coalesce(sum(n_tokens * 2) OVER (ORDER BY n_tokens, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev,
+                CAST(count(*) OVER () AS BIGINT) AS n_groups,
+                CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+              FROM t),
+        c AS (SELECT *, (total * 3) // 2 AS budget,
+                cap * (n_groups - i + 1) + cum_prev <= (total * 3) // 2 AS capped
+              FROM w),
+        f AS (SELECT *,
+                CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
+                  AS BIGINT) AS capped_sum,
+                CAST(n_groups - coalesce(
+                  sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (), 0)
+                  AS BIGINT) AS n_uncapped
+              FROM c)
+        SELECT lang, n_docs, n_tokens, capped,
+               CASE WHEN capped THEN cap
+                 ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
+               END AS alloc_tokens,
+               (CASE WHEN capped THEN cap
+                  ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
+                END) * 1000000 // n_tokens AS epochs_micro
+        FROM f"""),
+      (s, dir) => MixOps.epochAllocate(
+        Tables.load(s, dir, "documents"), "lang",
+        maxEpochs = 2L, budgetNum = 3L, budgetDen = 2L)),
+
     // ---- within-doc repetition scoring (Gopher-style quality rules) --------
     QueryDef(
       "q_repetition",
