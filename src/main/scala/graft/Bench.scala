@@ -28,7 +28,7 @@ object Bench {
     // must cost at most one cold first query, never the whole bench run
     // (round 9 lost every timing to one AnalysisException here).
     def warm(step: String)(body: => Unit): Unit =
-      try body catch { case e: Throwable =>
+      try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up '$step' failed: ${e.getMessage}")
       }
 
@@ -170,7 +170,7 @@ object Bench {
       spark.range(1000).count()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9

@@ -18,7 +18,7 @@ object Verify {
     // schema-drift tripwire: a testdata regeneration shows up as a named
     // `[schema] DRIFT` line here, not as silently-absent correctness rows
     try graft.tools.SchemaCheck.report(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[schema] check failed: ${e.getMessage}")
     }
     // optional subset for local iteration (same contract as Bench):
@@ -30,7 +30,7 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -343,10 +343,22 @@ object MixOps {
   def globalRank(
       scores: DataFrame, maxBucketRows: Long = 4000000L,
       subSplits: Int = 32): DataFrame = {
+    // The decomposition reads its input FOUR times (min/max width scan,
+    // bucket totals, group offsets, final join) plus once more for the
+    // caller's action — so the (doc_id, score) projection is persisted
+    // here, materialized by the min/max action; otherwise every pass
+    // would replay the caller's upstream plan (for q_rank_calibrate,
+    // the classifier kernel over the whole corpus — measured as a full
+    // extra scan per pass). 16 B/row, spills to disk; it stays cached
+    // for the caller's own action on the returned frame — callers are
+    // expected to unpersist/clearCache when done (the pageRank
+    // contract).
+    val proj = scores.select(col("doc_id"), col("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // width from observed range: one column-pruned min/max scan caps the
     // bucket-count collect at ~targetBuckets for ANY score distribution
     val targetBuckets = 1L << 16
-    val mm = scores.agg(
+    val mm = proj.agg(
       min(col("score")).as("mn"), max(col("score")).as("mx")).first()
     val width =
       if (mm.isNullAt(0)) 4096L
@@ -354,7 +366,7 @@ object MixOps {
         val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
         ((range / targetBuckets + 1) max BigInt(4096L)).toLong
       }
-    val scored = scores.select(col("doc_id"), col("score"))
+    val scored = proj
       .withColumn("bucket",
         expr(s"CAST(FLOOR(score / ${width}.0D) AS BIGINT)"))
     val totals = scored.groupBy("bucket")

@@ -470,7 +470,6 @@ object TextOps {
       nBuckets: Int = 65536): Array[Long] = {
     val spark = docs.sparkSession
     graft.functions.TextKernels.register(spark)
-    val toks = tokens(col("text"))
     val feats = docs
       .select(labelCol.as("pos"),
         concat(
@@ -547,19 +546,15 @@ object TextOps {
             .cast("long"))
           .otherwise(lit(0L)))
     val k = train.where(label).count()
-    // (doc_id, score) only — persisted because globalRank's prefix-sum
-    // decomposition takes four passes over its input (min/max, bucket
-    // totals, group offsets, final join), each of which would otherwise
-    // re-run the scoring kernel over the training text
-    val trainScores = scored(train)
-      .select(col("doc_id"), col("vm").as("score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // globalRank persists its (doc_id, score) projection internally, so
+    // the scoring kernel runs once over the training text, not once per
+    // decomposition pass
     val thr =
       if (k == 0L) Long.MaxValue
-      else MixOps.globalRank(trainScores)
+      else MixOps.globalRank(
+          scored(train).select(col("doc_id"), col("vm").as("score")))
         .where(col("rnk") === k)
         .select(col("score")).first().getLong(0)
-    trainScores.unpersist()
     scored(docs).select(
       col("doc_id"), col("n_features"), col("score_micros"),
       (col("vm") > thr).as("keep"))

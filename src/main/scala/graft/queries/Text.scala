@@ -72,6 +72,55 @@ object Text {
         JOIN sz sb ON sb.doc_id = i.doc_b
         WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""
 
+  /** One BPE merge iteration as materialized CTEs `p$i`/`s$i` over
+    * `s${i-1}`: frequency-argmax pair + leftmost double-pass rewrite.
+    * MATERIALIZED because each s_i/p_i is referenced several times by
+    * the next iteration — inlined CTEs would re-derive the whole prior
+    * chain per reference, exponential in k (measured: >5 min inlined vs
+    * 0.5 s materialized at k=6). `weightExpr` is `count(*)` for
+    * doc-level streams and `sum(freq)` for the vocabulary form;
+    * `keyCols` carries the stream's identity columns. An EMPTY argmax
+    * (exhausted vocabulary: every stream is one symbol) coalesces the
+    * rewrite patterns to '~' — outside the stream alphabet, so the
+    * replace is the identity, matching the engine loop's early stop. */
+  private def bpeIterSql(i: Int, weightExpr: String, keyCols: String)
+      : String = s"""
+        p$i AS MATERIALIZED (
+                SELECT sym[j] || '|' || sym[j + 1] AS pair,
+                       $weightExpr AS c
+                FROM (SELECT *, list_filter(string_split(st, '|'),
+                               x -> x <> '') AS sym
+                      FROM s${i - 1}) z,
+                     unnest(range(1, len(sym))) r(j)
+                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
+        s$i AS MATERIALIZED (
+                SELECT $keyCols,
+                  replace(replace(st,
+                    COALESCE((SELECT '|' || pair || '|' FROM p$i), '~'),
+                    COALESCE((SELECT '|' || replace(pair, '|', '_') || '|'
+                              FROM p$i), '~')),
+                    COALESCE((SELECT '|' || pair || '|' FROM p$i), '~'),
+                    COALESCE((SELECT '|' || replace(pair, '|', '_') || '|'
+                              FROM p$i), '~'))
+                    AS st
+                FROM s${i - 1})"""
+
+  /** Apply merge `i` (the `p$i` CTE from [[bpeIterSql]]) to a document
+    * stream chain `d${i-1}` -> `d$i` — same double-pass rewrite and
+    * same empty-argmax identity guard; not materialized (each d_i is
+    * referenced exactly once, so the chain is linear). */
+  private def bpeApplySql(i: Int, keyCols: String): String = s"""
+        d$i AS (SELECT $keyCols,
+                  replace(replace(st,
+                    COALESCE((SELECT '|' || pair || '|' FROM p$i), '~'),
+                    COALESCE((SELECT '|' || replace(pair, '|', '_') || '|'
+                              FROM p$i), '~')),
+                    COALESCE((SELECT '|' || pair || '|' FROM p$i), '~'),
+                    COALESCE((SELECT '|' || replace(pair, '|', '_') || '|'
+                              FROM p$i), '~'))
+                    AS st
+                FROM d${i - 1})"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ------------------------------------------------------
@@ -393,8 +442,12 @@ object Text {
                    FROM vms WHERE doc_id % 2 = 0) q, k
                 WHERE q.rnk = k.k)
         SELECT doc_id, n_features, score_micros,
-               vm > (SELECT thr FROM thr) AS keep
+               vm > COALESCE((SELECT thr FROM thr), 9223372036854775807)
+                 AS keep
         FROM vms"""),
+      // The COALESCE matches the engine's k=0 branch: a zero-positive
+      // train half leaves thr empty, and the engine keeps nothing
+      // (thr = Long.MaxValue) — without it every oracle keep is NULL.
       (s, dir) => TextOps.trainedClassifier(
         Tables.load(s, dir, "documents"))),
 
@@ -426,25 +479,6 @@ object Text {
     QueryDef(
       "q_bpe_merges",
       Some {
-        // MATERIALIZED: see q_bpe_subword — the iteration chain is
-        // exponential in k if DuckDB inlines the CTE references
-        def iter(i: Int) = s"""
-        p$i AS MATERIALIZED (
-                SELECT sym[j] || '|' || sym[j + 1] AS pair, count(*) AS c
-                FROM (SELECT list_filter(string_split(st, '|'),
-                               x -> x <> '') AS sym
-                      FROM s${i - 1}) z,
-                     unnest(range(1, len(sym))) r(j)
-                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
-        s$i AS MATERIALIZED (
-                SELECT doc_id, n_before,
-                  replace(replace(st,
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
-                    AS st
-                FROM s${i - 1})"""
         s"""
         WITH t AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -452,9 +486,9 @@ object Text {
         s0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
                  '|' || array_to_string(toks, '|') || '|' AS st
                FROM t),
-        ${iter(1)},
-        ${iter(2)},
-        ${iter(3)}
+        ${bpeIterSql(1, "count(*)", "doc_id, n_before")},
+        ${bpeIterSql(2, "count(*)", "doc_id, n_before")},
+        ${bpeIterSql(3, "count(*)", "doc_id, n_before")}
         SELECT doc_id, n_before,
                CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
                  AS BIGINT) AS n_after,
@@ -475,27 +509,6 @@ object Text {
     QueryDef(
       "q_bpe_subword",
       Some {
-        // MATERIALIZED: each s_i/p_i is referenced several times by the
-        // next iteration; inlined CTEs would re-derive the whole prior
-        // chain per reference — exponential in k (measured: >5 min
-        // inlined vs 0.5 s materialized at k=6)
-        def iter(i: Int) = s"""
-        p$i AS MATERIALIZED (
-                SELECT sym[j] || '|' || sym[j + 1] AS pair, sum(freq) AS c
-                FROM (SELECT freq, list_filter(string_split(st, '|'),
-                               x -> x <> '') AS sym
-                      FROM s${i - 1}) z,
-                     unnest(range(1, len(sym))) r(j)
-                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
-        s$i AS MATERIALIZED (
-                SELECT word, freq,
-                  replace(replace(st,
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
-                    AS st
-                FROM s${i - 1})"""
         s"""
         WITH t AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -506,12 +519,8 @@ object Text {
                  '|' || regexp_replace(word, '(.)', '\\1|', 'g') || '</w>|'
                    AS st
                FROM wf),
-        ${iter(1)},
-        ${iter(2)},
-        ${iter(3)},
-        ${iter(4)},
-        ${iter(5)},
-        ${iter(6)}
+        ${(1 to 6).map(bpeIterSql(_, "sum(freq)", "word, freq"))
+          .mkString(",")}
         SELECT word, freq,
                CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
                  AS BIGINT) AS n_syms,
@@ -531,32 +540,6 @@ object Text {
     QueryDef(
       "q_bpe_encode",
       Some {
-        def iter(i: Int) = s"""
-        p$i AS MATERIALIZED (
-                SELECT sym[j] || '|' || sym[j + 1] AS pair, sum(freq) AS c
-                FROM (SELECT freq, list_filter(string_split(st, '|'),
-                               x -> x <> '') AS sym
-                      FROM s${i - 1}) z,
-                     unnest(range(1, len(sym))) r(j)
-                GROUP BY 1 ORDER BY c DESC, pair LIMIT 1),
-        s$i AS MATERIALIZED (
-                SELECT word, freq,
-                  replace(replace(st,
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
-                    AS st
-                FROM s${i - 1})"""
-        def enc(i: Int) = s"""
-        d$i AS (SELECT doc_id, n_tokens,
-                  replace(replace(st,
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i)),
-                    (SELECT '|' || pair || '|' FROM p$i),
-                    (SELECT '|' || replace(pair, '|', '_') || '|' FROM p$i))
-                    AS st
-                FROM d${i - 1})"""
         s"""
         WITH t AS (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -567,23 +550,14 @@ object Text {
                  '|' || regexp_replace(word, '(.)', '\\1|', 'g') || '</w>|'
                    AS st
                FROM wf),
-        ${iter(1)},
-        ${iter(2)},
-        ${iter(3)},
-        ${iter(4)},
-        ${iter(5)},
-        ${iter(6)},
+        ${(1 to 6).map(bpeIterSql(_, "sum(freq)", "word, freq"))
+          .mkString(",")},
         d0 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
                  array_to_string(list_transform(toks,
                    x -> '|' || regexp_replace(x, '(.)', '\\1|', 'g')
                      || '</w>|'), '') AS st
                FROM t),
-        ${enc(1)},
-        ${enc(2)},
-        ${enc(3)},
-        ${enc(4)},
-        ${enc(5)},
-        ${enc(6)}
+        ${(1 to 6).map(bpeApplySql(_, "doc_id, n_tokens")).mkString(",")}
         SELECT doc_id, n_tokens,
                CAST(len(list_filter(string_split(st, '|'), x -> x <> ''))
                  AS BIGINT) AS n_subtokens,

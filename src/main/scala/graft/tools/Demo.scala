@@ -173,14 +173,18 @@ object Demo {
         s"${merged.agg(sum("n_before")).collect()(0).getLong(0)} -> " +
         s"${merged.agg(sum("n_after")).collect()(0).getLong(0)} symbols")
 
-      // round-10 wave: trained classifier + subword BPE encode
-      val trained = graft.ext.TextOps.trainedClassifier(docs)
+      // round-10 wave: trained classifier + subword BPE encode (one
+      // aggregation action each — a second action would replay the full
+      // scoring/encode scan)
+      val tr = graft.ext.TextOps.trainedClassifier(docs)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          count(lit(1)).as("n")).collect()(0)
       println(s"[demo] trained classifier keep=" +
-        s"${trained.where(col("keep")).count()}/${trained.count()}")
-      val encoded = graft.ext.TextOps.bpeEncode(docs.limit(50), k = 3)
+        s"${tr.getLong(0)}/${tr.getLong(1)}")
+      val en = graft.ext.TextOps.bpeEncode(docs.limit(50), k = 3)
+        .agg(sum("n_tokens"), sum("n_subtokens")).collect()(0)
       println(s"[demo] bpe encode: tokens " +
-        s"${encoded.agg(sum("n_tokens")).collect()(0).getLong(0)} -> " +
-        s"${encoded.agg(sum("n_subtokens")).collect()(0).getLong(0)} subwords")
+        s"${en.getLong(0)} -> ${en.getLong(1)} subwords")
       val funnel = graft.ops.EventPatterns.funnelCounts(
         graft.sources.Tables.events(spark, sfDir),
         Seq("view", "click", "purchase"), within = "12 HOURS")
