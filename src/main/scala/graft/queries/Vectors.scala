@@ -54,6 +54,42 @@ object Vectors {
         FROM r WHERE rn = 1"""),
       (s, dir) => Similarity.bucketedNN(
         Tables.load(s, dir, "embeddings"), "label",
-        probeFilter = col("vec_id") < 50))
+        probeFilter = col("vec_id") < 50)),
+
+    // ---- per-group vector pooling through the custom aggregate -------------
+    // Class centroids (in sum form) via graft_vec_sum, the
+    // TypedImperativeAggregate: per-label elementwise sums cross the
+    // shuffle as ONE buffer per label — a posexplode formulation shuffles
+    // n*dim rows. Inputs are rounded to integer micro-units BEFORE
+    // summing (values stay far below 2^53, so double addition of them is
+    // exact and order-independent), which is what lets the custom
+    // aggregate be HASH-gated here rather than recall-gated as in
+    // Lloyd's refinement. The oracle replays the sums relationally
+    // (unnest + group by dimension + ordered re-aggregation).
+    QueryDef(
+      "q_vec_pool",
+      Some("""
+        WITH e AS (SELECT label, i,
+                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                       AS BIGINT) AS xm
+                   FROM embeddings,
+                        unnest(range(1, len(embedding) + 1)) r(i)),
+        s AS (SELECT label, i, CAST(sum(xm) AS BIGINT) AS sm
+              FROM e GROUP BY label, i),
+        v AS (SELECT label, list(sm ORDER BY i) AS sum_micros
+              FROM s GROUP BY label),
+        n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        SELECT n.label, n.n_vecs, v.sum_micros
+        FROM n JOIN v ON v.label = n.label"""),
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val micros = transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000), 0).cast("double"))
+        emb.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            graft.functions.VecAgg.vecSum(s, micros).as("sv"))
+          .select(col("label"), col("n_vecs"),
+            transform(col("sv"), x => x.cast("long")).as("sum_micros"))
+      })
   )
 }

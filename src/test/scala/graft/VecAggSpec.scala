@@ -29,6 +29,24 @@ class VecAggSpec extends AnyFunSuite with SparkSpec {
     agg.indices.foreach(i => assert(math.abs(agg(i) - brute(i)) < 1e-6))
   }
 
+  test("integer-micro pooling (q_vec_pool shape) equals the posexplode " +
+      "replay exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val micros = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000), 0).cast("double"))
+    val pooled = emb.groupBy("label")
+      .agg(VecAgg.vecSum(spark, micros).as("sv"))
+      .select(col("label"), transform(col("sv"), _.cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    // shuffle-heavy reference formulation the aggregate replaces
+    val replay = emb
+      .select(col("label"), posexplode(micros).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(sum(col("x").cast("long")).as("s"))
+      .collect().groupBy(_.getInt(0)).view.mapValues(rows =>
+        rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(pooled === replay)
+  }
+
   test("vecSum fails loudly on mixed vector lengths instead of silently " +
       "mis-summing") {
     import spark.implicits._
