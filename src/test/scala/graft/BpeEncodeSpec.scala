@@ -43,6 +43,16 @@ class BpeEncodeSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(2) === 6L) // n_subtokens
   }
 
+  test("encode plan is one map-side pass: no exchange, no join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // training runs its aggregations during construction; the RETURNED
+    // frame must be scan -> project only (merges are plan literals)
+    val plan = graft.ext.TextOps.bpeEncode(docs, k = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"encode plan shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"encode plan joins:\n$plan")
+  }
+
   test("real docs: per-doc subtoken sum equals the vocabulary-join replay") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val enc = TextOps.bpeEncode(docs, k = 6)

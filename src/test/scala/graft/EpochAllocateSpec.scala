@@ -82,6 +82,15 @@ class EpochAllocateSpec extends AnyFunSuite with SparkSpec {
     assert(got("a") === 4L && got("b") === 16L)
   }
 
+  test("corpus-sized work is one scan: a single parquet read in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = MixOps.epochAllocate(docs, "lang", 2L, 3L, 2L)
+      .queryExecution.executedPlan.toString()
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected 1 corpus scan, got $scans:\n$plan")
+    assert(!plan.contains("CollectLimit"), "allocation must not collect")
+  }
+
   test("real documents: engine equals the greedy loop per language") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = MixOps.epochAllocate(docs, "lang", 2L, 3L, 2L)

@@ -45,6 +45,12 @@ class VecAggSpec extends AnyFunSuite with SparkSpec {
       .collect().groupBy(_.getInt(0)).view.mapValues(rows =>
         rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
     assert(pooled === replay)
+    // one shuffle total: partial vec-sum buffers map-side, k rows cross
+    val plan = emb.groupBy("label")
+      .agg(VecAgg.vecSum(spark, micros).as("sv"))
+      .queryExecution.executedPlan.toString()
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
   test("vecSum fails loudly on mixed vector lengths instead of silently " +
