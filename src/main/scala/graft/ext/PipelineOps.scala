@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators a training-data pipeline runs before anything
@@ -36,6 +36,63 @@ object PipelineOps {
       .select(
         col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+  }
+
+  /** Content-defined chunking dedup (the LBFS/rsync CDC family): chunk
+    * boundaries are cut wherever the rolling w-char window's hash meets
+    * the mask (`u32(md5(window)) % mask == 0`), so boundaries depend on
+    * CONTENT, not position — inserting or deleting a run of characters
+    * reshapes only the chunks it touches, and every chunk after the next
+    * surviving cut keeps its identity. Fixed-size chunking
+    * ([[chunkDedup]]) loses ALL chunk alignment after an insertion; CDC
+    * is the standard answer (`CdcDedupSpec` pins the robustness
+    * property). Expected chunk length is ~`mask` characters.
+    *
+    * Scale shape: cuts + chunk slices are per-row array expressions
+    * inside the scan (no explode until chunks exist, one md5 per
+    * window — the same per-position cost the winnowing fingerprints
+    * pay); then one shuffle on the chunk hash (cross-doc df) and one on
+    * doc_id, exactly the [[chunkDedup]] plan.
+    * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_ratio);
+    * a dup chunk is one whose hash appears in >1 distinct document. */
+  def cdcChunkDedup(
+      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame = {
+    // cut positions in one kernel pass (graft_cdc_cuts) — the relational
+    // per-position md5(substr) formulation pays a hex round-trip and a
+    // string allocation per character; materialized as a COLUMN so the
+    // slicing lambdas below read the array instead of re-running the
+    // kernel per element
+    val pre = Dedup.spread(docs)
+      .select(col("doc_id"), lower(col("text")).as("t"),
+        graft.functions.TextKernels.cdcCutsCol(
+          docs.sparkSession, col("text"), w, mask).as("cuts"))
+      .select(col("doc_id"), col("t"), length(col("t")).as("n"),
+        col("cuts"), size(col("cuts")).as("nc"))
+    val chunks = filter(
+      transform(sequence(lit(1), col("nc") + 1), k => {
+        val s = when(k === 1, lit(1))
+          .otherwise(element_at(col("cuts"), k - 1) + w)
+        val e = when(k === col("nc") + 1, col("n"))
+          .otherwise(element_at(col("cuts"), k) + (w - 1))
+        col("t").substr(s, e - s + 1)
+      }),
+      ch => ch =!= lit(""))
+    val ch = pre
+      .select(col("doc_id"), explode(chunks).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"),
+        length(col("chunk")).cast("long").as("clen"))
+    val dfc = ch.groupBy("ch").agg(countDistinct(col("doc_id")).as("df"))
+    ch.join(dfc, Seq("ch"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("df") > 1, 1)).as("n_dup_chunks"),
+        sum(when(col("df") > 1, col("clen")).otherwise(0L)).as("dup_chars"))
+      .select(
+        col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("dup_chars"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks"))
+          .as("dup_ratio"))
   }
 
   /** Boilerplate detection: shingles occurring in >= `minDf` distinct

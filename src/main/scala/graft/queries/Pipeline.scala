@@ -36,6 +36,47 @@ object Pipeline {
         FROM c JOIN d USING (ch) GROUP BY doc_id"""),
       (s, dir) => PipelineOps.chunkDedup(Tables.load(s, dir, "documents"), 16)),
 
+    // ---- content-defined chunking dedup (LBFS/rsync CDC) -------------------
+    // Chunk boundaries cut where u32(md5(8-char window)) % 64 == 0 —
+    // content-defined, so an insertion reshapes only the chunks it
+    // touches (fixed-size chunking loses all downstream alignment). The
+    // oracle replays cuts, slices, and the cross-doc df relationally.
+    QueryDef(
+      "q_cdc_dedup",
+      Some("""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        c AS (SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) >= 8 THEN
+                  list_filter(range(1, len(t) - 8 + 2),
+                    i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
+                           % 64 = 0)
+                ELSE CAST([] AS BIGINT[]) END AS cuts
+              FROM d),
+        b AS (SELECT doc_id,
+                list_filter(list_transform(range(1, len(cuts) + 2), k ->
+                  substr(t,
+                    CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 8 END,
+                    (CASE WHEN k = len(cuts) + 1 THEN n
+                          ELSE cuts[k] + 8 - 1 END)
+                      - (CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 8 END)
+                      + 1)),
+                  ch -> ch <> '') AS chunks
+              FROM c),
+        h AS (SELECT doc_id, md5(unnest(chunks)) AS h,
+                len(unnest(chunks)) AS clen
+              FROM b),
+        dfc AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               count(CASE WHEN df > 1 THEN 1 END) AS n_dup_chunks,
+               CAST(sum(CASE WHEN df > 1 THEN clen ELSE 0 END) AS BIGINT)
+                 AS dup_chars,
+               CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*)
+                 AS dup_ratio
+        FROM h JOIN dfc USING (h) GROUP BY doc_id"""),
+      (s, dir) => PipelineOps.cdcChunkDedup(
+        Tables.load(s, dir, "documents"), w = 8, mask = 64)),
+
     // ---- exact substring-SPAN dedup (Lee et al. 2022) ---------------------
     // Maximal token spans duplicated anywhere in the corpus (window w=8),
     // removed per document; the clean_fp md5 pins the exact span
