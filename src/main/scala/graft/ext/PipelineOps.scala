@@ -55,13 +55,14 @@ object PipelineOps {
     * doc_id, exactly the [[chunkDedup]] plan.
     * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_ratio);
     * a dup chunk is one whose hash appears in >1 distinct document. */
-  def cdcChunkDedup(
-      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame = {
-    // cut positions in one kernel pass (graft_cdc_cuts) — the relational
-    // per-position md5(substr) formulation pays a hex round-trip and a
-    // string allocation per character; materialized as a COLUMN so the
-    // slicing lambdas below read the array instead of re-running the
-    // kernel per element
+  /** Per-document CDC chunk rows (doc_id, ch = md5(chunk), clen): cut
+    * positions from ONE kernel pass ([[graft.functions.CdcCutsExpr]] —
+    * the relational per-position md5(substr) formulation pays a hex
+    * round-trip and a string allocation per character), materialized as
+    * a COLUMN so the slicing lambdas read the array instead of
+    * re-running the kernel per element. */
+  private def cdcChunkRows(
+      docs: DataFrame, w: Int, mask: Int): DataFrame = {
     val pre = Dedup.spread(docs)
       .select(col("doc_id"), lower(col("text")).as("t"),
         graft.functions.TextKernels.cdcCutsCol(
@@ -77,12 +78,15 @@ object PipelineOps {
         col("t").substr(s, e - s + 1)
       }),
       ch => ch =!= lit(""))
-    val ch = pre
+    pre
       .select(col("doc_id"), explode(chunks).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("ch"),
         length(col("chunk")).cast("long").as("clen"))
-    val dfc = ch.groupBy("ch").agg(countDistinct(col("doc_id")).as("df"))
-    ch.join(dfc, Seq("ch"))
+  }
+
+  /** Per-doc aggregation shared by the self- and against- forms. */
+  private def cdcAgg(joined: DataFrame): DataFrame =
+    joined
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -93,7 +97,29 @@ object PipelineOps {
         col("dup_chars"),
         (col("n_dup_chunks").cast("double") / col("n_chunks"))
           .as("dup_ratio"))
-  }
+
+  /** CDC chunk-frequency reference table of a corpus — the frozen side
+    * of [[cdcDedupAgainst]] (build once, probe per batch). */
+  def cdcChunkDf(
+      refDocs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame =
+    cdcChunkRows(refDocs, w, mask)
+      .groupBy("ch").agg(countDistinct(col("doc_id")).as("df"))
+
+  def cdcChunkDedup(
+      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame =
+    cdcAgg(cdcChunkRows(docs, w, mask)
+      .join(cdcChunkDf(docs, w, mask), Seq("ch")))
+
+  /** CDC dedup scoring of `aDocs` against a STATIC reference
+    * chunk-frequency table (on-ingest form; chunks unseen by the
+    * reference count df 0). With aDocs == the reference corpus this
+    * reduces exactly to [[cdcChunkDedup]]. */
+  def cdcDedupAgainst(
+      refDf: DataFrame, aDocs: DataFrame,
+      w: Int = 8, mask: Int = 64): DataFrame =
+    cdcAgg(cdcChunkRows(aDocs, w, mask)
+      .join(refDf, Seq("ch"), "left")
+      .na.fill(0L, Seq("df")))
 
   /** Boilerplate detection: shingles occurring in >= `minDf` distinct
     * documents are boilerplate (navigation chrome, license headers, shared

@@ -727,6 +727,59 @@ object Pipeline {
         out
       }),
 
+    // ---- streaming CDC-dedup-on-ingest ------------------------------------
+    // Content-defined chunking against the frozen corpus chunk-frequency
+    // table: same oracle as q_cdc_dedup (with the batch == the reference
+    // corpus, the against-form reduces exactly to the self-form), same
+    // foreachBatch shape as q_stream_chunk_dedup.
+    QueryDef(
+      "q_stream_cdc_dedup",
+      Some("""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        c AS (SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) >= 8 THEN
+                  list_filter(range(1, len(t) - 8 + 2),
+                    i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT
+                           % 64 = 0)
+                ELSE CAST([] AS BIGINT[]) END AS cuts
+              FROM d),
+        b AS (SELECT doc_id,
+                list_filter(list_transform(range(1, len(cuts) + 2), k ->
+                  substr(t,
+                    CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 8 END,
+                    (CASE WHEN k = len(cuts) + 1 THEN n
+                          ELSE cuts[k] + 8 - 1 END)
+                      - (CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 8 END)
+                      + 1)),
+                  ch -> ch <> '') AS chunks
+              FROM c),
+        h AS (SELECT doc_id, md5(unnest(chunks)) AS h,
+                len(unnest(chunks)) AS clen
+              FROM b),
+        dfc AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY h)
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               count(CASE WHEN df > 1 THEN 1 END) AS n_dup_chunks,
+               CAST(sum(CASE WHEN df > 1 THEN clen ELSE 0 END) AS BIGINT)
+                 AS dup_chars,
+               CAST(count(CASE WHEN df > 1 THEN 1 END) AS DOUBLE) / count(*)
+                 AS dup_ratio
+        FROM h JOIN dfc USING (h) GROUP BY doc_id"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val refDf = PipelineOps.cdcChunkDf(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val schema = s.read.parquet(s"$dir/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val out = graft.streaming.StreamingOps.runBatchesToParquet(
+          stream, "stream_cdc_dedup",
+          batch => PipelineOps.cdcDedupAgainst(refDf, batch))
+        refDf.unpersist()
+        out
+      }),
+
     // ---- streaming PII redaction on ingest --------------------------------
     // Pure projection: stateless append-mode streaming, no reference
     // frames at all — the simplest on-ingest hygiene op.

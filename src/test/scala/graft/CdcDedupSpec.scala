@@ -72,6 +72,15 @@ class CdcDedupSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L)._2 === 0L, "unrelated doc must have no dup chunks")
   }
 
+  test("against-form over the reference corpus reduces to the self-form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val self = PipelineOps.cdcChunkDedup(docs)
+    val against = PipelineOps.cdcDedupAgainst(
+      PipelineOps.cdcChunkDf(docs), docs)
+    assert(self.exceptAll(against).count() === 0L)
+    assert(against.exceptAll(self).count() === 0L)
+  }
+
   test("real corpus: every doc chunked, reassembly holds on a sample") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = PipelineOps.cdcChunkDedup(docs)
