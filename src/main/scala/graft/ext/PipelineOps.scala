@@ -38,23 +38,6 @@ object PipelineOps {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
   }
 
-  /** Content-defined chunking dedup (the LBFS/rsync CDC family): chunk
-    * boundaries are cut wherever the rolling w-char window's hash meets
-    * the mask (`u32(md5(window)) % mask == 0`), so boundaries depend on
-    * CONTENT, not position — inserting or deleting a run of characters
-    * reshapes only the chunks it touches, and every chunk after the next
-    * surviving cut keeps its identity. Fixed-size chunking
-    * ([[chunkDedup]]) loses ALL chunk alignment after an insertion; CDC
-    * is the standard answer (`CdcDedupSpec` pins the robustness
-    * property). Expected chunk length is ~`mask` characters.
-    *
-    * Scale shape: cuts + chunk slices are per-row array expressions
-    * inside the scan (no explode until chunks exist, one md5 per
-    * window — the same per-position cost the winnowing fingerprints
-    * pay); then one shuffle on the chunk hash (cross-doc df) and one on
-    * doc_id, exactly the [[chunkDedup]] plan.
-    * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_ratio);
-    * a dup chunk is one whose hash appears in >1 distinct document. */
   /** Per-document CDC chunk rows (doc_id, ch = md5(chunk), clen): cut
     * positions from ONE kernel pass ([[graft.functions.CdcCutsExpr]] —
     * the relational per-position md5(substr) formulation pays a hex
@@ -105,10 +88,36 @@ object PipelineOps {
     cdcChunkRows(refDocs, w, mask)
       .groupBy("ch").agg(countDistinct(col("doc_id")).as("df"))
 
+  /** Content-defined chunking dedup (the LBFS/rsync CDC family): chunk
+    * boundaries are cut wherever the rolling w-char window's hash meets
+    * the mask (`u32(md5(window)) % mask == 0`), so boundaries depend on
+    * CONTENT, not position — inserting or deleting a run of characters
+    * reshapes only the chunks it touches, and every chunk after the next
+    * surviving cut keeps its identity. Fixed-size chunking
+    * ([[chunkDedup]]) loses ALL chunk alignment after an insertion; CDC
+    * is the standard answer (`CdcDedupSpec` pins the robustness
+    * property). Expected chunk length is ~`mask` characters.
+    *
+    * Scale shape: cuts + chunk slices are per-row array expressions
+    * inside the scan (no explode until chunks exist, one md5 per
+    * window — the same per-position cost the winnowing fingerprints
+    * pay); then one shuffle on the chunk hash (cross-doc df) and one on
+    * doc_id, exactly the [[chunkDedup]] plan. The chunk rows feed both
+    * join sides, so they are persisted — the probe side and the df side
+    * are NOT canonically-equal exchanges, and without the cache the
+    * kernel scan would run twice; the cache stays for the caller's
+    * action (the globalRank/pageRank contract: unpersist/clearCache when
+    * done).
+    * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_ratio);
+    * a dup chunk is one whose hash appears in >1 distinct document. */
   def cdcChunkDedup(
-      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame =
-    cdcAgg(cdcChunkRows(docs, w, mask)
-      .join(cdcChunkDf(docs, w, mask), Seq("ch")))
+      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame = {
+    val rows = cdcChunkRows(docs, w, mask)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cdcAgg(rows.join(
+      rows.groupBy("ch").agg(countDistinct(col("doc_id")).as("df")),
+      Seq("ch")))
+  }
 
   /** CDC dedup scoring of `aDocs` against a STATIC reference
     * chunk-frequency table (on-ingest form; chunks unseen by the

@@ -236,21 +236,36 @@ object TextKernels {
 
   private val TokenPattern = java.util.regex.Pattern.compile("[a-z0-9]+")
 
-  /** See [[CdcCutsExpr]]. */
+  /** See [[CdcCutsExpr]]. Positions and window extents are CODE POINTS
+    * (like [[charNgrams]]) — the consumers slice with Spark `substr` and
+    * the oracle with DuckDB `substr`, both code-point-addressed, so a
+    * UTF-16 walk would mis-slice every chunk after a supplementary
+    * character (and could split a surrogate pair before hashing). The
+    * window slides with two UTF-16 pointers, O(len) total. */
   def cdcCuts(text: UTF8String, w: Int, mask: Int): ArrayData = {
     val s = text.toLowerCase.toString
-    val n = s.length
-    if (n < w) return ArrayData.toArrayData(Array.empty[Int])
+    val cps = s.codePointCount(0, s.length)
+    if (cps < w) return ArrayData.toArrayData(Array.empty[Int])
     val digest = java.security.MessageDigest.getInstance("MD5")
     val out = new java.util.ArrayList[Integer]()
-    var i = 0
-    while (i <= n - w) {
+    var i16 = 0 // UTF-16 offset of the window's first code point
+    var j16 = 0 // UTF-16 offset one past the window's last code point
+    var c = 0
+    while (c < w) { j16 += Character.charCount(s.codePointAt(j16)); c += 1 }
+    var pos = 1 // 1-based code-point position of the window start
+    var done = false
+    while (!done) {
       digest.reset()
-      val b = digest.digest(s.substring(i, i + w).getBytes("UTF-8"))
+      val b = digest.digest(s.substring(i16, j16).getBytes("UTF-8"))
       val u = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
         ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
-      if (u % mask == 0L) out.add(i + 1) // 1-based, as the SQL contract
-      i += 1
+      if (u % mask == 0L) out.add(pos)
+      if (j16 >= s.length) done = true
+      else {
+        j16 += Character.charCount(s.codePointAt(j16))
+        i16 += Character.charCount(s.codePointAt(i16))
+        pos += 1
+      }
     }
     val arr = new Array[Int](out.size)
     var k = 0

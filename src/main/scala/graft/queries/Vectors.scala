@@ -69,20 +69,27 @@ object Vectors {
     QueryDef(
       "q_vec_pool",
       Some("""
-        WITH e AS (SELECT label, i,
-                     CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
-                       AS BIGINT) AS xm
-                   FROM embeddings,
-                        unnest(range(1, len(embedding) + 1)) r(i)),
+        WITH nz AS (SELECT label, embedding FROM embeddings
+                    WHERE len(embedding) > 0),
+        e AS (SELECT label, i,
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS xm
+              FROM nz, unnest(range(1, len(embedding) + 1)) r(i)),
         s AS (SELECT label, i, CAST(sum(xm) AS BIGINT) AS sm
               FROM e GROUP BY label, i),
         v AS (SELECT label, list(sm ORDER BY i) AS sum_micros
               FROM s GROUP BY label),
-        n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        n AS (SELECT label, count(*) AS n_vecs FROM nz GROUP BY label)
         SELECT n.label, n.n_vecs, v.sum_micros
         FROM n JOIN v ON v.label = n.label"""),
+      // both sides pool NON-EMPTY embeddings only (and count the pooled
+      // rows): without the filter an all-empty label diverges — the
+      // engine would emit a null sum while the oracle's unnest generates
+      // no rows and its join drops the label — and a mixed empty/d-dim
+      // label would crash VecSumAgg's length check
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+          .where(size(col("embedding")) > 0)
         val micros = transform(col("embedding"),
           x => round(x.cast("double") * lit(1000000), 0).cast("double"))
         emb.groupBy("label")

@@ -57,6 +57,17 @@ class CdcDedupSpec extends AnyFunSuite with SparkSpec {
         s"${base.length} chars realigned")
   }
 
+  test("supplementary characters: positions are code points, " +
+      "reassembly survives astral chars") {
+    // U+1F600 is 2 UTF-16 units but 1 code point: a UTF-16 kernel walk
+    // would shift every later cut and mis-slice chunks
+    val doc = ("start 😀 middle " +
+      "the quick brown fox jumps over the lazy dog " * 15) + "😀 end"
+    val ch = chunksOf(doc)
+    assert(ch.mkString("") === doc.toLowerCase)
+    assert(ch.size > 1)
+  }
+
   test("cross-doc dup accounting on a controlled corpus") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog " * 10
