@@ -258,7 +258,8 @@ object MixOps {
         when(col("capped"), col("cap")).otherwise(expr(
           "(budget - capped_sum) DIV greatest(n_uncapped, 1)")))
       .withColumn("epochs_micro",
-        expr("alloc_tokens * 1000000 DIV n_tokens"))
+        expr("CASE WHEN n_tokens > 0 " +
+          "THEN alloc_tokens * 1000000 DIV n_tokens ELSE 0 END"))
       .select(col(groupCol), col("n_docs"), col("n_tokens"), col("capped"),
         col("alloc_tokens"), col("epochs_micro"))
   }
@@ -405,6 +406,57 @@ object MixOps {
         col("doc_id"), col("score"),
         (col("offset") + col("goff") +
           row_number().over(w).cast("long")).as("rnk"))
+  }
+
+  /** Corpus RECIPE materialization: turn a [[epochAllocate]] token
+    * allocation into the concrete document multiset a training run
+    * consumes. Each group (language) contributes
+    * `alloc_tokens DIV group_tokens` FULL copies of itself (the whole
+    * epochs), and its top-QUALITY documents — hashed-classifier score
+    * order — fill the remaining `alloc_tokens MOD group_tokens` budget
+    * one more time (the fractional epoch). This is the standard
+    * construction: small languages repeat whole, the big language is
+    * quality-truncated to its share.
+    *
+    * Scale shape: one tokenize+score pass (the classifier kernel is
+    * zero-shuffle) + the allocation's own tokenize aggregation; the
+    * per-group allocation table (≤ |groups| rows) broadcasts back; the
+    * only corpus-sized shuffle is the per-group quality window. All
+    * integer arithmetic, so the oracle replays every row bit-for-bit.
+    * Output: (doc_id, group, n_tokens, score, n_copies, extra,
+    * n_appearances). */
+  def corpusRecipe(
+      docs: DataFrame, groupCol: String = "lang", maxEpochs: Long = 2L,
+      budgetNum: Long = 3L, budgetDen: Long = 2L): DataFrame = {
+    val alloc = epochAllocate(docs, groupCol, maxEpochs, budgetNum, budgetDen)
+      .select(col(groupCol), col("n_tokens").as("group_tokens"),
+        col("alloc_tokens"))
+    val scored = graft.ext.TextOps.hashClassifier(docs)
+      .select(col("doc_id"), col("score_micros").as("score"))
+    val base = docs
+      .select(col("doc_id"), col(groupCol),
+        size(graft.ext.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .join(scored, Seq("doc_id"))
+      .join(broadcast(alloc), Seq(groupCol))
+    val wq = Window.partitionBy(groupCol)
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("n_copies",
+        expr("CASE WHEN group_tokens > 0 " +
+          "THEN alloc_tokens DIV group_tokens ELSE 0 END"))
+      .withColumn("rem",
+        expr("CASE WHEN group_tokens > 0 " +
+          "THEN alloc_tokens % group_tokens ELSE 0 END"))
+      .withColumn("cum", sum(col("n_tokens")).over(wq))
+      .select(
+        col("doc_id"), col(groupCol), col("n_tokens"), col("score"),
+        col("n_copies"),
+        (col("cum") <= col("rem")).as("extra"),
+        (col("n_copies") +
+          when(col("cum") <= col("rem"), 1L).otherwise(0L))
+          .as("n_appearances"))
   }
 
   /** Materialize the deterministic global shuffle ([[shardAssign]]) as

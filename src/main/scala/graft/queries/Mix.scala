@@ -158,11 +158,77 @@ object Mix {
                CASE WHEN capped THEN cap
                  ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
                END AS alloc_tokens,
-               (CASE WHEN capped THEN cap
-                  ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
-                END) * 1000000 // n_tokens AS epochs_micro
+               CASE WHEN n_tokens > 0 THEN
+                 (CASE WHEN capped THEN cap
+                    ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
+                  END) * 1000000 // n_tokens
+               ELSE 0 END AS epochs_micro
         FROM f"""),
       (s, dir) => MixOps.epochAllocate(
+        Tables.load(s, dir, "documents"), "lang",
+        maxEpochs = 2L, budgetNum = 3L, budgetDen = 2L)),
+
+    // ---- corpus recipe: allocation -> concrete document multiset -----------
+    // q_epoch_mix's token allocation materialized per document: each
+    // language contributes floor(epochs) full copies, and its
+    // top-quality docs (hashed-classifier score) fill the remainder one
+    // more time. The oracle replays scoring, allocation, and the
+    // per-language quality cumsum end to end.
+    QueryDef(
+      "q_recipe",
+      Some(s"""
+        WITH ${Text.classifierCte},
+        sc AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                 COALESCE(agg.score_micros, 0) AS score
+               FROM t LEFT JOIN agg USING (doc_id)),
+        d AS (SELECT doc_id, lang FROM documents),
+        g AS (SELECT d.lang, CAST(sum(sc.n_tokens) AS BIGINT) AS group_tokens
+              FROM d JOIN sc USING (doc_id) GROUP BY d.lang),
+        w AS (SELECT lang, group_tokens, group_tokens * 2 AS cap,
+                CAST(row_number() OVER (ORDER BY group_tokens, lang)
+                  AS BIGINT) AS i,
+                CAST(coalesce(sum(group_tokens * 2)
+                  OVER (ORDER BY group_tokens, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_prev,
+                CAST(count(*) OVER () AS BIGINT) AS n_groups,
+                CAST(sum(group_tokens) OVER () AS BIGINT) AS total
+              FROM g),
+        c AS (SELECT *, (total * 3) // 2 AS budget,
+                cap * (n_groups - i + 1) + cum_prev <= (total * 3) // 2
+                  AS capped
+              FROM w),
+        f AS (SELECT *,
+                CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
+                  AS BIGINT) AS capped_sum,
+                CAST(n_groups - coalesce(
+                  sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER (), 0)
+                  AS BIGINT) AS n_uncapped
+              FROM c),
+        al AS (SELECT lang, group_tokens,
+                 CASE WHEN capped THEN cap
+                   ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
+                 END AS alloc_tokens
+               FROM f),
+        j AS (SELECT d.doc_id, d.lang, sc.n_tokens, sc.score,
+                al.group_tokens, al.alloc_tokens
+              FROM d JOIN sc USING (doc_id) JOIN al USING (lang)),
+        r AS (SELECT *,
+                CASE WHEN group_tokens > 0
+                  THEN alloc_tokens // group_tokens ELSE 0 END AS n_copies,
+                CASE WHEN group_tokens > 0
+                  THEN alloc_tokens % group_tokens ELSE 0 END AS rem,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+              FROM j)
+        SELECT doc_id, lang, n_tokens, score,
+               CAST(n_copies AS BIGINT) AS n_copies,
+               cum <= rem AS extra,
+               CAST(n_copies + CASE WHEN cum <= rem THEN 1 ELSE 0 END
+                 AS BIGINT) AS n_appearances
+        FROM r"""),
+      (s, dir) => MixOps.corpusRecipe(
         Tables.load(s, dir, "documents"), "lang",
         maxEpochs = 2L, budgetNum = 3L, budgetDen = 2L)),
 

@@ -13,7 +13,7 @@ object Text {
     * `TextOps.hashClassifier` — unigram + bigram features, md5-derived
     * integer micro-unit weights). Used by q_quality_classifier and
     * q_rank_calibrate. */
-  private val classifierCte = """
+  private[queries] val classifierCte = """
         t AS (SELECT doc_id,
                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
               FROM documents),

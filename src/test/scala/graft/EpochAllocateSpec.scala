@@ -91,6 +91,30 @@ class EpochAllocateSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CollectLimit"), "allocation must not collect")
   }
 
+  test("corpus recipe: appearances realize the allocation within one " +
+      "doc of budget, extras are the quality prefix") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val recipe = MixOps.corpusRecipe(docs).collect()
+    val alloc = MixOps.epochAllocate(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    recipe.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      // delivered tokens: n_appearances-weighted token sum must cover the
+      // allocation minus at most one document (the cumsum boundary) and
+      // never exceed it plus the boundary document
+      val delivered = rows.map(r => r.getLong(2) * r.getLong(6)).sum
+      val a = alloc(lang)
+      val maxDoc = rows.map(_.getLong(2)).max
+      assert(delivered <= a, s"$lang over-delivered: $delivered > $a")
+      assert(delivered >= a - maxDoc,
+        s"$lang under-delivered: $delivered < $a - $maxDoc")
+      // extras are exactly a prefix of the (score desc, doc_id) order
+      val sorted = rows.sortBy(r => (-r.getLong(3), r.getLong(0)))
+      val extras = sorted.map(_.getBoolean(5))
+      assert(!extras.dropWhile(identity).contains(true),
+        s"$lang extras are not a quality prefix")
+    }
+  }
+
   test("real documents: engine equals the greedy loop per language") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = MixOps.epochAllocate(docs, "lang", 2L, 3L, 2L)
