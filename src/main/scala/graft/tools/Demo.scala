@@ -192,6 +192,11 @@ object Demo {
         .orderBy(col("n_tokens").desc).limit(1).collect()(0)
       println(s"[demo] unimax: biggest lang '${alloc.getString(0)}' " +
         s"capped=${alloc.getBoolean(3)} epochs_micro=${alloc.getLong(5)}")
+      val rec = graft.ext.MixOps.corpusRecipe(docs)
+        .agg(sum(col("n_tokens") * col("n_appearances")),
+          sum(when(col("extra"), 1L).otherwise(0L))).collect()(0)
+      println(s"[demo] recipe: ${rec.getLong(0)} tokens delivered, " +
+        s"${rec.getLong(1)} quality-fill docs")
       val funnel = graft.ops.EventPatterns.funnelCounts(
         graft.sources.Tables.events(spark, sfDir),
         Seq("view", "click", "purchase"), within = "12 HOURS")
