@@ -45,7 +45,39 @@ object SchemaCheck {
       "l_tax" -> Set("double"),
       "l_returnflag" -> Set("string"),
       "l_linestatus" -> Set("string"),
-      "l_shipdate" -> Set("date", "timestamp", "timestamp_ntz")))
+      "l_shipdate" -> Set("date", "timestamp", "timestamp_ntz")),
+    "orders" -> Seq(
+      "o_orderkey" -> Set("bigint"),
+      "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"),
+      "o_totalprice" -> Set("double"),
+      "o_orderdate" -> Set("date", "timestamp", "timestamp_ntz"),
+      "o_orderpriority" -> Set("string")),
+    "customer" -> Seq(
+      "c_custkey" -> Set("bigint"),
+      "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int", "bigint"),
+      "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq(
+      "s_suppkey" -> Set("bigint"),
+      "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int", "bigint"),
+      "s_acctbal" -> Set("double")),
+    "part" -> Seq(
+      "p_partkey" -> Set("bigint"),
+      "p_name" -> Set("string"),
+      "p_brand" -> Set("string"),
+      "p_type" -> Set("string"),
+      "p_size" -> Set("int"),
+      "p_retailprice" -> Set("double")),
+    "nation" -> Seq(
+      "n_nationkey" -> Set("int", "bigint"),
+      "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int", "bigint")),
+    "region" -> Seq(
+      "r_regionkey" -> Set("int", "bigint"),
+      "r_name" -> Set("string")))
 
   /** Returns the list of drift messages (empty = all expected). */
   def check(spark: SparkSession, sfDir: String): Seq[String] = {
