@@ -68,6 +68,21 @@ class CdcDedupSpec extends AnyFunSuite with SparkSpec {
     assert(ch.size > 1)
   }
 
+  test("property: reassembly holds for random mixed-script strings") {
+    val rng = new scala.util.Random(42)
+    val alphabet =
+      "abcdefghij 0123456789中文字符éüñ😀🎉" // ascii + BMP + astral
+    val cps = alphabet.codePoints().toArray
+    (1 to 10).foreach { _ =>
+      val len = 50 + rng.nextInt(400)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(cps(rng.nextInt(cps.length))))
+      val doc = sb.toString
+      assert(chunksOf(doc).mkString("") === doc.toLowerCase,
+        s"reassembly failed for: $doc")
+    }
+  }
+
   test("cross-doc dup accounting on a controlled corpus") {
     import spark.implicits._
     val shared = "the quick brown fox jumps over the lazy dog " * 10
