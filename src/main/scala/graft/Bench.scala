@@ -75,10 +75,17 @@ object Bench {
       // (measured: q_dup_clusters 5.7 s cold vs 2.5 s warm)
       warm("minhash")(graft.ext.Dedup.minhashNearDup(d64, 0.7).count())
       // winnowing fingerprints (md5 + rolling Karp-Rabin kernels, the
-      // fingerprint self-join and overlap verify) JIT ~3 s on first use
+      // rarest-first prefix filter and the sorted-merge overlap verify)
+      // JIT on first use. Like srp-lsh below, 64 rows leaves the shared
+      // fingerprint-kernel statics in the interpreter for the first real
+      // query (r10 driver run: q_winnow_fast 14.5 s vs 5.6 s min-of-3 at
+      // the same scale) — a 512-row slice gives them enough invocations
+      // to tier up to C2 before the timed region.
       warm("winnow") {
-        graft.ext.Dedup.winnowNearDup(d64, 0.7).count()
-        graft.ext.Dedup.winnowRecallGate(d64, 0.7).count()
+        val d512w = graft.sources.Tables.load(spark, sfDir, "documents")
+          .limit(512)
+        graft.ext.Dedup.winnowNearDup(d512w, 0.7).count()
+        graft.ext.Dedup.winnowRecallGate(d512w, 0.7).count()
       }
       // the prefix-containment path (index build: df-count + rarest-first
       // sort_array sets, prefix slice join, array_intersect verify) JITs
@@ -153,6 +160,70 @@ object Bench {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         wq.awaitTermination()
+      }
+      // session-window streaming aggregation + the parquet streaming sink:
+      // a DIFFERENT physical operator and state-store schema than the
+      // running aggregate above, plus runToParquet's per-batch append +
+      // bounded re-read — both land on q_stream_sessions/q_stream_pipeline
+      // otherwise (r10 driver run: 2-2.5x their min-of-3)
+      warm("streaming-session") {
+        val warmStream = graft.sources.Tables.eventsStream(spark, sfDir)
+          .where(col("event_id") < 100)
+        graft.streaming.StreamingOps.runToParquet(
+          graft.streaming.StreamingOps.sessionized(
+            warmStream, "ts", "0 seconds", "30 minutes",
+            Seq("user_id"), Seq(count(lit(1)).as("n"))),
+          "warm_sessions").count()
+      }
+      // documents FILE stream source (q_stream_pipeline's input): file
+      // manifest/listing + schema-pinned reader init are per-source-path
+      warm("streaming-docs") {
+        val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+        val ds = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+          .where(col("doc_id") < 8)
+        graft.streaming.StreamingOps.runToParquet(ds, "warm_docs").count()
+      }
+      // transformWithState machinery under the RocksDB provider (JNI
+      // library load + column-family init) used by q_stream_funnel /
+      // q_stream_flagship / q_stream_asof
+      warm("streaming-rocksdb") {
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(provKey)
+        spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+        try {
+          val warmStream = graft.sources.Tables.eventsStream(spark, sfDir)
+            .where(col("event_id") < 100)
+          graft.streaming.StreamingOps.runToParquet(
+            graft.streaming.StreamingFunnel(
+              warmStream, Seq("view", "click", "purchase"),
+              within = "12 HOURS").toDF(),
+            "warm_funnel").count()
+        } finally {
+          prev match {
+            case Some(v) => spark.conf.set(provKey, v)
+            case None => spark.conf.unset(provKey)
+          }
+        }
+      }
+      // WindowExec (rank frames) + the token-explode/df-join shape of
+      // q_tfidf — small in absolute terms but 2.4-2.8x cold in r10
+      warm("window-tfidf") {
+        graft.sources.Tables.load(spark, sfDir, "orders").limit(2048)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_orderpriority"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .where(col("rn") <= 3).count()
+        val tok = d64.select(col("doc_id"),
+          explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dfq = tok.groupBy("token")
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(dfq, "token")
+          .select(round(col("tf") * log((col("df") + 1).cast("double")), 6))
+          .count()
       }
     }
 

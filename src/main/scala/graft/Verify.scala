@@ -33,6 +33,10 @@ object Verify {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist internally (globalRank, cdcChunkDedup,
+      // containment refs) document a caller-releases contract; across a
+      // 113-query run the reliable release point is here, as in Bench
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

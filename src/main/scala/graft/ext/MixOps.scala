@@ -257,9 +257,14 @@ object MixOps {
       .withColumn("alloc_tokens",
         when(col("capped"), col("cap")).otherwise(expr(
           "(budget - capped_sum) DIV greatest(n_uncapped, 1)")))
+      // epochs_micro through decimal(38,0): alloc_tokens * 1000000 wraps
+      // Long past ~9.2e12 tokens per group — well inside a 100 TB corpus
+      // — while the decimal product is exact and the quotient (≤ maxEpochs
+      // * 1e6) always fits back in a Long
       .withColumn("epochs_micro",
         expr("CASE WHEN n_tokens > 0 " +
-          "THEN alloc_tokens * 1000000 DIV n_tokens ELSE 0 END"))
+          "THEN CAST(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 " +
+          "DIV n_tokens AS BIGINT) ELSE 0L END"))
       .select(col(groupCol), col("n_docs"), col("n_tokens"), col("capped"),
         col("alloc_tokens"), col("epochs_micro"))
   }

@@ -512,6 +512,11 @@ object TextKernels {
     * [[CdcCutsExpr]]). */
   def cdcCutsCol(
       spark: SparkSession, text: Column, w: Int, mask: Int): Column = {
+    // fail at plan time, not per-row at execution: mask <= 0 would throw
+    // ArithmeticException inside the kernel's `u % mask`, and w <= 0
+    // would produce nonsense window extents
+    require(w >= 1, s"cdcCutsCol: window w must be >= 1 (got $w)")
+    require(mask >= 1, s"cdcCutsCol: mask must be >= 1 (got $mask)")
     register(spark)
     org.apache.spark.sql.functions.call_function(
       "graft_cdc_cuts", text,

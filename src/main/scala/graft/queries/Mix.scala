@@ -124,7 +124,8 @@ object Mix {
     // Chung et al. 2023: budget = 1.5x the corpus tokens, max 2 epochs
     // per language. The greedy ascending-size loop is replayed through
     // its closed windowed form on BOTH sides (capped groups are the
-    // prefix where cap_i*(n-i+1)+cumcap < budget; the uniform leftover
+    // prefix where cap_i*(n-i+1)+cumcap <= budget, matching the greedy
+    // cap <= b/k boundary case exactly; the uniform leftover
     // share is loop-invariant). On this corpus the four small languages
     // cap at 2 epochs and English absorbs the remainder below 1 epoch —
     // all-integer arithmetic end to end.
@@ -159,9 +160,9 @@ object Mix {
                  ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
                END AS alloc_tokens,
                CASE WHEN n_tokens > 0 THEN
-                 (CASE WHEN capped THEN cap
+                 CAST(CAST(CASE WHEN capped THEN cap
                     ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
-                  END) * 1000000 // n_tokens
+                  END AS DECIMAL(38,0)) * 1000000 // n_tokens AS BIGINT)
                ELSE 0 END AS epochs_micro
         FROM f"""),
       (s, dir) => MixOps.epochAllocate(

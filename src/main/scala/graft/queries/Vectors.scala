@@ -77,7 +77,8 @@ object Vectors {
               FROM nz, unnest(range(1, len(embedding) + 1)) r(i)),
         s AS (SELECT label, i, CAST(sum(xm) AS BIGINT) AS sm
               FROM e GROUP BY label, i),
-        v AS (SELECT label, list(sm ORDER BY i) AS sum_micros
+        v AS (SELECT label,
+                array_to_string(list(sm ORDER BY i), ',') AS sum_micros
               FROM s GROUP BY label),
         n AS (SELECT label, count(*) AS n_vecs FROM nz GROUP BY label)
         SELECT n.label, n.n_vecs, v.sum_micros
@@ -96,7 +97,11 @@ object Vectors {
           .agg(count(lit(1)).as("n_vecs"),
             graft.functions.VecAgg.vecSum(s, micros).as("sv"))
           .select(col("label"), col("n_vecs"),
-            transform(col("sv"), x => x.cast("long")).as("sum_micros"))
+            // stringified per the q_array_agg convention: the driver's
+            // pandas comparator cannot sort raw array cells
+            concat_ws(",",
+              transform(col("sv"), x => x.cast("long").cast("string")))
+              .as("sum_micros"))
       })
   )
 }

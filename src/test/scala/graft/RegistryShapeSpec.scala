@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-comparator contract, spec-pinned: every registry query's
+  * output is written to parquet by Verify and round-tripped through a
+  * pandas `sort_values` over ALL columns — which cannot sort (or hash)
+  * array/map/struct cells. `q_vec_pool` shipped a raw `array<long>`
+  * column in round 10 and was the registry's only red row for exactly
+  * this reason; the repo convention is to stringify
+  * (`concat_ws`/`array_to_string`, see q_array_agg). This spec makes the
+  * contract structural: reintroducing a nested top-level column in any
+  * query goes red HERE, before the driver ever sees it.
+  *
+  * Batch queries are checked lazily (plan-time schema, no execution);
+  * streaming queries necessarily drain their bounded input when built,
+  * so the whole sweep runs against the tiny sf0.001 corpus.
+  */
+class RegistryShapeSpec extends AnyFunSuite with SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every query has an oracle (or a documented rows-only waiver)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracleSql entries: ${noOracle.toSeq.sorted.mkString(", ")}")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty,
+      s"oracleSql entries without queries: ${orphanOracles.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("no registry query emits a top-level array/map/struct column") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val schema = fn(spark, sfDir).schema
+        spark.catalog.clearCache()
+        schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      "comparator-incompatible output columns (stringify per the " +
+        s"q_array_agg convention): ${offenders.mkString("; ")}")
+  }
+}
