@@ -29,20 +29,35 @@ class RegistryShapeSpec extends AnyFunSuite with SparkSpec {
       s"oracleSql entries without queries: ${orphanOracles.toSeq.sorted.mkString(", ")}")
   }
 
-  test("no registry query emits a top-level array/map/struct column") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val schema = fn(spark, sfDir).schema
-        spark.catalog.clearCache()
-        schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType]
-            || f.dataType.isInstanceOf[MapType]
-            || f.dataType.isInstanceOf[StructType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
+  test("no registry query emits a top-level array/map/struct column, " +
+      "and none plans a CartesianProduct") {
+    val shapeOffenders = Seq.newBuilder[String]
+    val cartesianOffenders = Seq.newBuilder[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      df.schema.fields.foreach { f =>
+        if (f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType])
+          shapeOffenders += s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      // CartesianProductExec = a cross join where NEITHER side broadcast
+      // — O(n*m) over two corpus-sized inputs, the one join shape with no
+      // 100 TB story. (BroadcastNestedLoopJoin with a bounded 1-row/
+      // constant side, e.g. q_tfidf's corpus-count factor, is fine and
+      // deliberately not flagged.)
+      val hasCartesian = df.queryExecution.executedPlan.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.nonEmpty
+      if (hasCartesian) cartesianOffenders += name
+      spark.catalog.clearCache()
     }
-    assert(offenders.isEmpty,
+    val shapes = shapeOffenders.result()
+    val carts = cartesianOffenders.result()
+    assert(shapes.isEmpty,
       "comparator-incompatible output columns (stringify per the " +
-        s"q_array_agg convention): ${offenders.mkString("; ")}")
+        s"q_array_agg convention): ${shapes.mkString("; ")}")
+    assert(carts.isEmpty,
+      s"queries planning a CartesianProduct: ${carts.mkString(", ")}")
   }
 }
