@@ -250,6 +250,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Repeat a compact total as the LAST line: the full line above is the
+    // per-query record, but log-capture that keeps only a bounded tail
+    // (the driver's BENCH_r*.json `tail` field truncated it in r11) must
+    // still see a machine-readable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

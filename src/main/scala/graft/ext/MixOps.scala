@@ -348,7 +348,24 @@ object MixOps {
     * Input: (doc_id, score: bigint). Output: (doc_id, score, rnk). */
   def globalRank(
       scores: DataFrame, maxBucketRows: Long = 4000000L,
-      subSplits: Int = 32): DataFrame = {
+      subSplits: Int = 32): DataFrame =
+    globalRankReleasable(scores, maxBucketRows, subSplits).df
+
+  /** [[globalRank]]'s result paired with a deterministic release handle
+    * for the internally-persisted (doc_id, score) projection — the
+    * [[graft.ext.PipelineOps.ContainmentIndex]] pattern. The registry
+    * path relies on Verify/Bench `clearCache()`, but a library caller
+    * that has finished its action on `df` should call `release()` so
+    * long-lived sessions don't accumulate MEMORY_AND_DISK blocks
+    * (see `TextOps.trainedClassifier`, which releases right after its
+    * 1-row threshold collect). */
+  final case class RankedScores(df: DataFrame, private val cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
+  def globalRankReleasable(
+      scores: DataFrame, maxBucketRows: Long = 4000000L,
+      subSplits: Int = 32): RankedScores = {
     // The decomposition reads its input FOUR times (min/max width scan,
     // bucket totals, group offsets, final join) plus once more for the
     // caller's action — so the (doc_id, score) projection is persisted
@@ -356,9 +373,8 @@ object MixOps {
     // would replay the caller's upstream plan (for q_rank_calibrate,
     // the classifier kernel over the whole corpus — measured as a full
     // extra scan per pass). 16 B/row, spills to disk; it stays cached
-    // for the caller's own action on the returned frame — callers are
-    // expected to unpersist/clearCache when done (the pageRank
-    // contract).
+    // for the caller's own action on the returned frame — release()
+    // (or clearCache) when done.
     val proj = scores.select(col("doc_id"), col("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // width from observed range: one column-pruned min/max scan caps the
@@ -404,13 +420,14 @@ object MixOps {
       .drop("gcnt")
     val w = Window.partitionBy("bucket", "s2", "d2")
       .orderBy(col("score").desc, col("doc_id"))
-    grouped
+    val ranked = grouped
       .join(broadcast(offsetDf), Seq("bucket"))
       .join(groupOffsets, Seq("bucket", "s2", "d2"))
       .select(
         col("doc_id"), col("score"),
         (col("offset") + col("goff") +
           row_number().over(w).cast("long")).as("rnk"))
+    RankedScores(ranked, proj)
   }
 
   /** Corpus RECIPE materialization: turn a [[epochAllocate]] token

@@ -111,12 +111,28 @@ object PipelineOps {
     * Output: (doc_id, n_chunks, n_dup_chunks, dup_chars, dup_ratio);
     * a dup chunk is one whose hash appears in >1 distinct document. */
   def cdcChunkDedup(
-      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame = {
+      docs: DataFrame, w: Int = 8, mask: Int = 64): DataFrame =
+    cdcChunkDedupReleasable(docs, w, mask).df
+
+  /** [[cdcChunkDedup]]'s result paired with a deterministic release
+    * handle for the internally-persisted chunk rows (the
+    * [[ContainmentIndex]] pattern): the registry path relies on
+    * Verify/Bench `clearCache()`, but a library caller should
+    * `release()` once its action on `df` completes so long-lived
+    * sessions don't accumulate MEMORY_AND_DISK blocks. */
+  final case class CdcDedupResult(df: DataFrame, private val cached: DataFrame) {
+    def release(): Unit = { cached.unpersist(); () }
+  }
+
+  def cdcChunkDedupReleasable(
+      docs: DataFrame, w: Int = 8, mask: Int = 64): CdcDedupResult = {
     val rows = cdcChunkRows(docs, w, mask)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cdcAgg(rows.join(
-      rows.groupBy("ch").agg(countDistinct(col("doc_id")).as("df")),
-      Seq("ch")))
+    CdcDedupResult(
+      cdcAgg(rows.join(
+        rows.groupBy("ch").agg(countDistinct(col("doc_id")).as("df")),
+        Seq("ch"))),
+      rows)
   }
 
   /** CDC dedup scoring of `aDocs` against a STATIC reference

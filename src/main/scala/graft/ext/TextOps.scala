@@ -548,13 +548,18 @@ object TextOps {
     val k = train.where(label).count()
     // globalRank persists its (doc_id, score) projection internally, so
     // the scoring kernel runs once over the training text, not once per
-    // decomposition pass
+    // decomposition pass; the threshold collect is this caller's LAST
+    // action on the rank frame, so release the projection right after
     val thr =
       if (k == 0L) Long.MaxValue
-      else MixOps.globalRank(
+      else {
+        val ranked = MixOps.globalRankReleasable(
           scored(train).select(col("doc_id"), col("vm").as("score")))
-        .where(col("rnk") === k)
-        .select(col("score")).first().getLong(0)
+        try ranked.df
+          .where(col("rnk") === k)
+          .select(col("score")).first().getLong(0)
+        finally ranked.release()
+      }
     scored(docs).select(
       col("doc_id"), col("n_features"), col("score_micros"),
       (col("vm") > thr).as("keep"))

@@ -162,7 +162,7 @@ object Mix {
                CASE WHEN n_tokens > 0 THEN
                  CAST(CAST(CASE WHEN capped THEN cap
                     ELSE (budget - capped_sum) // greatest(n_uncapped, 1)
-                  END AS DECIMAL(38,0)) * 1000000 // n_tokens AS BIGINT)
+                  END AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
                ELSE 0 END AS epochs_micro
         FROM f"""),
       (s, dir) => MixOps.epochAllocate(

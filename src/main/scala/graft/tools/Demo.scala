@@ -185,8 +185,10 @@ object Demo {
         .agg(sum("n_tokens"), sum("n_subtokens")).collect()(0)
       println(s"[demo] bpe encode: tokens " +
         s"${en.getLong(0)} -> ${en.getLong(1)} subwords")
-      val cdc = graft.ext.PipelineOps.cdcChunkDedup(docs)
-        .agg(sum("n_chunks"), sum("n_dup_chunks")).collect()(0)
+      val cdcRes = graft.ext.PipelineOps.cdcChunkDedupReleasable(docs)
+      val cdc =
+        try cdcRes.df.agg(sum("n_chunks"), sum("n_dup_chunks")).collect()(0)
+        finally cdcRes.release()
       println(s"[demo] cdc chunks=${cdc.getLong(0)} dup=${cdc.getLong(1)}")
       val alloc = graft.ext.MixOps.epochAllocate(docs)
         .orderBy(col("n_tokens").desc).limit(1).collect()(0)

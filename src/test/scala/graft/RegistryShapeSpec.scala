@@ -20,6 +20,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistryShapeSpec extends AnyFunSuite with SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** True if the physical plan (including AQE-wrapped inner plans and
+    * subquery plans) contains a CartesianProductExec. */
+  private def hasCartesian(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    val self = p match {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _ => false
+    }
+    val aqeInner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        hasCartesian(a.executedPlan)
+      case _ => false
+    }
+    self || aqeInner ||
+      p.children.exists(hasCartesian) || p.subqueries.exists(hasCartesian)
+  }
+
   test("every query has an oracle (or a documented rows-only waiver)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty,
@@ -45,11 +61,12 @@ class RegistryShapeSpec extends AnyFunSuite with SparkSpec {
       // — O(n*m) over two corpus-sized inputs, the one join shape with no
       // 100 TB story. (BroadcastNestedLoopJoin with a bounded 1-row/
       // constant side, e.g. q_tfidf's corpus-count factor, is fine and
-      // deliberately not flagged.)
-      val hasCartesian = df.queryExecution.executedPlan.collectWithSubqueries {
-        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      }.nonEmpty
-      if (hasCartesian) cartesianOffenders += name
+      // deliberately not flagged.) AQE (on by default) roots the plan at
+      // an AdaptiveSparkPlanExec whose inner plan `collectWithSubqueries`
+      // does NOT traverse, so the sweep must unwrap it explicitly —
+      // without this the check silently passes every query with an
+      // exchange in its plan.
+      if (hasCartesian(df.queryExecution.executedPlan)) cartesianOffenders += name
       spark.catalog.clearCache()
     }
     val shapes = shapeOffenders.result()
