@@ -178,10 +178,21 @@ object Similarity {
     * v: array<double>); zero-norm rows are dropped (cosine undefined).
     * Output: (doc_a, doc_b, sim) with doc_a < doc_b.
     *
-    * CONTRACT — recall is probabilistically bounded, not exact: beyond the
-    * usual LSH banding miss (< 1e-4 at the defaults), the hamming
-    * prefilter can drop a TRUE banded candidate whose signature hamming
-    * exceeds h·acos(t)/π + `hamSigma`·√h. The signature hamming of a pair
+    * CONTRACT — recall is probabilistically bounded, not exact, and the
+    * bound is cosine-DEPENDENT: the miss-<1e-4 figure above holds for the
+    * near-dup mode (c ≥ ~0.85) the auto-scaling is sized for; a pair AT
+    * the decision boundary (c ≈ t = 0.6) has per-band collision
+    * probability (1 - acos(c)/π)^bits ≈ 0.6% at the x10 sizing
+    * (bits=15, bands=100), i.e. ~55% miss — sizing bands to guarantee
+    * boundary recall would need ~1300 bands (13x the signature compute),
+    * the wrong trade when the corpus is bimodal (true dups 0.89-1.0,
+    * noise < 0.32, measured). tools/SrpCheck measures this: pair-exact
+    * at sf0.01/sf0.1; at x10 recall 2559/2560 with the single miss a
+    * boundary pair at cosine 0.614 (0/100 band collisions, hamming 437
+    * well inside the 559 gate — tools/SrpMissDiag attributes every miss
+    * to band-recall vs hamming-gate). Beyond the banding miss, the
+    * hamming prefilter can drop a TRUE banded candidate whose signature
+    * hamming exceeds h·acos(t)/π + `hamSigma`·√h. The signature hamming of a pair
     * at cosine exactly t concentrates at h·acos(t)/π with sd ≤ √h/2, so
     * the default slack (3√h) is a ≥ 6σ margin — drop probability < 1e-9
     * per pair, deterministic per corpus (seeded hyperplanes), and pairs
@@ -249,8 +260,10 @@ object Similarity {
     // hamming of a TRUE pair at cosine exactly t concentrates at
     // h·acos(t)/π with sd ≤ √h/2, so the margin is ≥ 6σ — a drop
     // probability < 1e-9 per pair, deterministic per corpus (seeded
-    // hyperplanes), and re-verified pair-exact vs brute force at three
-    // scale factors by tools/SrpCheck. Exact cosine then touches only
+    // hyperplanes), re-verified vs brute force by tools/SrpCheck
+    // (pair-exact at sf0.01/sf0.1; 2559/2560 at x10, the one miss a
+    // BAND-recall boundary pair — see the CONTRACT paragraph above — not
+    // a hamming drop). Exact cosine then touches only
     // survivors (~true pairs), so the expensive verification join runs
     // on thousands of rows, not millions.
     val hamMax = math.ceil(

@@ -54,6 +54,22 @@ object SrpCheck {
       val extra = lsh.exceptAll(exact).count()
       println(s"[srpcheck] $dir: lsh=$nLsh missed=$missed extra=$extra " +
         (if (missed == 0 && extra == 0) "OK" else "MISMATCH"))
+      if (missed > 0) {
+        // report each miss with its cosine: a miss AT the threshold
+        // boundary is the documented probabilistic band-recall regime
+        // (see srpNearDup's scaladoc and tools/SrpMissDiag, which also
+        // splits band-recall misses from hamming-gate drops); a miss
+        // well above it would be a real defect.
+        val exactCos = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+          .withColumn("cos", graft.functions.VectorExpressions.dot(
+            spark, col("va"), col("vb")) / (col("na") * col("nb")))
+          .where(col("cos") >= 0.6)
+          .select("doc_a", "doc_b", "cos")
+        exactCos.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+          .orderBy(desc("cos")).limit(20).collect()
+          .foreach(r => println(f"[srpcheck]   missed (${r.getLong(0)}%d, " +
+            f"${r.getLong(1)}%d) cos=${r.getDouble(2)}%.6f"))
+      }
       vecs.unpersist(); lsh.unpersist()
       }
     }
