@@ -3,10 +3,16 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Checks whether each exact-reranked ANN query returns EXACTLY the
-  * brute-force top-k (recall@rerank == 1 end-to-end) — the precondition
-  * for giving those queries the plain exact-top-k oracle SQL:
-  * recall-check <sfDir...> */
+/** Re-stamps the self-validating ANN recall gates at arbitrary scale:
+  * every learned-quantizer registry query emits (qid, exact_topk,
+  * recall_ok) where `recall_ok` is the aggregate recall-vs-exact floor
+  * computed INSIDE the query ([[graft.ext.Similarity.recallGate]]), and
+  * the driver's oracle checks it at sf0.01 — this tool runs the same
+  * queries at the dirs given (e.g. the x10 amplification, where no
+  * oracle runs) and fails loudly if any gate row reports false.
+  * q_simhash_fast's gate row ([[graft.ext.Dedup.simhashRecallGate]])
+  * has shape (doc_a, doc_b, recall_ok) and is included the same way.
+  * usage: RecallCheck <sfDir...> */
 object RecallCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -18,22 +24,38 @@ object RecallCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = Seq(
-      "q_pq_rerank", "q_opq_rerank", "q_ivfpq_rerank", "q_ivfopq_rerank",
-      "q_ivf_index")
+      "q_ivf_kmeans", "q_sq8_rerank", "q_pq_rerank", "q_opq_rerank",
+      "q_ivfpq_rerank", "q_ivfopq_rerank", "q_ivf_index", "q_imi_nn",
+      "q_hier_nn", "q_ivf_multiprobe", "q_ivf_filtered", "q_simhash_fast")
+    var bad = 0
     args.foreach { dir =>
-      val exact = graft.ext.Similarity.cosineTopK(
-        graft.sources.Tables.load(spark, dir, "embeddings"),
-        col("vec_id") < 10, 5)
-      exact.persist()
       names.foreach { name =>
         val got = graft.SparkEntry.queries(name)(spark, dir)
-        val missed = exact.exceptAll(got).count()
-        val extra = got.exceptAll(exact).count()
-        println(s"[recall] $dir $name missed=$missed extra=$extra " +
-          (if (missed == 0 && extra == 0) "EXACT" else "DIVERGES"))
+        val ok =
+          if (got.columns.contains("recall_ok")) {
+            val n = got.count()
+            val failed = got.where(!col("recall_ok")).count()
+            println(s"[recall] $dir $name rows=$n gate_failed=$failed " +
+              (if (n > 0 && failed == 0) "OK" else "FAIL"))
+            n > 0 && failed == 0
+          } else {
+            // exact-rerank shape (qid, cid, sim): must equal brute force
+            val exact = graft.ext.Similarity.cosineTopK(
+              graft.sources.Tables.load(spark, dir, "embeddings"),
+              col("vec_id") < 10, 5)
+            val missed = exact.select("qid", "cid")
+              .exceptAll(got.select("qid", "cid")).count()
+            val extra = got.select("qid", "cid")
+              .exceptAll(exact.select("qid", "cid")).count()
+            println(s"[recall] $dir $name missed=$missed extra=$extra " +
+              (if (missed == 0 && extra == 0) "EXACT" else "DIVERGES"))
+            missed == 0 && extra == 0
+          }
+        if (!ok) bad += 1
+        spark.catalog.clearCache()
       }
-      exact.unpersist()
     }
     spark.stop()
+    if (bad > 0) sys.exit(1)
   }
 }
