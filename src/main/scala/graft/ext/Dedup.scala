@@ -130,6 +130,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** LSH band-bucket rows (doc_id, band, bkey) for a shingle frame —
+    * the bucketing half of [[minhashNearDup]], shared with the
+    * against-corpus variant and the persisted [[DedupIndex]]. */
+  private[ext] def minhashBandRows(
+      sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(sh, bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
+    }
+    sigs.select(
+      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
   /** MinHash-LSH near-dup: band signatures into `bands` buckets of
     * `rowsPerBand`, bucket-join for candidates, then verify with exact
     * Jaccard >= threshold. Fully deterministic (md5 hash family).
@@ -153,23 +170,6 @@ object Dedup {
     * (~6.4x the signature cost, still one aggregation pass); the
     * registry keeps (3, 3) because its oracle replays the banding
     * deterministically, gating the LSH path itself. */
-  /** LSH band-bucket rows (doc_id, band, bkey) for a shingle frame —
-    * the bucketing half of [[minhashNearDup]], shared with the
-    * against-corpus variant and the persisted [[DedupIndex]]. */
-  private[ext] def minhashBandRows(
-      sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSignatures(sh, bands * rowsPerBand)
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
-          col(s"sig_${b * rowsPerBand + r}")): _*)).as("bkey"))
-    }
-    sigs.select(
-      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
-
   def minhashNearDup(
       docs: DataFrame,
       threshold: Double,

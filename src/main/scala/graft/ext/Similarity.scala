@@ -202,6 +202,31 @@ object Similarity {
     * (h - h·acos(t)/π)/√h the gate passes everything); auto-scaled `bits`
     * adds one eager count() on the input, skipped when both `bits` and
     * `bands` are explicit. */
+  /** The auto-sizing pieces of [[srpNearDup]], exposed so diagnostics
+    * (`tools/SrpMissDiag`) recompute signatures from the SAME formulas,
+    * seed, and Gaussian stream instead of hand-copied constants that
+    * could silently desynchronize when the sizing is tuned. */
+  def srpAutoBits(n: Long): Int =
+    math.max(8, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+
+  /** Bands for a resolved bit width — see [[srpAutoBits]]. */
+  def srpAutoBands(bits: Int): Int =
+    math.ceil(32.0 * math.pow(0.85, 8 - bits)).toInt
+
+  /** Hamming-prefilter gate for an h-bit signature at `threshold` —
+    * h·acos(t)/π + hamSigma·√h; see the CONTRACT paragraph above. */
+  def srpHamMax(h: Int, threshold: Double, hamSigma: Double = 3.0): Int =
+    math.ceil(
+      h * math.acos(threshold) / math.Pi + hamSigma * math.sqrt(h.toDouble)).toInt
+
+  /** The seeded flat h×dim Gaussian hyperplane matrix [[srpNearDup]]
+    * projects against — one shared definition so the signature is
+    * reproducible outside the operator. */
+  def srpHyperplanes(h: Int, dim: Int, seed: Long = 42L): Array[Double] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(h * dim)(rnd.nextGaussian())
+  }
+
   def srpNearDup(
       vecs: DataFrame, threshold: Double, dim: Int,
       bits: Int = 0, bands: Int = 0, seed: Long = 42L,
@@ -216,18 +241,10 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .where(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBits =
-      if (bits > 0) bits
-      else {
-        val n = prepped.count().toDouble
-        math.max(8, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
-      }
-    val nBands =
-      if (bands > 0) bands
-      else math.ceil(32.0 * math.pow(0.85, 8 - nBits)).toInt
+    val nBits = if (bits > 0) bits else srpAutoBits(prepped.count())
+    val nBands = if (bands > 0) bands else srpAutoBands(nBits)
     val h = nBits * nBands
-    val rnd = new java.util.Random(seed)
-    val flat = Array.fill(h * dim)(rnd.nextGaussian())
+    val flat = srpHyperplanes(h, dim, seed)
     // band values AND the full packed signature come from ONE projection
     // pass (graft_matvec → graft_sign_bands / graft_pack_signs, all
     // kernels, all inside the scan's codegen span — a transform/aggregate
@@ -266,8 +283,7 @@ object Similarity {
     // a hamming drop). Exact cosine then touches only
     // survivors (~true pairs), so the expensive verification join runs
     // on thousands of rows, not millions.
-    val hamMax = math.ceil(
-      h * math.acos(threshold) / math.Pi + hamSigma * math.sqrt(h.toDouble)).toInt
+    val hamMax = srpHamMax(h, threshold, hamSigma)
     val survivors = candidates
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")

@@ -27,16 +27,25 @@ import org.apache.spark.sql.functions._
   * ~0.99 at j >= 0.7) */
 object MinhashCheck {
   def main(rawArgs: Array[String]): Unit = {
+    def usage(): Nothing = {
+      System.err.println(
+        "usage: MinhashCheck [-b bands] [-r rowsPerBand] <sfDir...>")
+      sys.exit(2)
+    }
+    def intArg(i: Int): Int =
+      if (i < rawArgs.length && rawArgs(i).forall(_.isDigit)) rawArgs(i).toInt
+      else usage()
     var bands = 3; var rows = 3
     val args = scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < rawArgs.length) {
       rawArgs(i) match {
-        case "-b" => bands = rawArgs(i + 1).toInt; i += 2
-        case "-r" => rows = rawArgs(i + 1).toInt; i += 2
+        case "-b" => bands = intArg(i + 1); i += 2
+        case "-r" => rows = intArg(i + 1); i += 2
         case a => args += a; i += 1
       }
     }
+    if (args.isEmpty) usage()
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -46,10 +46,16 @@ object SrpCheck {
         col("nrm").as("na"))
       val b = withNorm.select(col("doc_id").as("doc_b"), col("v").as("vb"),
         col("nrm").as("nb"))
-      val exact = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
-        .where(graft.functions.VectorExpressions.dot(
-          spark, col("va"), col("vb")) / (col("na") * col("nb")) >= 0.6)
-        .select("doc_a", "doc_b")
+      // ONE brute-force pass carries the cosine, so both the pair-set
+      // diff and the miss report read it (the cross join dominates the
+      // tool's cost — computing it twice doubled wall-clock at sf0.1)
+      val exactCos = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+        .withColumn("cos", graft.functions.VectorExpressions.dot(
+          spark, col("va"), col("vb")) / (col("na") * col("nb")))
+        .where(col("cos") >= 0.6)
+        .select("doc_a", "doc_b", "cos")
+        .persist()
+      val exact = exactCos.select("doc_a", "doc_b")
       val missed = exact.exceptAll(lsh).count()
       val extra = lsh.exceptAll(exact).count()
       println(s"[srpcheck] $dir: lsh=$nLsh missed=$missed extra=$extra " +
@@ -60,17 +66,12 @@ object SrpCheck {
         // (see srpNearDup's scaladoc and tools/SrpMissDiag, which also
         // splits band-recall misses from hamming-gate drops); a miss
         // well above it would be a real defect.
-        val exactCos = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
-          .withColumn("cos", graft.functions.VectorExpressions.dot(
-            spark, col("va"), col("vb")) / (col("na") * col("nb")))
-          .where(col("cos") >= 0.6)
-          .select("doc_a", "doc_b", "cos")
         exactCos.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
           .orderBy(desc("cos")).limit(20).collect()
           .foreach(r => println(f"[srpcheck]   missed (${r.getLong(0)}%d, " +
             f"${r.getLong(1)}%d) cos=${r.getDouble(2)}%.6f"))
       }
-      vecs.unpersist(); lsh.unpersist()
+      vecs.unpersist(); lsh.unpersist(); exactCos.unpersist()
       }
     }
     spark.stop()

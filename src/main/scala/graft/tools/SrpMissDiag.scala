@@ -50,18 +50,17 @@ object SrpMissDiag {
       .collect()
     println(s"[srpmiss] $dir: ${missed.length} missed pair(s)")
 
-    // replicate srpNearDup's auto-sizing to recompute signatures
-    val n = withNorm.count().toDouble
-    val nBits = math.max(8,
-      math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
-    val nBands = math.ceil(32.0 * math.pow(0.85, 8 - nBits)).toInt
+    // recompute signatures from srpNearDup's OWN sizing helpers (same
+    // formulas, seed, and Gaussian stream — no hand-copied constants to
+    // desynchronize if the sizing is tuned)
+    val n = withNorm.count()
+    val nBits = Similarity.srpAutoBits(n)
+    val nBands = Similarity.srpAutoBands(nBits)
     val h = nBits * nBands
-    val hamMax = math.ceil(
-      h * math.acos(threshold) / math.Pi + 3.0 * math.sqrt(h.toDouble)).toInt
-    println(s"[srpmiss] n=${n.toLong} bits=$nBits bands=$nBands h=$h hamMax=$hamMax " +
+    val hamMax = Similarity.srpHamMax(h, threshold)
+    println(s"[srpmiss] n=$n bits=$nBits bands=$nBands h=$h hamMax=$hamMax " +
       f"(expected hamming at cos=t: ${h * math.acos(threshold) / math.Pi}%.1f)")
-    val rnd = new java.util.Random(42L)
-    val flat = Array.fill(h * 128)(rnd.nextGaussian())
+    val flat = Similarity.srpHyperplanes(h, 128)
     val proj = graft.functions.VectorExpressions.matVecConst(
       spark, flat, col("v"), h)
     val sigs = vecs.select(col("doc_id"), col("v"))

@@ -29,7 +29,7 @@ class ReleasableSpec extends AnyFunSuite with SparkSpec {
     (4L, "yet another unrelated document body for chunk hashing tests")
   ).toDF("doc_id", "text")
 
-  test("globalRankReleasable: release() drops the internal persist; df matches globalRank") {
+  test("globalRankReleasable: release() drops the internal persist") {
     val scores = Seq.tabulate(200)(i => (i.toLong, (i * 37 % 91).toLong))
       .toDF("doc_id", "score")
     val before = persistedIds
@@ -38,32 +38,27 @@ class ReleasableSpec extends AnyFunSuite with SparkSpec {
     assert((persistedIds -- before).nonEmpty,
       "the decomposition should persist its (doc_id, score) projection")
     // dense 1..n ranking, descending score, doc_id as the tiebreak
+    // (globalRank itself is a pure delegation to this .df, so content
+    // assertions here cover both forms)
     assert(rows.map(_.getLong(2)).toSeq == (1L to 200L))
-    val plainRes = ext.MixOps.globalRankReleasable(scores)
-    val plain = plainRes.df.orderBy("rnk").collect()
-    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
-      plain.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
     ranked.release()
-    plainRes.release()
     assert((persistedIds -- before).isEmpty,
       "release() must unpersist the internal projection")
   }
 
-  test("cdcChunkDedupReleasable: release() drops the chunk rows; df matches cdcChunkDedup") {
+  test("cdcChunkDedupReleasable: release() drops the chunk rows") {
     val before = persistedIds
     val res = ext.PipelineOps.cdcChunkDedupReleasable(docs)
     val got = res.df.orderBy("doc_id").collect()
     assert((persistedIds -- before).nonEmpty,
       "cdcChunkDedup should persist its chunk rows across the df-join")
-    val plainRes = ext.PipelineOps.cdcChunkDedupReleasable(docs)
-    val plain = plainRes.df.orderBy("doc_id").collect()
-    assert(got.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
-    // docs 1 and 2 are identical → every chunk is cross-document duplicated
+    // docs 1 and 2 are identical → every chunk is cross-document
+    // duplicated (cdcChunkDedup is a pure delegation to this .df, so
+    // content assertions here cover both forms)
     val dup = got.filter(r => r.getLong(0) <= 2L)
     assert(dup.nonEmpty && dup.forall(r =>
       r.getAs[Long]("n_dup_chunks") == r.getAs[Long]("n_chunks")))
     res.release()
-    plainRes.release()
     assert((persistedIds -- before).isEmpty,
       "release() must unpersist the chunk rows")
   }
