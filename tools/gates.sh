@@ -1,0 +1,29 @@
+#!/bin/bash
+# Re-stamp every scale/recall/plan gate on the current code in one
+# command. Run after any operator change that touches dedup, similarity,
+# or the as-of path, and at least once per round on the regenerated x10
+# corpus (see BASELINE.md "Recall gates re-stamped" for what each proves):
+#
+#   SchemaCheck    — testdata schema-drift tripwire
+#   SrpCheck       — SRP-LSH pair set vs brute-force cosine ground truth
+#   MinhashCheck   — MinHash-LSH pair set vs exact inverted-index Jaccard
+#   WinnowCheck    — winnowing prefix filter lossless vs uncapped join
+#   RecallCheck    — all 12 self-validating ANN/SimHash gate rows true
+#   AsOfScaleGate  — as-of merge join stays Exchange-free on bucketed input
+#
+# Expected current state (round 12): everything OK/EXACT except one
+# documented boundary miss each for SrpCheck (cos 0.614) and
+# MinhashCheck (7 pairs at j 0.80-0.92) at x10 — the probabilistic
+# LSH band-recall regime, see the operators' CONTRACT scaladoc.
+set -e
+cd /root/repo
+SF001=${SF001:-/root/testdata/sf0.01}
+SF01=${SF01:-/root/testdata/sf0.1}
+X10=${X10:-/root/repo/bench_scale/x10}
+run() { sbt -batch "runMain $*" 2>&1 | grep -E "^\[info\] \[" | sed 's/^\[info\] //'; }
+run graft.tools.SchemaCheck "$SF001"
+run graft.tools.SrpCheck "$SF001" "$SF01" "$X10"
+run graft.tools.MinhashCheck "$SF001" "$SF01" "$X10"
+run graft.tools.WinnowCheck "$SF001" "$SF01"
+run graft.tools.RecallCheck "$SF01" "$X10"
+run graft.tools.AsOfScaleGate "$SF01" "$X10"
