@@ -190,6 +190,47 @@ object Text {
       (s, dir) => Dedup.minhashNearDup(
         Tables.load(s, dir, "documents"), 0.7, bands = 3, rowsPerBand = 3)),
 
+    // ---- MARGIN-sized MinHash-LSH (recall-safe banding) -------------------
+    // The (3,3) banding above is textbook-sized for threshold 0.7 — its
+    // S-curve centers AT the threshold, so per-pair recall is ~88% at
+    // j=0.8 (tools/MinhashCheck measured 7 misses in 2560 pairs at x10,
+    // all at j 0.80-0.92, exactly on the curve). This query is the
+    // recall-sensitive configuration the minhashNearDup contract
+    // recommends: (16 bands x 4 rows) centers the curve at
+    // (1/16)^(1/4) = 0.5, giving ~99% recall at j >= 0.7 (measured
+    // 2560/2560 at x10) for 64 hashes — still ONE aggregation pass, the
+    // same two shuffles, ~6.4x the signature arithmetic. The oracle
+    // replays all 64 signatures and the 16-band bucketing exactly.
+    QueryDef(
+      "q_minhash_margin",
+      Some(s"""
+        WITH $shinglesCte,
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
+                FROM sh CROSS JOIN range(64) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 4 AS band,
+                   md5(min(CASE WHEN i % 4 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 4 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 4 = 2 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 4 = 3 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.doc_a
+        JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.c AS DOUBLE) / (sa.n_sh + sb.n_sh - i.c) >= 0.7"""),
+      (s, dir) => Dedup.minhashNearDup(
+        Tables.load(s, dir, "documents"), 0.7, bands = 16, rowsPerBand = 4)),
+
     // ---- incremental near-dup: new batch vs existing corpus ---------------
     // Even doc_ids play the existing corpus, odd ids the arriving batch.
     // Same md5 LSH family as q_minhash_lsh, but candidates are batch x
