@@ -11,6 +11,27 @@ import org.apache.spark.sql.SparkSession
   * whichever query happens to run first.
   */
 object Bench {
+
+  /** (1m, 5m, 15m) from /proc/loadavg — NaNs on non-Linux. */
+  private def loadavg(): (Double, Double, Double) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+    } catch { case scala.util.control.NonFatal(_) =>
+      (Double.NaN, Double.NaN, Double.NaN) }
+
+  /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line;
+    * deltas across the run give steal%% — nonzero only when a noisy
+    * co-tenant VM takes the pCPU (the BASELINE.md 185-vs-238 s weather
+    * signature). */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (cols.length > 7) cols(7) else 0L, cols.sum)
+    } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -230,6 +251,11 @@ object Bench {
     // optional subset for local iteration: SPARK_GRAFT_QUERIES=q_a,q_b
     val onlyFilter = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // host-weather telemetry: load + steal sampled around the timed
+    // region make one-shot readings self-adjudicating against the
+    // documented 185-vs-238 s same-code noisy-neighbor band
+    val (l1Before, l5Before, _) = loadavg()
+    val (stealBefore, totalBefore) = cpuJiffies()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyFilter.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -249,12 +275,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (l1After, l5After, _) = loadavg()
+    val (stealAfter, totalAfter) = cpuJiffies()
+    val stealPct =
+      if (totalAfter > totalBefore)
+        100.0 * (stealAfter - stealBefore) / (totalAfter - totalBefore)
+      else Double.NaN
+    def j(d: Double): String = if (d.isNaN) "null" else f"$d%.2f"
+    val host = s""""host":{"load1_before":${j(l1Before)},""" +
+      s""""load1_after":${j(l1After)},"load5_before":${j(l5Before)},""" +
+      s""""load5_after":${j(l5After)},"steal_pct":${j(stealPct)}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}""")
     // Repeat a compact total as the LAST line: the full line above is the
     // per-query record, but log-capture that keeps only a bounded tail
     // (the driver's BENCH_r*.json `tail` field truncated it in r11) must
-    // still see a machine-readable total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // still see a machine-readable total (and the host-load fields).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$host}""")
     spark.stop()
   }
 }

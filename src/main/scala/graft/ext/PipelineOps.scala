@@ -168,6 +168,32 @@ object PipelineOps {
         (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
   }
 
+  /** [[boilerplate]] with the FRACTIONAL df floor max(3, 1%·|docs|)
+    * computed inside the plan: the 1-row corpus count broadcasts into
+    * the per-shingle classification, so constructing the DataFrame
+    * triggers no action (the eager `docs.count()` this replaces cost an
+    * extra corpus scan at query-BUILD time). The 1-row cross join is a
+    * BroadcastNestedLoopJoin, not a CartesianProduct — same bounded
+    * shape as the other probe-frame sites the plan tripwire allows. */
+  def boilerplateFractional(
+      docs: DataFrame, maxRatio: Double = 0.3): DataFrame = {
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
+    val minDfCol = greatest(
+      lit(3L), ceil(lit(0.01) * col("__n_docs")).cast("long"))
+    val sh = Dedup.docShingles(docs)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .crossJoin(nDocs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sh"),
+        count(when(col("df") >= minDfCol, 1)).as("boiler_sh"))
+      .select(
+        col("doc_id"), col("n_sh"), col("boiler_sh"),
+        (col("boiler_sh").cast("double") / col("n_sh")).as("boiler_ratio"),
+        (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
+  }
+
   /** Distinct-shingle document frequencies of a reference corpus —
     * the static side for [[boilerplateAgainst]] (callers persist). */
   def shingleDf(refDocs: DataFrame, n: Int = 3): DataFrame =
@@ -607,8 +633,7 @@ object PipelineOps {
       md5(regexp_replace(
         regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("red_fp"))
-    val minDf = math.max(3L, math.ceil(0.01 * docs.count()).toLong)
-    val boil = boilerplate(docs, minDf, maxBoilerRatio)
+    val boil = boilerplateFractional(docs, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
     val survivors = docs
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__f"))

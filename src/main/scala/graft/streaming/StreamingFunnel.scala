@@ -32,7 +32,12 @@ object StreamingFunnel {
   /** One emitted row per completed funnel: the final-stage event. */
   case class Conversion(user_id: Long, event_id: Long, ts_us: Long)
 
-  private case class QState(qs: Array[Long])
+  /** Public (not `private`): Catalyst's generated encoder Java must be
+    * able to resolve the `qs()` accessor reflectively — a `private` case
+    * class makes every state ser/de in the hot timer path fall back to
+    * the interpreted encoder (`ERROR CodeGenerator: no applicable
+    * constructor/method found`). */
+  case class QState(qs: Array[Long])
 
   private def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
 

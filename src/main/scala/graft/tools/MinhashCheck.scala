@@ -33,7 +33,9 @@ object MinhashCheck {
       sys.exit(2)
     }
     def intArg(i: Int): Int =
-      if (i < rawArgs.length && rawArgs(i).forall(_.isDigit)) rawArgs(i).toInt
+      if (i < rawArgs.length && rawArgs(i).nonEmpty &&
+          rawArgs(i).forall(_.isDigit) && rawArgs(i).toInt >= 1)
+        rawArgs(i).toInt
       else usage()
     var bands = 3; var rows = 3
     val args = scala.collection.mutable.ArrayBuffer[String]()

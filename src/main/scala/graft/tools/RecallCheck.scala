@@ -47,9 +47,17 @@ object RecallCheck {
               .exceptAll(got.select("qid", "cid")).count()
             val extra = got.select("qid", "cid")
               .exceptAll(exact.select("qid", "cid")).count()
+            // id-set recall alone would pass right neighbors with wrong
+            // scores: also gate sim against brute force (1e-5 tolerance
+            // absorbs float-sum association order across partitionings)
+            val simBad = got.alias("g")
+              .join(exact.alias("e"), Seq("qid", "cid"))
+              .where(abs(col("g.sim") - col("e.sim")) > lit(1e-5)).count()
             println(s"[recall] $dir $name missed=$missed extra=$extra " +
-              (if (missed == 0 && extra == 0) "EXACT" else "DIVERGES"))
-            missed == 0 && extra == 0
+              s"sim_bad=$simBad " +
+              (if (missed == 0 && extra == 0 && simBad == 0) "EXACT"
+               else "DIVERGES"))
+            missed == 0 && extra == 0 && simBad == 0
           }
         if (!ok) bad += 1
         spark.catalog.clearCache()

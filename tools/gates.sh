@@ -15,12 +15,24 @@
 # documented boundary miss each for SrpCheck (cos 0.614) and
 # MinhashCheck (7 pairs at j 0.80-0.92) at x10 — the probabilistic
 # LSH band-recall regime, see the operators' CONTRACT scaladoc.
-set -e
+set -e -o pipefail
 cd /root/repo
 SF001=${SF001:-/root/testdata/sf0.01}
 SF01=${SF01:-/root/testdata/sf0.1}
 X10=${X10:-/root/repo/bench_scale/x10}
-run() { sbt -batch "runMain $*" 2>&1 | grep -E "^\[info\] \[" | sed 's/^\[info\] //'; }
+# pipefail makes a gate tool's nonzero exit (e.g. RecallCheck's
+# sys.exit(1) on gate_failed>0) surface through the grep|sed pipe; the
+# FAIL scan catches tools that report failure in text only. (MISMATCH is
+# NOT asserted: Srp/MinhashCheck print it for the documented expected
+# probabilistic boundary misses at x10 — see the header.)
+run() {
+  local out
+  out=$(sbt -batch "runMain $*" 2>&1 | grep -E "^\[info\] \[" | sed 's/^\[info\] //')
+  printf '%s\n' "$out"
+  if printf '%s' "$out" | grep -q "FAIL"; then
+    echo "gates.sh: FAIL in output of $*" >&2; exit 1
+  fi
+}
 run graft.tools.SchemaCheck "$SF001"
 run graft.tools.SrpCheck "$SF001" "$SF01" "$X10"
 run graft.tools.MinhashCheck "$SF001" "$SF01" "$X10"
