@@ -363,7 +363,9 @@ object Advanced {
             col("session_window.start").as("session_start"),
             col("session_window.end").as("session_end"),
             col("n_events"))
-        graft.streaming.StreamingOps.runToParquet(agg, "sessions")
+        graft.streaming.StreamingOps.runToParquet(agg, "sessions",
+          statePartitions = Some(graft.streaming.StreamingOps
+            .boundedStatePartitions(s, s"$dir/events.parquet")))
       })
   )
 }

@@ -165,7 +165,9 @@ object Events {
       (s, dir) => {
         val stream = Tables.eventsStream(s, dir)
         val out = graft.streaming.StreamingFlagship(stream)
-        graft.streaming.StreamingOps.runToParquet(out.toDF(), "flagship")
+        graft.streaming.StreamingOps.runToParquet(out.toDF(), "flagship",
+          statePartitions = Some(graft.streaming.StreamingOps
+            .boundedStatePartitions(s, s"$dir/events.parquet")))
       }),
 
     // ---- changelog with retractions, replayed to state -------------------
@@ -187,7 +189,9 @@ object Events {
           .where(col("event_type") === "error")
         val cl = graft.streaming.StreamingOps.changelog(
           stream, "ts", "0 seconds", Seq("user_id"),
-          Seq(sum(expr("cast(round(value * 100) as bigint)")).as("err_cents")))
+          Seq(sum(expr("cast(round(value * 100) as bigint)")).as("err_cents")),
+          statePartitions = Some(graft.streaming.StreamingOps
+            .boundedStatePartitions(s, s"$dir/events.parquet")))
         graft.streaming.StreamingOps.replayChangelog(cl, Seq("user_id"))
       }),
 
@@ -238,7 +242,9 @@ object Events {
           stream, "ts", "0 seconds", "1 hour",
           Seq("event_type"), Seq(count(lit(1)).as("n")))
           .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
-        graft.streaming.StreamingOps.runToParquet(agg, "hourly")
+        graft.streaming.StreamingOps.runToParquet(agg, "hourly",
+          statePartitions = Some(graft.streaming.StreamingOps
+            .boundedStatePartitions(s, s"$dir/events.parquet")))
       }),
 
     // ---- conversion funnel (view -> click -> purchase, 12h per step) ------
@@ -305,7 +311,9 @@ object Events {
           val out = graft.streaming.StreamingFunnel(
             stream, Seq("view", "click", "purchase"), within = "12 HOURS")
           graft.streaming.StreamingOps.runToParquet(
-            out.toDF(), "stream_funnel")
+            out.toDF(), "stream_funnel",
+            statePartitions = Some(graft.streaming.StreamingOps
+              .boundedStatePartitions(s, s"$dir/events.parquet")))
         } finally {
           prev match {
             case Some(v) => s.conf.set(provKey, v)

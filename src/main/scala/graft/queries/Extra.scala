@@ -107,15 +107,24 @@ object Extra {
                 (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
               FROM sh),
         v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
-        nr AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
-        dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.x * b.x) AS d
-               FROM v a JOIN v b ON a.dim = b.dim AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-        SELECT doc_a, doc_b, round(d / (na.nrm * nb.nrm), 6) AS sim
-        FROM dp
-        JOIN nr na ON na.doc_id = dp.doc_a
-        JOIN nr nb ON nb.doc_id = dp.doc_b
-        WHERE d / (na.nrm * nb.nrm) >= 0.6"""),
+        -- DENSE 128-dim vectors + list_dot_product over doc pairs: the
+        -- same exact brute force (feature counts are integer-valued, so
+        -- every dot product is accumulation-order exact) without the
+        -- sparse pair-dim join whose GROUP BY materializes ~|docs|^2 * 128
+        -- rows and spills DuckDB at sf0.1 (>90 GB observed)
+        dims AS (SELECT t.doc_id, r.i AS dim FROM t CROSS JOIN range(128) r(i)),
+        dense AS (SELECT dims.doc_id,
+                    list(coalesce(v.x, 0.0) ORDER BY dims.dim) AS vec
+                  FROM dims LEFT JOIN v
+                    ON v.doc_id = dims.doc_id AND v.dim = dims.dim
+                  GROUP BY dims.doc_id),
+        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) AS cos
+               FROM dense a JOIN dense b ON a.doc_id < b.doc_id
+               JOIN nr2 na ON na.doc_id = a.doc_id
+               JOIN nr2 nb ON nb.doc_id = b.doc_id)
+        SELECT doc_a, doc_b, round(cos, 6) AS sim FROM pr WHERE cos >= 0.6"""),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val vecs = docs.select(col("doc_id"),
@@ -138,14 +147,20 @@ object Extra {
                 (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
               FROM sh),
         v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
-        nr AS (SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
-        dp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.x * b.x) AS d
-               FROM v a JOIN v b ON a.dim = b.dim AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-        pr AS (SELECT doc_a AS a, doc_b AS b FROM dp
-               JOIN nr na ON na.doc_id = dp.doc_a
-               JOIN nr nb ON nb.doc_id = dp.doc_b
-               WHERE d / (na.nrm * nb.nrm) >= 0.6),
+        -- dense-vector brute force (see q_hash_embed_neardup): exact and
+        -- spill-free where the sparse pair-dim GROUP BY exhausted DuckDB
+        dims AS (SELECT t.doc_id, r.i AS dim FROM t CROSS JOIN range(128) r(i)),
+        dense AS (SELECT dims.doc_id,
+                    list(coalesce(v.x, 0.0) ORDER BY dims.dim) AS vec
+                  FROM dims LEFT JOIN v
+                    ON v.doc_id = dims.doc_id AND v.dim = dims.dim
+                  GROUP BY dims.doc_id),
+        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense),
+        pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+               FROM dense a JOIN dense b ON a.doc_id < b.doc_id
+               JOIN nr2 na ON na.doc_id = a.doc_id
+               JOIN nr2 nb ON nb.doc_id = b.doc_id
+               WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.6),
         e AS (SELECT a, b FROM pr
               UNION ALL SELECT b, a FROM pr
               UNION ALL SELECT doc_id, doc_id FROM documents),

@@ -903,7 +903,9 @@ object Pipeline {
         val deduped = stream
           .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
           .dropDuplicates("fp")
-        graft.streaming.StreamingOps.runToParquet(deduped, "stream_dedup")
+        graft.streaming.StreamingOps.runToParquet(deduped, "stream_dedup",
+          statePartitions = Some(graft.streaming.StreamingOps
+            .boundedStatePartitions(s, s"$dir/documents.parquet")))
       })
   )
 }

@@ -48,14 +48,17 @@ object StreamingOps {
     * rows — the reference's `toChangelogStream` RowKind semantics
     * (App.java:83): `+I` the first value emitted for a key, then for every
     * change a `-U` retracting the prior value followed by a `+U` carrying
-    * the replacement. Spark's update output mode emits only the latest row
-    * per changed key, so the retraction half is reconstructed by diffing
-    * each microbatch against the running snapshot of the dynamic table:
-    * a per-batch `left` join of the (changed-keys-only) batch against the
-    * snapshot — both bounded by the key cardinality, not the event volume,
-    * so the diff scales like the aggregation state itself. Snapshot and
-    * log are advanced with [[graft.ext.Lineage.cut]] (constant-size plans
-    * across batches; no driver buffering — rows stay distributed).
+    * the replacement. Spark's update output mode already emits exactly
+    * the latest row per CHANGED key each microbatch, so the emitted rows
+    * ARE the changelog minus the retractions — each batch is captured
+    * once with [[graft.ext.Lineage.cut]] (LogicalRDD-backed; rows stay
+    * distributed, no driver buffering), and the `-U` half is
+    * reconstructed AFTER the drain by one `lag()` window per key over
+    * batch_id on the captured log. That replaces the previous
+    * per-microbatch snapshot join (two lineage cuts + a key-diff join
+    * every batch) with one cut per batch plus a single bounded window:
+    * the log volume is the number of (batch, changed-key) emissions —
+    * the same rows either way — and the window shuffles once on the keys.
     *
     * Output: (op, batch_id, keys*, values*). Within one batch a key
     * contributes either one `+I` or a `-U`/`+U` pair; batches are atomic
@@ -63,8 +66,10 @@ object StreamingOps {
     * final dynamic-table state (tested equal to the batch aggregation). */
   def changelog(
       events: DataFrame, timeCol: String, delay: String,
-      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+      keys: Seq[String], aggs: Seq[Column],
+      statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = events.sparkSession
     val agg = runningAggregate(events, timeCol, delay, keys, aggs)
@@ -72,40 +77,33 @@ object StreamingOps {
     val logSchema = StructType(
       StructField("op", StringType, nullable = false) +:
         StructField("batch_id", LongType, nullable = false) +: agg.schema.fields)
-    val snapshot = new java.util.concurrent.atomic.AtomicReference[DataFrame](
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], agg.schema))
-    // per-batch op frames: built ONLY from lineage-cut (LogicalRDD-backed)
-    // inputs, so they remain valid after the microbatch's own frame dies —
-    // the union + any materialization happens once, after the drain,
-    // instead of one extra checkpoint job per batch
-    val opFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    val q = agg.writeStream
+    val batchFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    val q = withShufflePartitions(spark, statePartitions)(agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
-        val b = graft.ext.Lineage.cut(batch.toDF())
-        val prev = snapshot.get()
-        val prevRen = valCols.foldLeft(prev)((d, c) => d.withColumnRenamed(c, s"__old_$c"))
-          .withColumn("__exists", lit(true))
-        val j = b.join(prevRen, keys, "left")
-        def outCols(op: String, old: Boolean) =
-          lit(op).as("op") +: lit(bid).as("batch_id") +:
-            (keys.map(col) ++ valCols.map(c => if (old) col(s"__old_$c").as(c) else col(c)))
-        val plusI = j.where(col("__exists").isNull).select(outCols("+I", old = false): _*)
-        val minusU = j.where(col("__exists").isNotNull).select(outCols("-U", old = true): _*)
-        val plusU = j.where(col("__exists").isNotNull).select(outCols("+U", old = false): _*)
-        opFrames.add(plusI.union(minusU).union(plusU))
-        snapshot.set(graft.ext.Lineage.cut(
-          prev.join(b.select(keys.map(col): _*), keys, "left_anti").union(b)))
+        batchFrames.add(graft.ext.Lineage.cut(
+          batch.toDF().withColumn("batch_id", lit(bid))))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+      .start())
     q.awaitTermination()
     val frames = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      opFrames.iterator()).asScala.toSeq
+      batchFrames.iterator()).asScala.toSeq
     if (frames.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
-    else frames.reduce(_ union _)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id"))
+    val log = frames.reduce(_ union _).select(
+      (col("batch_id") +: lag(col("batch_id"), 1).over(w).as("__p_b") +:
+        keys.map(col)) ++
+        valCols.flatMap(c =>
+          Seq(col(c), lag(col(c), 1).over(w).as(s"__p_$c"))): _*)
+    def outCols(op: String, old: Boolean) =
+      lit(op).as("op") +: col("batch_id") +:
+        (keys.map(col) ++ valCols.map(c => if (old) col(s"__p_$c").as(c) else col(c)))
+    log.where(col("__p_b").isNull).select(outCols("+I", old = false): _*)
+      .union(log.where(col("__p_b").isNotNull).select(outCols("-U", old = true): _*))
+      .union(log.where(col("__p_b").isNotNull).select(outCols("+U", old = false): _*))
   }
 
   /** Fold an op-tagged changelog (from [[changelog]]) back into dynamic-
@@ -117,6 +115,43 @@ object StreamingOps {
         Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id").desc)))
       .where(col("__rn") === 1)
       .drop("__rn", "op", "batch_id")
+  }
+
+  /** State-store instance count for a BOUNDED drain of the given source
+    * files: one store per ~32 MB of input, floored at 8 (the stateful
+    * replay work — e.g. [[StreamingFunnel]]'s per-key cascade — still
+    * needs parallel slots) and capped at the session's shuffle
+    * partitions, so at deployment scale this reproduces the session
+    * setting unchanged. Rationale: AQE coalesces the batch jobs of a
+    * stateless foreachBatch drain automatically, but STATEFUL streaming
+    * operators bypass AQE and pin one state store per shuffle partition
+    * — measured at sf0.1, 32 stores cost a stateful query ~1.1-1.3 s of
+    * pure store init/commit overhead vs 8 (tools/StateOverheadProbe). */
+  def boundedStatePartitions(
+      spark: org.apache.spark.sql.SparkSession, paths: String*): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.getContentSummary(hp).getLength else 0L
+    }.sum
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(session,
+      math.max(8, math.ceil(bytes / (32.0 * 1024 * 1024)).toInt))
+  }
+
+  /** Pins spark.sql.shuffle.partitions around a bounded streaming run
+    * (the conf is read once at query start and governs the stateful
+    * operators' store count); restored afterwards. */
+  private def withShufflePartitions[T](
+      spark: org.apache.spark.sql.SparkSession, n: Option[Int])(
+      body: => T): T = n match {
+    case None => body
+    case Some(parts) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts)
+      try body finally spark.conf.set(key, prev)
   }
 
   /** Drain a streaming DataFrame (AvailableNow) through a DISTRIBUTED sink
@@ -131,51 +166,72 @@ object StreamingOps {
     * dir (shared storage on a real cluster, unlike a driver-local temp
     * path) is used, the bounded result is materialized off it, and the
     * scratch dir is deleted — nothing leaks per run. */
-  def runToParquet(df: DataFrame, name: String, sinkDir: Option[String] = None): DataFrame =
-    runBatchesToParquet(df, name, identity, sinkDir)
+  def runToParquet(
+      df: DataFrame, name: String, sinkDir: Option[String] = None,
+      statePartitions: Option[Int] = None): DataFrame =
+    runBatchesToParquet(df, name, identity, sinkDir, statePartitions)
 
   /** As [[runToParquet]], but each microbatch is first passed through
     * `transform` — the escape hatch for per-batch logic Structured
     * Streaming cannot express statefully (joins + aggregations against
     * static reference frames, e.g. containment-on-ingest). The output
     * schema is derived by applying `transform` to an empty batch-shaped
-    * frame, so zero-batch streams still return a typed empty result. */
+    * frame, so zero-batch streams still return a typed empty result.
+    *
+    * Two sink modes: with `sinkDir` (the production S4 shape) each batch
+    * appends parquet to the user-designated shared storage and the
+    * returned frame reads it back. Without (the bounded gate/bench
+    * drain) each batch is instead materialized in place with
+    * [[graft.ext.Lineage.cut]] (LogicalRDD-backed, rows stay on the
+    * executors — the same discipline as [[changelog]]) and the union of
+    * batch frames is returned: no parquet task-commit/fsync round-trip
+    * and no re-read scan per run, which was the single biggest share of
+    * the per-query streaming fixed overhead at bench scale. */
   def runBatchesToParquet(
       df: DataFrame, name: String,
       transform: DataFrame => DataFrame,
-      sinkDir: Option[String] = None): DataFrame = {
+      sinkDir: Option[String] = None,
+      statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val spark = df.sparkSession
-    val dir = sinkDir.getOrElse {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      s"$wh/graft_stream/${name}_${java.util.UUID.randomUUID().toString.take(8)}"
-    }
     val outSchema = transform(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)).schema
-    val q = df.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        transform(batch.toDF()).write.mode("append").parquet(dir)
-      }
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // zero-batch stream: no files were written; preserve the schema
-    val wrote = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
-    if (sinkDir.isDefined) {
-      if (wrote) spark.read.schema(outSchema).parquet(dir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    } else {
-      // scratch mode: materialize the (bounded, watermark-closed) result,
-      // then remove the scratch dir so repeated gate runs leave no residue
-      val out =
-        if (wrote) spark.read.schema(outSchema).parquet(dir).localCheckpoint()
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-      if (fs.exists(hPath)) fs.delete(hPath, true)
-      out
+    def emptyOut =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    sinkDir match {
+      case Some(dir) =>
+        val q = withShufflePartitions(spark, statePartitions)(df.writeStream
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            transform(batch.toDF()).write.mode("append").parquet(dir)
+          }
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+        val hPath = new org.apache.hadoop.fs.Path(dir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // zero-batch stream: no files were written; preserve the schema
+        val wrote = fs.exists(hPath) &&
+          fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+        if (wrote) spark.read.schema(outSchema).parquet(dir) else emptyOut
+      case None =>
+        // batch frames built ONLY from lineage-cut inputs stay valid
+        // after the microbatch's own frame dies (every batch is cut,
+        // including the watermark-advancing no-data batch — append-mode
+        // operators emit their finalized windows exactly there)
+        val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+        val q = withShufflePartitions(spark, statePartitions)(df.writeStream
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            frames.add(graft.ext.Lineage.cut(transform(batch.toDF())))
+            ()
+          }
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        q.awaitTermination()
+        val fs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          frames.iterator()).asScala.toSeq
+        if (fs.isEmpty) emptyOut else fs.reduce(_ union _)
     }
   }
 }
