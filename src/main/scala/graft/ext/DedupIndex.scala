@@ -66,14 +66,29 @@ object DedupIndex {
       n: Int = 3): Unit = {
     val spark = corpus.sparkSession
     val sh = Dedup.docShingles(corpus, n).persist(Lvl)
-    Dedup.minhashBandRows(sh, bands, rowsPerBand)
-      .withColumn("bp", substring(col("bkey"), 1, 1))
-      .repartition(col("bp")).sortWithinPartitions("bkey")
-      .write.mode("overwrite").partitionBy("bp").parquet(s"$path/bands")
-    hashedSets(sh)
-      .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("int"))
-      .repartition(col("dp")).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("dp").parquet(s"$path/sets")
+    // materialize the shared shingle cache once, then run the two
+    // independent writes as CONCURRENT jobs: each spends much of its
+    // wall-clock in low-parallelism tail stages (16-partition shuffle
+    // write + task commit), so overlapping them hides one write's tail
+    // behind the other's compute on an otherwise-idle scheduler
+    sh.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bandsW = Future {
+      Dedup.minhashBandRows(sh, bands, rowsPerBand)
+        .withColumn("bp", substring(col("bkey"), 1, 1))
+        .repartition(col("bp")).sortWithinPartitions("bkey")
+        .write.mode("overwrite").partitionBy("bp").parquet(s"$path/bands")
+    }
+    val setsW = Future {
+      hashedSets(sh)
+        .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("int"))
+        .repartition(col("dp")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("dp").parquet(s"$path/sets")
+    }
+    Await.result(bandsW, Duration.Inf)
+    Await.result(setsW, Duration.Inf)
     sh.unpersist()
     import spark.implicits._
     Seq((bands, rowsPerBand, n)).toDF("bands", "rows_per_band", "n")

@@ -312,8 +312,11 @@ object Events {
             stream, Seq("view", "click", "purchase"), within = "12 HOURS")
           graft.streaming.StreamingOps.runToParquet(
             out.toDF(), "stream_funnel",
+            // replay-CPU-bound state: 1 MB/partition (see the sizing
+            // scaladoc) so the cascade sort keeps its parallelism at 10x
             statePartitions = Some(graft.streaming.StreamingOps
-              .boundedStatePartitions(s, s"$dir/events.parquet")))
+              .boundedStatePartitions(s, 1L * 1024 * 1024,
+                s"$dir/events.parquet")))
         } finally {
           prev match {
             case Some(v) => s.conf.set(provKey, v)

@@ -128,7 +128,19 @@ object StreamingOps {
     * — measured at sf0.1, 32 stores cost a stateful query ~1.1-1.3 s of
     * pure store init/commit overhead vs 8 (tools/StateOverheadProbe). */
   def boundedStatePartitions(
-      spark: org.apache.spark.sql.SparkSession, paths: String*): Int = {
+      spark: org.apache.spark.sql.SparkSession, paths: String*): Int =
+    boundedStatePartitions(spark, 32L * 1024 * 1024, paths: _*)
+
+  /** As above with an explicit per-partition input-byte density — the
+    * per-OPERATOR knob: store-dominated aggregations keep the default
+    * 32 MB/partition (few stores, the overhead win), while replay-CPU-
+    * bound state (e.g. [[StreamingFunnel]]'s per-key cascade sort) sizes
+    * at ~1 MB/partition so drain parallelism grows with volume instead
+    * of pinning heavy per-key compute onto the floor-8 cores (measured:
+    * funnel at x10 ran 8.9 s on 8 partitions vs 6.1 s on 32). */
+  def boundedStatePartitions(
+      spark: org.apache.spark.sql.SparkSession, bytesPerPartition: Long,
+      paths: String*): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val bytes = paths.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -137,7 +149,7 @@ object StreamingOps {
     }.sum
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     math.min(session,
-      math.max(8, math.ceil(bytes / (32.0 * 1024 * 1024)).toInt))
+      math.max(8, math.ceil(bytes / bytesPerPartition.toDouble).toInt))
   }
 
   /** Pins spark.sql.shuffle.partitions around a bounded streaming run
