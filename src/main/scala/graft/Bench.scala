@@ -155,6 +155,19 @@ object Bench {
         graft.ext.Similarity.bucketedNN(
           graft.ext.IvfKMeans.assignCells(e2k, cents), "cell", k = 5).count()
       }
+      // partitioned parquet WRITE path (committer init, codec, task
+      // commit protocol): the streaming drains no longer write parquet,
+      // so the suite's first real write otherwise lands on
+      // q_dedup_against's index build
+      warm("parquet-write") {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val dir = s"$wh/graft_warm_write"
+        spark.range(64).withColumn("p", col("id") % 4)
+          .write.mode("overwrite").partitionBy("p").parquet(dir)
+        val hp = new org.apache.hadoop.fs.Path(dir)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) { fs.delete(hp, true); () }
+      }
       // repetition-stats and char-trigram kernels (plus the trigram
       // model-build agg) JIT on first use like the shingle family
       warm("text-kernels") {
