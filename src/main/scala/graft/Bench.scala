@@ -300,7 +300,11 @@ object Bench {
       if (totalAfter > totalBefore)
         100.0 * (stealAfter - stealBefore) / (totalAfter - totalBefore)
       else Double.NaN
-    def j(d: Double): String = if (d.isNaN) "null" else f"$d%.2f"
+    // Locale.ROOT: the default-locale f interpolator renders 0.42 as
+    // "0,42" on comma-decimal locales, corrupting the JSON line
+    def j(d: Double): String =
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val host = s""""host":{"load1_before":${j(l1Before)},""" +
       s""""load1_after":${j(l1After)},"load5_before":${j(l5Before)},""" +
       s""""load5_after":${j(l5After)},"steal_pct":${j(stealPct)}}"""

@@ -87,9 +87,15 @@ object DedupIndex {
         .repartition(col("dp")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("dp").parquet(s"$path/sets")
     }
-    Await.result(bandsW, Duration.Inf)
-    Await.result(setsW, Duration.Inf)
+    // await BOTH before surfacing either failure: bailing on the first
+    // error would leave the other write running unawaited (a zombie
+    // overwrite racing any retry of build()) and leak the persisted
+    // shingle frame
+    val bandsR = scala.util.Try(Await.result(bandsW, Duration.Inf))
+    val setsR = scala.util.Try(Await.result(setsW, Duration.Inf))
     sh.unpersist()
+    bandsR.get
+    setsR.get
     import spark.implicits._
     Seq((bands, rowsPerBand, n)).toDF("bands", "rows_per_band", "n")
       .write.mode("overwrite").parquet(s"$path/meta")

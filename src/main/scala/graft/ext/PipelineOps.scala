@@ -154,19 +154,8 @@ object PipelineOps {
     * distinct-shingle table, never rejoining raw text.
     * Output: (doc_id, n_sh, boiler_sh, boiler_ratio, keep). */
   def boilerplate(
-      docs: DataFrame, minDf: Long = 3, maxRatio: Double = 0.3): DataFrame = {
-    val sh = Dedup.docShingles(docs)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_sh"),
-        count(when(col("df") >= minDf, 1)).as("boiler_sh"))
-      .select(
-        col("doc_id"), col("n_sh"), col("boiler_sh"),
-        (col("boiler_sh").cast("double") / col("n_sh")).as("boiler_ratio"),
-        (col("boiler_sh").cast("double") / col("n_sh") <= maxRatio).as("keep"))
-  }
+      docs: DataFrame, minDf: Long = 3, maxRatio: Double = 0.3): DataFrame =
+    boilerplateImpl(docs, identity, lit(minDf), maxRatio)
 
   /** [[boilerplate]] with the FRACTIONAL df floor max(3, 1%·|docs|)
     * computed inside the plan: the 1-row corpus count broadcasts into
@@ -180,14 +169,22 @@ object PipelineOps {
     val nDocs = broadcast(docs.agg(count(lit(1)).as("__n_docs")))
     val minDfCol = greatest(
       lit(3L), ceil(lit(0.01) * col("__n_docs")).cast("long"))
+    boilerplateImpl(docs, _.crossJoin(nDocs), minDfCol, maxRatio)
+  }
+
+  /** Shared body of the two variants above: `attachFloor` optionally
+    * cross-joins the broadcast 1-row corpus-count frame the fractional
+    * floor column reads from. */
+  private def boilerplateImpl(
+      docs: DataFrame, attachFloor: DataFrame => DataFrame,
+      minDf: Column, maxRatio: Double): DataFrame = {
     val sh = Dedup.docShingles(docs)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("shingle"))
-      .crossJoin(nDocs)
+    attachFloor(sh.join(df, Seq("shingle")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_sh"),
-        count(when(col("df") >= minDfCol, 1)).as("boiler_sh"))
+        count(when(col("df") >= minDf, 1)).as("boiler_sh"))
       .select(
         col("doc_id"), col("n_sh"), col("boiler_sh"),
         (col("boiler_sh").cast("double") / col("n_sh")).as("boiler_ratio"),

@@ -118,7 +118,12 @@ object Extra {
                   FROM dims LEFT JOIN v
                     ON v.doc_id = dims.doc_id AND v.dim = dims.dim
                   GROUP BY dims.doc_id),
-        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense),
+        -- zero-norm docs (under 3 tokens => no shingles) have no cosine
+        -- direction; the engine drops them (srpNearDup's nrm > 0 filter),
+        -- and without this WHERE their 0/0 = NaN cos would pass >= 0.6
+        -- under DuckDB's NaN-highest ordering
+        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense
+                WHERE list_dot_product(vec, vec) > 0),
         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                       list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) AS cos
                FROM dense a JOIN dense b ON a.doc_id < b.doc_id
@@ -155,7 +160,10 @@ object Extra {
                   FROM dims LEFT JOIN v
                     ON v.doc_id = dims.doc_id AND v.dim = dims.dim
                   GROUP BY dims.doc_id),
-        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense),
+        -- nrm > 0: drop direction-less zero vectors like the engine does
+        -- (they'd otherwise pair with everything via NaN cos in DuckDB)
+        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense
+                WHERE list_dot_product(vec, vec) > 0),
         pr AS (SELECT a.doc_id AS a, b.doc_id AS b
                FROM dense a JOIN dense b ON a.doc_id < b.doc_id
                JOIN nr2 na ON na.doc_id = a.doc_id

@@ -93,11 +93,14 @@ object StreamingOps {
     if (frames.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], logSchema)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("batch_id"))
-    val log = frames.reduce(_ union _).select(
+    // cut: the three op branches below each reference this frame, and
+    // without a lineage barrier Spark would re-run the window sort over
+    // the full batch log once PER branch
+    val log = graft.ext.Lineage.cut(frames.reduce(_ union _).select(
       (col("batch_id") +: lag(col("batch_id"), 1).over(w).as("__p_b") +:
         keys.map(col)) ++
         valCols.flatMap(c =>
-          Seq(col(c), lag(col(c), 1).over(w).as(s"__p_$c"))): _*)
+          Seq(col(c), lag(col(c), 1).over(w).as(s"__p_$c"))): _*))
     def outCols(op: String, old: Boolean) =
       lit(op).as("op") +: col("batch_id") +:
         (keys.map(col) ++ valCols.map(c => if (old) col(s"__p_$c").as(c) else col(c)))

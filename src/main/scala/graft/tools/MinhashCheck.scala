@@ -32,10 +32,11 @@ object MinhashCheck {
         "usage: MinhashCheck [-b bands] [-r rowsPerBand] <sfDir...>")
       sys.exit(2)
     }
+    // toIntOption (not isDigit+toInt): rejects overflow ("99999999999")
+    // and non-ASCII Unicode digits with usage() instead of a crash
     def intArg(i: Int): Int =
-      if (i < rawArgs.length && rawArgs(i).nonEmpty &&
-          rawArgs(i).forall(_.isDigit) && rawArgs(i).toInt >= 1)
-        rawArgs(i).toInt
+      if (i < rawArgs.length) rawArgs(i).toIntOption.filter(_ >= 1)
+        .getOrElse(usage())
       else usage()
     var bands = 3; var rows = 3
     val args = scala.collection.mutable.ArrayBuffer[String]()

@@ -20,15 +20,27 @@ cd /root/repo
 SF001=${SF001:-/root/testdata/sf0.01}
 SF01=${SF01:-/root/testdata/sf0.1}
 X10=${X10:-/root/repo/bench_scale/x10}
-# pipefail makes a gate tool's nonzero exit (e.g. RecallCheck's
-# sys.exit(1) on gate_failed>0) surface through the grep|sed pipe; the
+# A gate tool's nonzero exit (e.g. RecallCheck's sys.exit(1) on
+# gate_failed>0) fails the battery — but only AFTER its diagnostic lines
+# are printed (capturing through a pipefail'd pipe under set -e would
+# abort before the operator sees which gate row failed, and a passing
+# tool with no "[info] [" lines would trip grep's no-match exit 1). The
 # FAIL scan catches tools that report failure in text only. (MISMATCH is
 # NOT asserted: Srp/MinhashCheck print it for the documented expected
 # probabilistic boundary misses at x10 — see the header.)
 run() {
-  local out
-  out=$(sbt -batch "runMain $*" 2>&1 | grep -E "^\[info\] \[" | sed 's/^\[info\] //')
+  local raw status out
+  set +e
+  raw=$(sbt -batch "runMain $*" 2>&1)
+  status=$?
+  set -e
+  out=$(printf '%s\n' "$raw" | grep -E "^\[info\] \[" | sed 's/^\[info\] //' || true)
   printf '%s\n' "$out"
+  if [ "$status" -ne 0 ]; then
+    echo "gates.sh: $* exited $status; last output lines:" >&2
+    printf '%s\n' "$raw" | tail -20 >&2
+    exit 1
+  fi
   if printf '%s' "$out" | grep -q "FAIL"; then
     echo "gates.sh: FAIL in output of $*" >&2; exit 1
   fi
