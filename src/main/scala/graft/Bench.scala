@@ -275,6 +275,28 @@ object Bench {
     // documented 185-vs-238 s same-code noisy-neighbor band
     val (l1Before, l5Before, _) = loadavg()
     val (stealBefore, totalBefore) = cpuJiffies()
+    // fixed-work calibration probes: load/steal miss the second observed
+    // weather mode (memory-bandwidth/LLC contention that reports ZERO
+    // steal yet ran the same code 1.2-1.3x slower — see BASELINE.md), so
+    // time the two regimes it hits directly. Readings scale with current
+    // box speed, not with this suite's code, making any two JSON lines
+    // comparable: a run whose calib values match another's ran on an
+    // equally-fast box, and its query deltas are code.
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum}
+    val calibCpuSec = {
+      val c0 = System.nanoTime()
+      spark.range(400L * 1000 * 1000)
+        .select(sum(col("id") * 3 + 1)).collect()
+      (System.nanoTime() - c0) / 1e9
+    }
+    val calibShuffleSec = {
+      val s0 = System.nanoTime()
+      spark.range(30L * 1000 * 1000)
+        .withColumn("k", pmod(col("id") * 2654435761L, lit(100000)))
+        .groupBy("k").agg(sum(col("id")).as("s"))
+        .agg(sum(col("s"))).collect()
+      (System.nanoTime() - s0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => onlyFilter.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -307,7 +329,9 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val host = s""""host":{"load1_before":${j(l1Before)},""" +
       s""""load1_after":${j(l1After)},"load5_before":${j(l5Before)},""" +
-      s""""load5_after":${j(l5After)},"steal_pct":${j(stealPct)}}"""
+      s""""load5_after":${j(l5After)},"steal_pct":${j(stealPct)},""" +
+      s""""calib_cpu_sec":${j(calibCpuSec)},""" +
+      s""""calib_shuffle_sec":${j(calibShuffleSec)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}""")
     // Repeat a compact total as the LAST line: the full line above is the
     // per-query record, but log-capture that keeps only a bounded tail
