@@ -24,12 +24,15 @@ object Bench {
   /** (stealJiffies, totalJiffies) from /proc/stat's aggregate cpu line;
     * deltas across the run give steal%% — nonzero only when a noisy
     * co-tenant VM takes the pCPU (the BASELINE.md 185-vs-238 s weather
-    * signature). */
+    * signature). Total sums only the first 8 columns (user..steal):
+    * guest/guest_nice are already folded into user/nice by the kernel,
+    * so including them would double-count on guest-running hosts and
+    * understate steal%%. */
   private def cpuJiffies(): (Long, Long) =
     try {
       val cols = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+").drop(1).map(_.toLong)
-      (if (cols.length > 7) cols(7) else 0L, cols.sum)
+      (if (cols.length > 7) cols(7) else 0L, cols.take(8).sum)
     } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
 
   def main(args: Array[String]): Unit = {
@@ -338,6 +341,48 @@ object Bench {
     // (the driver's BENCH_r*.json `tail` field truncated it in r11) must
     // still see a machine-readable total (and the host-load fields).
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$host}""")
+    // Third bounded line: the driver's BENCH_r*.json `tail` capture
+    // truncates the giant per-query line from the START, hiding the
+    // alphabetical front half (63 of 114 rows in r13). Print the top-20
+    // slowest rows plus every row exceeding 1.5x a committed per-query
+    // reference (bench_ref.json, written by the campaign from its
+    // min-of-3), so >2x adjudication never needs campaign forensics.
+    // The ref compare only applies when the ref was taken at this sfDir.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      "bench_ref.json")
+    val refQueries: Map[String, Double] =
+      try {
+        val text = scala.io.Source.fromFile(refPath).mkString
+        val sfOk = {
+          val m = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text)
+          m.exists(_.group(1) == sfDir)
+        }
+        if (!sfOk) Map.empty
+        else """"(q_[a-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    def j3(d: Double): String =
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val slowest = results.sortBy(-_._2).take(20)
+    val outliers = results
+      .filter { case (n, v) =>
+        refQueries.get(n).exists(r => r > 0 && v > 1.5 * r) }
+      .sortBy { case (n, v) => -(v / refQueries(n)) }
+      .take(40)
+    def rowsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + j3(v) }
+        .mkString("{", ",", "}")
+    val outJson = outliers
+      .map { case (k, v) =>
+        "\"" + k + "\":{\"sec\":" + j3(v) +
+          ",\"ref\":" + j3(refQueries(k)) +
+          ",\"ratio\":" + j3(v / refQueries(k)) + "}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"slowest","top":${rowsJson(slowest)},""" +
+      s""""over_1p5x_ref":$outJson,""" +
+      s""""ref_rows":${refQueries.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -125,7 +125,12 @@ object StreamingOps {
     * replay work — e.g. [[StreamingFunnel]]'s per-key cascade — still
     * needs parallel slots) and capped at the session's shuffle
     * partitions, so at deployment scale this reproduces the session
-    * setting unchanged. Rationale: AQE coalesces the batch jobs of a
+    * setting unchanged. The session cap DOMINATES the floor: with
+    * session shuffle partitions below 8 (e.g. the Bench default
+    * SPARK_GRAFT_CPUS=4), the result is the session value — on a box
+    * that small, extra store partitions would only add init/commit
+    * overhead with no parallelism to gain, so the degradation of the
+    * 1 MB/partition tuning there is deliberate. Rationale: AQE coalesces the batch jobs of a
     * stateless foreachBatch drain automatically, but STATEFUL streaming
     * operators bypass AQE and pin one state store per shuffle partition
     * — measured at sf0.1, 32 stores cost a stateful query ~1.1-1.3 s of

@@ -21,13 +21,23 @@ import sys
 
 def load(path):
     with open(path) as f:
-        text = f.read()
-    # accept either a bare JSON line or a log line with a JSON suffix
-    d = json.loads(text[text.index("{"):])
-    if "queries" not in d:
-        sys.exit(f"{path}: no per-query record (compact total line only? "
-                 "use the first emitted line, which carries \"queries\")")
-    return d
+        lines = f.read().splitlines()
+    # Bench emits up to three JSON lines (per-query, compact total,
+    # slowest); files may also carry log prefixes/suffixes. Scan line by
+    # line with raw_decode and keep the first object carrying "queries".
+    dec = json.JSONDecoder()
+    for line in lines:
+        i = line.find("{")
+        if i < 0:
+            continue
+        try:
+            d, _ = dec.raw_decode(line[i:])
+        except ValueError:
+            continue
+        if isinstance(d, dict) and "queries" in d:
+            return d
+    sys.exit(f"{path}: no per-query record found (need the Bench line "
+             "that carries \"queries\")")
 
 
 def main():

@@ -41,7 +41,10 @@ run() {
     printf '%s\n' "$raw" | tail -20 >&2
     exit 1
   fi
-  if printf '%s' "$out" | grep -q "FAIL"; then
+  # Anchored: match FAIL only as a standalone token, so a future
+  # passing summary like "FAILED=0" or a path containing FAIL cannot
+  # spuriously abort the battery.
+  if printf '%s' "$out" | grep -qE '(^|[^A-Za-z0-9_])FAIL([^A-Za-z0-9_]|$)'; then
     echo "gates.sh: FAIL in output of $*" >&2; exit 1
   fi
 }
