@@ -435,6 +435,114 @@ object Multimodal {
   val FrameBytes = 64
   val NativeFps = 30
 
+  private def looksLikeGif(p: Array[Byte]): Boolean =
+    p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+  /** One composed frame of an animated GIF: index in the file's frame
+    * sequence, millisecond timestamp accumulated from the per-frame
+    * GraphicControlExtension delays (frame 0 at 0 ms), canvas
+    * dimensions, and the composed canvas as row-major 8-bit luma. */
+  final case class GifFrame(
+      frameIdx: Int, tsMs: Long, width: Int, height: Int, gray: Array[Byte])
+
+  /** First attribute value of `node` under a GIF metadata tree, as Int. */
+  private def gifAttr(
+      root: org.w3c.dom.Element, node: String, attr: String): Option[Int] = {
+    val list = root.getElementsByTagName(node)
+    if (list.getLength == 0) None
+    else Option(list.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute(attr))
+      .filter(_.nonEmpty)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+  }
+
+  /** REAL multi-frame decode for one container format — animated GIF —
+    * via JDK 17's own `javax.imageio` GIF reader (the same reader the
+    * still-image path uses; no external codec). Frames are composed
+    * onto a persistent logical-screen canvas at their ImageDescriptor
+    * offsets, which is correct for disposal "none"/"doNotDispose" (the
+    * common delta-frame encoding); "restoreToBackgroundColor" is
+    * approximated by leaving the prior pixels in place (documented
+    * limitation — the container ships no reference renderer to pin it
+    * against). Per-frame delay comes from the GraphicControlExtension
+    * in centiseconds; a missing/zero delay falls back to 10 cs, the
+    * historical GIF default. None when the payload is not a GIF the
+    * reader accepts. */
+  def decodeGifFrames(payload: Array[Byte]): Option[Vector[GifFrame]] = {
+    if (!looksLikeGif(payload)) return None
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(stream, false)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val screen = Option(reader.getStreamMetadata)
+        .map(_.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element])
+      val first = reader.read(0)
+      val cw = screen.flatMap(
+        gifAttr(_, "LogicalScreenDescriptor", "logicalScreenWidth"))
+        .filter(_ > 0).getOrElse(first.getWidth)
+      val ch = screen.flatMap(
+        gifAttr(_, "LogicalScreenDescriptor", "logicalScreenHeight"))
+        .filter(_ > 0).getOrElse(first.getHeight)
+      val canvas = new java.awt.image.BufferedImage(
+        cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = canvas.createGraphics()
+      try {
+        var ts = 0L
+        val out = Vector.newBuilder[GifFrame]
+        var i = 0
+        while (i < n) {
+          val img = if (i == 0) first else reader.read(i)
+          val md = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val left = gifAttr(md, "ImageDescriptor", "imageLeftPosition")
+            .getOrElse(0)
+          val top = gifAttr(md, "ImageDescriptor", "imageTopPosition")
+            .getOrElse(0)
+          val delayCs = gifAttr(md, "GraphicControlExtension", "delayTime")
+            .filter(_ > 0).getOrElse(10)
+          g2.drawImage(img, left, top, null)
+          val px = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+          val gray = Array.ofDim[Byte](cw * ch)
+          var k = 0
+          while (k < px.length) {
+            val p = px(k)
+            gray(k) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000).toByte
+            k += 1
+          }
+          out += GifFrame(i, ts, cw, ch, gray)
+          ts += delayCs * 10L
+          i += 1
+        }
+        Some(out.result())
+      } finally g2.dispose()
+    } catch { case _: Exception => None }
+    finally { try reader.dispose() finally stream.close() }
+  }
+
+  /** Keep the first frame in each 1/targetFps output tick: frame i
+    * survives iff its timestamp reaches the next tick after the last
+    * kept frame (all-integer, so specs/oracles reproduce it exactly).
+    * Frame 0 always survives. */
+  private[graft] def resampleByFps(
+      frames: Vector[GifFrame], targetFps: Int): Vector[GifFrame] = {
+    var nextTickNum = 0L // next tick, in units of 1000/targetFps ms
+    frames.filter { f =>
+      if (f.tsMs * targetFps >= nextTickNum * 1000) {
+        nextTickNum = f.tsMs * targetFps / 1000 + 1
+        true
+      } else false
+    }
+  }
+
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("frame_idx", LongType, nullable = false),
@@ -453,12 +561,16 @@ object Multimodal {
     * their own (frame_idx, ts_ms) so any later per-frame model stage can
     * shuffle/window them independently of the source video row.
     *
-    * Frame decode is the deterministic byte-window stub ([[FrameBytes]]
-    * windows at [[NativeFps]] — trailing partial frame included, same
-    * convention as chunk dedup); a real codec would replace ONLY the
-    * `slice` call. mean_byte (unsigned) is the stand-in per-frame
-    * feature. stride = max(1, NativeFps / targetFps) using integer
-    * division, so the oracle can reproduce it exactly.
+    * Frame decode: payloads that ARE animated GIFs go through the REAL
+    * [[decodeGifFrames]] path (JDK-native reader; frame = composed
+    * canvas as 8-bit luma, ts_ms from the file's own per-frame delays,
+    * resampled to `targetFps` by [[resampleByFps]]); everything else
+    * uses the deterministic byte-window stub ([[FrameBytes]] windows at
+    * [[NativeFps]] — trailing partial frame included, same convention
+    * as chunk dedup), where a real codec would replace ONLY the `slice`
+    * call and stride = max(1, NativeFps / targetFps) with integer
+    * division so the oracle reproduces it exactly. mean_byte (unsigned)
+    * is the per-frame feature in both paths.
     * Output: (doc_id, frame_idx, ts_ms, frame, mean_byte). */
   def sampleFrames(media: DataFrame, targetFps: Int): DataFrame = {
     require(targetFps > 0, s"targetFps must be positive, got $targetFps")
@@ -468,19 +580,31 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
-        (0 until nFrames).iterator
-          .filter(_ % stride == 0)
-          .map { i =>
-            val from = i * FrameBytes
-            val until = math.min(from + FrameBytes, payload.length)
-            val frame = java.util.Arrays.copyOfRange(payload, from, until)
-            var s = 0L
-            var k = 0
-            while (k < frame.length) { s += frame(k) & 0xff; k += 1 }
-            Row(id, i.toLong, i * 1000L / NativeFps, frame,
-              s.toDouble / frame.length)
-          }
+        decodeGifFrames(payload) match {
+          case Some(frames) =>
+            resampleByFps(frames, targetFps).iterator.map { f =>
+              var s = 0L
+              var k = 0
+              while (k < f.gray.length) { s += f.gray(k) & 0xff; k += 1 }
+              val mean =
+                if (f.gray.length == 0) 0.0 else s.toDouble / f.gray.length
+              Row(id, f.frameIdx.toLong, f.tsMs, f.gray, mean)
+            }
+          case None =>
+            val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+            (0 until nFrames).iterator
+              .filter(_ % stride == 0)
+              .map { i =>
+                val from = i * FrameBytes
+                val until = math.min(from + FrameBytes, payload.length)
+                val frame = java.util.Arrays.copyOfRange(payload, from, until)
+                var s = 0L
+                var k = 0
+                while (k < frame.length) { s += frame(k) & 0xff; k += 1 }
+                Row(id, i.toLong, i * 1000L / NativeFps, frame,
+                  s.toDouble / frame.length)
+              }
+        }
       }
     }
     spark.createDataFrame(rdd, frameSchema)
