@@ -133,7 +133,7 @@ object Dedup {
   /** LSH band-bucket rows (doc_id, band, bkey) for a shingle frame —
     * the bucketing half of [[minhashNearDup]], shared with the
     * against-corpus variant and the persisted [[DedupIndex]]. */
-  private[ext] def minhashBandRows(
+  private[graft] def minhashBandRows(
       sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigs = minhashSignatures(sh, bands * rowsPerBand)
     val bandStructs = (0 until bands).map { b =>

@@ -23,7 +23,16 @@ object Lineage {
     * configured, else a local checkpoint (executor block storage — the
     * right default for bounded intermediates like near-dup pair sets).
     * Blocks are released by the ContextCleaner once the frame is
-    * unreferenced, so callers inherit no unpersist obligation. */
+    * unreferenced, so callers inherit no unpersist obligation.
+    *
+    * NOT idempotence-checked on purpose: a plan whose root is a
+    * LogicalRDD is not necessarily materialized — foreachBatch hands
+    * its transform a LogicalRDD-planned frame that has NOT been
+    * evaluated yet, and skipping the checkpoint there leaves stateful
+    * operators' partitions unprocessed (Spark 4's state-store commit
+    * validation fails the batch with "expected N commits but got 0").
+    * A composed double cut costs one extra pass over the (small) result
+    * rows; correctness beats that. */
   def cut(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

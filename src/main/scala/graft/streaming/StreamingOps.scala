@@ -78,16 +78,19 @@ object StreamingOps {
       StructField("op", StringType, nullable = false) +:
         StructField("batch_id", LongType, nullable = false) +: agg.schema.fields)
     val batchFrames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-    val q = withShufflePartitions(spark, statePartitions)(agg.writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
-        batchFrames.add(graft.ext.Lineage.cut(
-          batch.toDF().withColumn("batch_id", lit(bid))))
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start())
-    q.awaitTermination()
+    withScratchCheckpoint("changelog") { ckpt =>
+      val q = withShufflePartitions(spark, statePartitions)(agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+          batchFrames.add(graft.ext.Lineage.cut(
+            batch.toDF().withColumn("batch_id", lit(bid))))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      q.awaitTermination()
+    }
     val frames = scala.jdk.CollectionConverters.IteratorHasAsScala(
       batchFrames.iterator()).asScala.toSeq
     if (frames.isEmpty)
@@ -158,6 +161,33 @@ object StreamingOps {
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     math.min(session,
       math.max(8, math.ceil(bytes / bytesPerPartition.toDouble).toInt))
+  }
+
+  /** Scratch checkpoint root for BOUNDED drains whose result is handed
+    * back in-session: nothing ever resumes from such a checkpoint (the
+    * query is created, drained with AvailableNow, and discarded inside
+    * one call), so it is disposable by construction and goes to
+    * node-local tmpfs when available (/dev/shm) — the per-batch
+    * offset/commit WAL writes and every state-store delta commit then
+    * cost memory-speed IO instead of disk fsyncs (measured ~0.1-0.3 s
+    * per stateful drain at sf0.1). Deployed continuous queries must
+    * keep durable shared-storage checkpoints — the sinkDir mode and
+    * [[graft.ext.IvfIndex.appendOnIngest]] deliberately do. */
+  private def withScratchCheckpoint[T](name: String)(
+      body: String => T): T = {
+    val base =
+      if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(base, s"graft_ckpt_$name")
+    try body(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** Pins spark.sql.shuffle.partitions around a bounded streaming run
@@ -240,15 +270,18 @@ object StreamingOps {
         // including the watermark-advancing no-data batch — append-mode
         // operators emit their finalized windows exactly there)
         val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-        val q = withShufflePartitions(spark, statePartitions)(df.writeStream
-          .foreachBatch { (batch: Dataset[Row], _: Long) =>
-            frames.add(graft.ext.Lineage.cut(transform(batch.toDF())))
-            ()
-          }
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start())
-        q.awaitTermination()
+        withScratchCheckpoint(name) { ckpt =>
+          val q = withShufflePartitions(spark, statePartitions)(df.writeStream
+            .foreachBatch { (batch: Dataset[Row], _: Long) =>
+              frames.add(graft.ext.Lineage.cut(transform(batch.toDF())))
+              ()
+            }
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+          q.awaitTermination()
+        }
         val fs = scala.jdk.CollectionConverters.IteratorHasAsScala(
           frames.iterator()).asScala.toSeq
         if (fs.isEmpty) emptyOut else fs.reduce(_ union _)
