@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-14 bench campaign: 3x sf0.1 + 3x x10 on FINAL round-14 code,
+# plus the pinned-commit weather control the round-13 verdict asked
+# for: rebuild 47add14 (the commit whose runs produced BASELINE.md's
+# current x10 column) in a throwaway clone and run it once at x10 in
+# the same window. If the control's rows match its own round-13
+# campaign numbers the box is clean and the new x10 runs stamp; if the
+# control is elevated too, the elevation is weather and the x10 stamp
+# must be regenerated later. Run with NOTHING else on the box. Run
+# files are written atomically (tmp + mv); progress markers record how
+# far a killed campaign got.
+set -x
+cd /root/repo
+R=/root/repo/bench_runs_r14
+echo "started $(date -u +%FT%TZ)" > $R/progress.log
+run_one() {  # $1 = sf dir, $2 = output basename, $3 = repo dir
+  local repo=${3:-/root/repo}
+  (cd "$repo" && SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench") 2>&1 \
+    | grep '^\[info\] {"metric"' | sed 's/^\[info\] //' > $R/$2.tmp
+  if [ -s $R/$2.tmp ]; then mv $R/$2.tmp $R/$2.json; else rm -f $R/$2.tmp; fi
+  echo "$2 $(date -u +%FT%TZ)" >> $R/progress.log
+}
+for i in 1 2 3; do run_one /root/testdata/sf0.1 sf01_run$i; done
+for i in 1 2 3; do run_one /root/repo/bench_scale/x10 x10_run$i; done
+# pinned-commit control at x10, same window
+CTRL=/tmp/graft_ctrl_47add14
+if [ ! -d $CTRL ]; then
+  git clone -q /root/repo $CTRL && (cd $CTRL && git checkout -q 47add14)
+fi
+(cd $CTRL && sbt -batch compile) > $R/ctrl_build.log 2>&1
+run_one /root/repo/bench_scale/x10 x10_control_47add14 $CTRL
+echo DONE > $R/done.flag
