@@ -275,12 +275,32 @@ object Text {
     // Spark computes true connected components (min-label fixpoint); the
     // oracle closes over 3 hops, exact because near-dup clusters are
     // near-cliques (verified: every member is within 1 hop of the min).
+    // Oracle pairs replay the SAME (3,3) md5 LSH banding the operator
+    // uses (sig/band/cand CTEs, identical to q_minhash_lsh) rather than
+    // exact all-pairs Jaccard: the operator's documented semantics are
+    // "clusters of LSH-verified pairs", and at x10 the two generators
+    // legitimately differ by the known boundary pair the (3,3) S-curve
+    // misses (round-14 x10 sweep caught the one-doc divergence; the
+    // recall-safe generator is benched separately as q_minhash_margin).
     QueryDef(
       "q_dup_clusters",
       Some(s"""
         WITH $shinglesCte,
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
+                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 3 AS band,
+                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
                   GROUP BY 1, 2),
         pairs AS (SELECT i.doc_a AS a, i.doc_b AS b
                   FROM inter i
@@ -300,12 +320,26 @@ object Text {
     // Same components as q_dup_clusters, but the kept member is the
     // LONGEST doc (alpha chars, ties to smaller id) — the resolution
     // real pipelines run. Oracle: 3-hop closure + relational score rank.
+    // Same LSH-banding oracle pairs as q_dup_clusters (see note there).
     QueryDef(
       "q_dedup_keep_best",
       Some(s"""
         WITH $shinglesCte,
+        sig AS (SELECT doc_id, i,
+                  min(substr(md5(shingle || '#' || (i // 2)),
+                             CAST(1 + 16 * (i % 2) AS BIGINT), 16)) AS sig
+                FROM sh CROSS JOIN range(9) r(i) GROUP BY doc_id, i),
+        band AS (SELECT doc_id, i // 3 AS band,
+                   md5(min(CASE WHEN i % 3 = 0 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 1 THEN sig END) || ',' ||
+                       min(CASE WHEN i % 3 = 2 THEN sig END)) AS bkey
+                 FROM sig GROUP BY doc_id, i // 3),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM band a JOIN band b
+                   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
                   GROUP BY 1, 2),
         pairs AS (SELECT i.doc_a AS a, i.doc_b AS b
                   FROM inter i
