@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *     holds more parquet files than the compaction bound;
   *  2. first-copy-wins — no flagged doc_id was appended to the index,
   *     every survivor (non-flagged streamed doc) was, and every dup_of
-  *     is an index member (seed or earlier-arrived survivor);
+  *     chain RESOLVES to an index member: a dup_of is either a member
+  *     (seed or earlier-arrived survivor) or itself a flagged doc whose
+  *     own dup_of chains onward — B~A intra-batch while A~corpus flags
+  *     B against A and A against the corpus, so B's evidence is a
+  *     two-step chain, which is the documented first-copy-wins shape
+  *     (chains strictly descend within a batch's ids, then land on a
+  *     member, so resolution always terminates);
   *  3. conservation — flagged + surviving == streamed doc count.
   *
   * Usage: CrawlRehearsal <sfDir> [nBatches] (x10 dir for the rehearsal)
@@ -87,11 +93,34 @@ object CrawlRehearsal {
     val missing = survivors.join(members, Seq("doc_id"), "left_anti").count()
     require(missing == 0,
       s"[crawl] $missing surviving docs missing from the index")
-    val orphanDupOf = flagged.select(col("dup_of").as("doc_id")).distinct()
-      .join(members, Seq("doc_id"), "left_anti").count()
-    require(orphanDupOf == 0,
-      s"[crawl] $orphanDupOf dup_of targets are not index members")
-    println("[crawl] first-copy-wins membership OK")
+    // dup_of chain resolution: non-member targets must be flagged docs
+    // (chain onward), and following flagged->dup_of links from every
+    // non-member target must reach a member (bounded driver walk over
+    // the flagged map — small by construction)
+    val nonMemberTargets = flagged.select(col("dup_of").as("doc_id"))
+      .distinct().join(members, Seq("doc_id"), "left_anti")
+    val dangling = nonMemberTargets
+      .join(flaggedIds, Seq("doc_id"), "left_anti").count()
+    require(dangling == 0,
+      s"[crawl] $dangling dup_of targets neither members nor flagged")
+    val chainMap = flagged
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memberSet = members.collect().map(_.getLong(0)).toSet
+    nonMemberTargets.collect().map(_.getLong(0)).foreach { start =>
+      var cur = start
+      var steps = 0
+      while (!memberSet.contains(cur)) {
+        require(chainMap.contains(cur),
+          s"[crawl] chain from $start dangles at $cur")
+        cur = chainMap(cur)
+        steps += 1
+        require(steps <= chainMap.size,
+          s"[crawl] chain from $start did not terminate (cycle?)")
+      }
+    }
+    println(s"[crawl] first-copy-wins membership OK (chained targets: " +
+      nonMemberTargets.count() + ")")
 
     // 3. conservation
     val nSurvivors = survivors.count()
