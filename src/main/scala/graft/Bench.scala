@@ -366,11 +366,15 @@ object Bench {
       if (d.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val slowest = results.sortBy(-_._2).take(20)
-    val outliers = results
+    // all outliers, worst first; the emitted map is capped at 40 rows to
+    // stay tail-sized, but outliers_total records the uncapped count so
+    // a global elevation (host weather lifting every row past 1.5x) is
+    // distinguishable from 40 query-local regressions
+    val outliersAll = results
       .filter { case (n, v) =>
         refQueries.get(n).exists(r => r > 0 && v > 1.5 * r) }
       .sortBy { case (n, v) => -(v / refQueries(n)) }
-      .take(40)
+    val outliers = outliersAll.take(40)
     def rowsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + j3(v) }
         .mkString("{", ",", "}")
@@ -382,6 +386,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"slowest","top":${rowsJson(slowest)},""" +
       s""""over_1p5x_ref":$outJson,""" +
+      s""""outliers_total":${outliersAll.size},""" +
       s""""ref_rows":${refQueries.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -468,8 +468,19 @@ object Multimodal {
     * against). Per-frame delay comes from the GraphicControlExtension
     * in centiseconds; a missing/zero delay falls back to 10 cs, the
     * historical GIF default. None when the payload is not a GIF the
-    * reader accepts. */
-  def decodeGifFrames(payload: Array[Byte]): Option[Vector[GifFrame]] = {
+    * reader accepts, or when its logical screen exceeds
+    * [[MaxGifPixels]] — a hostile header can declare a 40000x40000
+    * screen, and refusing it up front (falling back to the bounded
+    * byte-window stub) beats letting the canvas allocation OOM an
+    * executor. `keep(frameIdx, tsMs)` filters DURING decode: only kept
+    * frames' gray canvases are retained, so a thousand-frame GIF
+    * resampled to a handful holds a handful — pass the default to keep
+    * every frame. */
+  val MaxGifPixels: Long = 16L * 1024 * 1024
+
+  def decodeGifFrames(
+      payload: Array[Byte],
+      keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[GifFrame]] = {
     if (!looksLikeGif(payload)) return None
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
@@ -490,6 +501,7 @@ object Multimodal {
       val ch = screen.flatMap(
         gifAttr(_, "LogicalScreenDescriptor", "logicalScreenHeight"))
         .filter(_ > 0).getOrElse(first.getHeight)
+      if (cw.toLong * ch > MaxGifPixels) return None
       val canvas = new java.awt.image.BufferedImage(
         cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g2 = canvas.createGraphics()
@@ -508,17 +520,22 @@ object Multimodal {
             .getOrElse(0)
           val delayCs = gifAttr(md, "GraphicControlExtension", "delayTime")
             .filter(_ > 0).getOrElse(10)
+          // the canvas must be composed for EVERY frame (later frames
+          // build on earlier pixels), but only kept frames pay the
+          // getRGB + gray materialization
           g2.drawImage(img, left, top, null)
-          val px = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
-          val gray = Array.ofDim[Byte](cw * ch)
-          var k = 0
-          while (k < px.length) {
-            val p = px(k)
-            gray(k) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-              114 * (p & 0xff)) / 1000).toByte
-            k += 1
+          if (keep(i, ts)) {
+            val px = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+            val gray = Array.ofDim[Byte](cw * ch)
+            var k = 0
+            while (k < px.length) {
+              val p = px(k)
+              gray(k) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+                114 * (p & 0xff)) / 1000).toByte
+              k += 1
+            }
+            out += GifFrame(i, ts, cw, ch, gray)
           }
-          out += GifFrame(i, ts, cw, ch, gray)
           ts += delayCs * 10L
           i += 1
         }
@@ -528,19 +545,24 @@ object Multimodal {
     finally { try reader.dispose() finally stream.close() }
   }
 
-  /** Keep the first frame in each 1/targetFps output tick: frame i
+  /** Keep the first frame in each 1/targetFps output tick: a frame
     * survives iff its timestamp reaches the next tick after the last
     * kept frame (all-integer, so specs/oracles reproduce it exactly).
-    * Frame 0 always survives. */
-  private[graft] def resampleByFps(
-      frames: Vector[GifFrame], targetFps: Int): Vector[GifFrame] = {
+    * Frame 0 always survives. Stateful — one keeper per frame
+    * sequence, applied in frame order (the decode loop is sequential). */
+  private[graft] def fpsKeeper(targetFps: Int): (Int, Long) => Boolean = {
     var nextTickNum = 0L // next tick, in units of 1000/targetFps ms
-    frames.filter { f =>
-      if (f.tsMs * targetFps >= nextTickNum * 1000) {
-        nextTickNum = f.tsMs * targetFps / 1000 + 1
+    (_, tsMs) =>
+      if (tsMs * targetFps >= nextTickNum * 1000) {
+        nextTickNum = tsMs * targetFps / 1000 + 1
         true
       } else false
-    }
+  }
+
+  private[graft] def resampleByFps(
+      frames: Vector[GifFrame], targetFps: Int): Vector[GifFrame] = {
+    val keep = fpsKeeper(targetFps)
+    frames.filter(f => keep(f.frameIdx, f.tsMs))
   }
 
   private val frameSchema = StructType(Seq(
@@ -580,9 +602,9 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        decodeGifFrames(payload) match {
+        decodeGifFrames(payload, fpsKeeper(targetFps)) match {
           case Some(frames) =>
-            resampleByFps(frames, targetFps).iterator.map { f =>
+            frames.iterator.map { f =>
               var s = 0L
               var k = 0
               while (k < f.gray.length) { s += f.gray(k) & 0xff; k += 1 }

@@ -210,7 +210,6 @@ object Events {
       // (measured by tools/JsonProbe at sf0.1: parse cost over the bare
       // scan 0.18 s one-pass vs 0.32 s duplicated — ~30%% off the query)
       (s, dir) => Tables.events(s, dir)
-        .select(col("event_id"), col("event_type"), col("props"))
         .selectExpr("event_id", "event_type", "json_tuple(props, 'k') AS k")
         .withColumn("k", col("k").cast("int"))
         .where(col("k") > 50)

@@ -107,7 +107,8 @@ object CrawlRehearsal {
       .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val memberSet = members.collect().map(_.getLong(0)).toSet
-    nonMemberTargets.collect().map(_.getLong(0)).foreach { start =>
+    val chainStarts = nonMemberTargets.collect().map(_.getLong(0))
+    chainStarts.foreach { start =>
       var cur = start
       var steps = 0
       while (!memberSet.contains(cur)) {
@@ -120,7 +121,7 @@ object CrawlRehearsal {
       }
     }
     println(s"[crawl] first-copy-wins membership OK (chained targets: " +
-      nonMemberTargets.count() + ")")
+      chainStarts.length + ")")
 
     // 3. conservation
     val nSurvivors = survivors.count()

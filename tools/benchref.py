@@ -10,23 +10,11 @@ forensics). All input runs must share the same "sf" directory; the min
 is per query across runs (the campaign's min-of-N convention).
 """
 import json
+import pathlib
 import sys
 
-
-def load(path):
-    dec = json.JSONDecoder()
-    with open(path) as f:
-        for line in f.read().splitlines():
-            i = line.find("{")
-            if i < 0:
-                continue
-            try:
-                d, _ = dec.raw_decode(line[i:])
-            except ValueError:
-                continue
-            if isinstance(d, dict) and "queries" in d:
-                return d
-    sys.exit(f"{path}: no per-query record found")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from benchdelta import load  # noqa: E402 — one parser for Bench output
 
 
 def main():

@@ -33,36 +33,26 @@ PRE_SKIP = {
                             "construction as q_semdedup)",
 }
 
+# the worker imports compare.py's TABLES/norm/cmp so the x10 sweep
+# validates with the SAME semantics as the sf-scale gate — no drifting
+# inline copy of the comparator
 WORKER = r"""
 import duckdb, json, sys
+sys.path.insert(0, %r)
+from compare import TABLES, norm, cmp
 sf, out, name, sql = sys.argv[1], sys.argv[2], sys.argv[3], sys.stdin.read()
 con = duckdb.connect()
-for t in %r:
+con.sql("SET enable_progress_bar = false")  # keep stdout JSON-only
+for t in TABLES:
     con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
-import math
-def norm(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
 got = con.sql(f"select * from read_parquet('{out}/{name}/*.parquet')").df()
 exp = con.sql(sql).df()
-a, b = norm(got), norm(exp)
-if list(a.columns) != list(b.columns):
-    print(json.dumps({"status": "FAIL",
-        "why": f"columns {list(a.columns)} vs {list(b.columns)}"})); sys.exit(0)
-if len(a) != len(b):
-    print(json.dumps({"status": "FAIL",
-        "why": f"rows {len(a)} vs {len(b)}"})); sys.exit(0)
-for c in a.columns:
-    for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
-        xn = x is None or (isinstance(x, float) and math.isnan(x))
-        yn = y is None or (isinstance(y, float) and math.isnan(y))
-        if xn and yn:
-            continue
-        if xn != yn or x != y:
-            print(json.dumps({"status": "FAIL",
-                "why": f"col {c} row {i}: {x!r} vs {y!r}"})); sys.exit(0)
-print(json.dumps({"status": "OK", "rows": len(a)}))
-""" % (TABLES,)
+diff = cmp(norm(got), norm(exp))
+if diff:
+    print(json.dumps({"status": "FAIL", "why": diff}))
+else:
+    print(json.dumps({"status": "OK", "rows": len(got)}))
+""" % (str(__import__("pathlib").Path(__file__).resolve().parent),)
 
 
 def main():
@@ -79,8 +69,16 @@ def main():
                 [sys.executable, "-c", WORKER, sf, out, name],
                 input=oracles[name], capture_output=True, text=True,
                 timeout=budget)
-            if p.returncode != 0:
-                rows.append((name, "FAIL", (p.stderr or "worker died")[:200]))
+            if p.returncode < 0:
+                # killed by a signal (OOM killer on a too-heavy replay):
+                # a resource limit, not a mismatch — skip, per the
+                # documented too-heavy-is-a-skip policy
+                rows.append((name, "skip",
+                             f"replay worker killed (signal {-p.returncode})"))
+                continue
+            if p.returncode != 0 or not p.stdout.strip():
+                rows.append((name, "FAIL",
+                             (p.stderr.strip() or "worker died")[-200:]))
                 failures += 1
                 continue
             r = json.loads(p.stdout.strip().splitlines()[-1])
