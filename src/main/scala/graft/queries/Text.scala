@@ -903,8 +903,12 @@ object Text {
     // text payloads — cross-multiplied threshold comparisons keep the
     // stub all-integer, so DuckDB reproduces every BIT from
     // hex(payload). Candidates come from four 16-bit hash bands
-    // (pigeonhole recall 1 at hamming <= 3); the oracle just replays the
-    // hash per doc and compares all pairs bitwise. All 25 of the
+    // (pigeonhole recall 1 at hamming <= 3); the oracle replays the hash
+    // per doc AND the same four-band candidate generation (identical
+    // result set by pigeonhole — hamming <= 3 across 4 bands leaves at
+    // least one band equal — but linear in candidates instead of the
+    // all-pairs bitwise compare, whose 64x|docs|^2 intermediate blew the
+    // x10 sweep's replay budget). All 25 of the
     // corpus's text near-dup pairs land at hamming <= 3 (measured 14 at
     // 0, 7 at 1, 2 at 2, 2 at 3), while unrelated payloads concentrate
     // at ~32 — the aHash sees through the tail edits that preserve byte
@@ -929,10 +933,18 @@ object Text {
                  FROM cells
                  JOIN t ON t.doc_id = cells.doc_id
                  LEFT JOIN c ON c.doc_id = cells.doc_id AND c.cell = cells.cell),
-        ham AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-                       sum(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hamming
-                FROM bits a JOIN bits b2
-                  ON a.cell = b2.cell AND a.doc_id < b2.doc_id
+        bands AS (SELECT doc_id, cell // 16 AS band,
+                         sum(bit << CAST(cell % 16 AS INT)) AS bval
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.bval = b2.bval
+                      AND a.doc_id < b2.doc_id),
+        ham AS (SELECT c.doc_a, c.doc_b,
+                       sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+                FROM cand c
+                JOIN bits x ON x.doc_id = c.doc_a
+                JOIN bits y ON y.doc_id = c.doc_b AND y.cell = x.cell
                 GROUP BY 1, 2)
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         FROM ham WHERE hamming <= 3"""),
