@@ -56,6 +56,15 @@ object DedupBuildProbe {
         .repartition(col("dp")).sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("dp").parquet(s"$base/sets2"))
     sh.unpersist()
+    // shuffle-partition sizing A/B: the two partitioned writes shuffle
+    // to spark.sql.shuffle.partitions tasks; at bench scale the input
+    // is <1 MB, so fewer tasks = fewer committer/file overheads
+    for (n <- Seq(32, 16, 8, 16, 32)) {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      time(f"full build @$n%2d parts")(
+        graft.ext.DedupIndex.build(docs, s"$base@$n"))
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", 32)
     spark.stop()
   }
 }

@@ -105,6 +105,30 @@ class MultimodalGifSpec extends AnyFunSuite with SparkSpec {
       "GIF89a-but-not-really".getBytes("UTF-8")).isEmpty)
   }
 
+  test("decodeGifFrames: hostile logical-screen header is refused, not " +
+      "allocated") {
+    // patch the Logical Screen Descriptor (bytes 6-9, little-endian
+    // width/height after the 6-byte magic) to declare 65535x65535 —
+    // 4.3G pixels; the decoder must return None (stub fallback) instead
+    // of attempting the canvas allocation
+    val hostile = gifBytes.clone()
+    hostile(6) = 0xff.toByte; hostile(7) = 0xff.toByte
+    hostile(8) = 0xff.toByte; hostile(9) = 0xff.toByte
+    assert(65535L * 65535L > Multimodal.MaxGifPixels)
+    assert(Multimodal.decodeGifFrames(hostile).isEmpty)
+  }
+
+  test("decodeGifFrames keep-filter: only kept frames are materialized") {
+    var calls = 0
+    val kept = Multimodal.decodeGifFrames(gifBytes, (idx, _) => {
+      calls += 1
+      idx == 1
+    }).get
+    assert(calls == 3 && kept.map(_.frameIdx) == Vector(1))
+    // composition still sees frames 0-1: frame 1's canvas is solid 100
+    assert(kept.head.gray.forall(b => (b & 0xff) == 100))
+  }
+
   test("sampleFrames routes GIF payloads through the real decoder and " +
       "keeps the stub for the rest") {
     import spark.implicits._
