@@ -468,11 +468,13 @@ object Multimodal {
     * against). Per-frame delay comes from the GraphicControlExtension
     * in centiseconds; a missing/zero delay falls back to 10 cs, the
     * historical GIF default. None when the payload is not a GIF the
-    * reader accepts, or when its logical screen exceeds
-    * [[MaxGifPixels]] — a hostile header can declare a 40000x40000
-    * screen, and refusing it up front (falling back to the bounded
-    * byte-window stub) beats letting the canvas allocation OOM an
-    * executor. `keep(frameIdx, tsMs)` filters DURING decode: only kept
+    * reader accepts, or when its logical screen OR any frame's
+    * ImageDescriptor exceeds [[MaxGifPixels]] — a hostile header can
+    * declare a 40000x40000 screen (or a tiny screen with a
+    * 65535x65535 frame), and refusing it up front via the header-only
+    * `getWidth`/`getHeight` probes (falling back to the bounded
+    * byte-window stub) beats letting a pixel allocation OOM an
+    * executor with an Error no Exception handler catches. `keep(frameIdx, tsMs)` filters DURING decode: only kept
     * frames' gray canvases are retained, so a thousand-frame GIF
     * resampled to a handful holds a handful — pass the default to keep
     * every frame. */
@@ -494,14 +496,25 @@ object Multimodal {
       val screen = Option(reader.getStreamMetadata)
         .map(_.getAsTree("javax_imageio_gif_stream_1.0")
           .asInstanceOf[org.w3c.dom.Element])
-      val first = reader.read(0)
+      // header-only dims (no pixel decode) for both the logical-screen
+      // fallback and the per-frame bound: a hostile GIF can pair a tiny
+      // logical screen with a 65535x65535 ImageDescriptor, and the
+      // resulting OutOfMemoryError is an Error the Exception handler
+      // below would never see — so every frame's declared dims are
+      // checked BEFORE its reader.read(i)
       val cw = screen.flatMap(
         gifAttr(_, "LogicalScreenDescriptor", "logicalScreenWidth"))
-        .filter(_ > 0).getOrElse(first.getWidth)
+        .filter(_ > 0).getOrElse(reader.getWidth(0))
       val ch = screen.flatMap(
         gifAttr(_, "LogicalScreenDescriptor", "logicalScreenHeight"))
-        .filter(_ > 0).getOrElse(first.getHeight)
-      if (cw.toLong * ch > MaxGifPixels) return None
+        .filter(_ > 0).getOrElse(reader.getHeight(0))
+      if (cw <= 0 || ch <= 0 || cw.toLong * ch > MaxGifPixels) return None
+      var f = 0
+      while (f < n) {
+        if (reader.getWidth(f).toLong * reader.getHeight(f) > MaxGifPixels)
+          return None
+        f += 1
+      }
       val canvas = new java.awt.image.BufferedImage(
         cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g2 = canvas.createGraphics()
@@ -510,7 +523,7 @@ object Multimodal {
         val out = Vector.newBuilder[GifFrame]
         var i = 0
         while (i < n) {
-          val img = if (i == 0) first else reader.read(i)
+          val img = reader.read(i)
           val md = reader.getImageMetadata(i)
             .getAsTree("javax_imageio_gif_image_1.0")
             .asInstanceOf[org.w3c.dom.Element]

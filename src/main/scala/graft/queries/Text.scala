@@ -282,6 +282,10 @@ object Text {
     // legitimately differ by the known boundary pair the (3,3) S-curve
     // misses (round-14 x10 sweep caught the one-doc divergence; the
     // recall-safe generator is benched separately as q_minhash_margin).
+    // Algorithm-INDEPENDENT verification is retained where exact==LSH:
+    // tools.ClusterExactCheck (in gates.sh) re-derives both results
+    // from exact all-pairs Jaccard + a from-scratch union-find at
+    // sf0.01/sf0.1.
     QueryDef(
       "q_dup_clusters",
       Some(s"""

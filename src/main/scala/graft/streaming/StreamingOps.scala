@@ -179,16 +179,42 @@ object StreamingOps {
       if (new java.io.File("/dev/shm").isDirectory)
         java.nio.file.Paths.get("/dev/shm")
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    reapStaleScratch(base)
     val dir = java.nio.file.Files
       .createTempDirectory(base, s"graft_ckpt_$name")
     try body(dir.toString)
-    finally {
-      import scala.jdk.CollectionConverters.IteratorHasAsScala
-      try java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => }
-    }
+    finally deleteRecursively(dir)
   }
+
+  /** Recursive delete with the Files.walk stream CLOSED (an unclosed
+    * walk holds directory handles until GC); best-effort — a failed
+    * delete is left for [[reapStaleScratch]]. */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+
+  /** Reap graft_ckpt_* leftovers from hard-crashed runs: the scratch
+    * base is memory-backed (/dev/shm), so crash leftovers consume RAM,
+    * not disk — every scratch-checkpoint entry sweeps dirs whose mtime
+    * is over an hour old (a live drain touches its checkpoint every
+    * microbatch, so an hour-stale root is never in use). */
+  private def reapStaleScratch(base: java.nio.file.Path): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      scala.util.Using.resource(java.nio.file.Files.list(base)) { s =>
+        import scala.jdk.CollectionConverters.IteratorHasAsScala
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("graft_ckpt_") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toSeq
+          .foreach(deleteRecursively)
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Pins spark.sql.shuffle.partitions around a bounded streaming run
     * (the conf is read once at query start and governs the stateful

@@ -118,6 +118,49 @@ class MultimodalGifSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeGifFrames(hostile).isEmpty)
   }
 
+  /** Byte offsets of each ImageDescriptor (0x2C separator) found by
+    * walking the GIF block structure: header+LSD, optional global
+    * color table, extension blocks (0x21 label + length-prefixed
+    * sub-blocks), image blocks (descriptor, optional local color
+    * table, LZW min code size, length-prefixed data sub-blocks). */
+  private def imageDescriptorOffsets(bytes: Array[Byte]): Seq[Int] = {
+    val packed = bytes(10) & 0xff
+    var pos = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    val out = Seq.newBuilder[Int]
+    var done = false
+    while (!done && pos < bytes.length) {
+      (bytes(pos) & 0xff) match {
+        case 0x21 =>
+          pos += 2
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case 0x2c =>
+          out += pos
+          val ipacked = bytes(pos + 9) & 0xff
+          pos += 10
+          if ((ipacked & 0x80) != 0) pos += 3 * (1 << ((ipacked & 7) + 1))
+          pos += 1 // LZW minimum code size
+          while ((bytes(pos) & 0xff) != 0) pos += 1 + (bytes(pos) & 0xff)
+          pos += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  test("decodeGifFrames: hostile FRAME descriptor (tiny screen, " +
+      "65535x65535 frame) is refused before any pixel decode") {
+    val offsets = imageDescriptorOffsets(gifBytes)
+    assert(offsets.size == 3, s"walker found ${offsets.size} descriptors")
+    // keep the 20x10 logical screen; blow up frame 1's own dims
+    // (descriptor bytes 5-8 after the 0x2C separator: LE width, height)
+    val hostile = gifBytes.clone()
+    val d = offsets(1)
+    hostile(d + 5) = 0xff.toByte; hostile(d + 6) = 0xff.toByte
+    hostile(d + 7) = 0xff.toByte; hostile(d + 8) = 0xff.toByte
+    assert(Multimodal.decodeGifFrames(hostile).isEmpty)
+  }
+
   test("decodeGifFrames keep-filter: only kept frames are materialized") {
     var calls = 0
     val kept = Multimodal.decodeGifFrames(gifBytes, (idx, _) => {

@@ -8,6 +8,9 @@
 #   SrpCheck       — SRP-LSH pair set vs brute-force cosine ground truth
 #   MinhashCheck   — MinHash-LSH pair set vs exact inverted-index Jaccard
 #   WinnowCheck    — winnowing prefix filter lossless vs uncapped join
+#   ClusterExactCheck — dup-cluster/keep-best vs exact all-pairs Jaccard
+#                  + from-scratch union-find (algorithm-independent; the
+#                  registry oracles replay the LSH banding, see Text.scala)
 #   RecallCheck    — all 12 self-validating ANN/SimHash gate rows true
 #   AsOfScaleGate  — as-of merge join stays Exchange-free on bucketed input
 #
@@ -52,5 +55,6 @@ run graft.tools.SchemaCheck "$SF001"
 run graft.tools.SrpCheck "$SF001" "$SF01" "$X10"
 run graft.tools.MinhashCheck "$SF001" "$SF01" "$X10"
 run graft.tools.WinnowCheck "$SF001" "$SF01"
+run graft.tools.ClusterExactCheck "$SF001" "$SF01"
 run graft.tools.RecallCheck "$SF01" "$X10"
 run graft.tools.AsOfScaleGate "$SF01" "$X10"

@@ -69,12 +69,20 @@ def main():
                 [sys.executable, "-c", WORKER, sf, out, name],
                 input=oracles[name], capture_output=True, text=True,
                 timeout=budget)
-            if p.returncode < 0:
-                # killed by a signal (OOM killer on a too-heavy replay):
-                # a resource limit, not a mismatch — skip, per the
-                # documented too-heavy-is-a-skip policy
+            if p.returncode == -9:
+                # SIGKILL is the OOM-killer signature on a too-heavy
+                # replay: a resource limit, not a mismatch — skip, per
+                # the documented too-heavy-is-a-skip policy
                 rows.append((name, "skip",
-                             f"replay worker killed (signal {-p.returncode})"))
+                             "replay worker OOM-killed (SIGKILL)"))
+                continue
+            if p.returncode < 0:
+                # any OTHER signal (SIGSEGV/SIGABRT…) is a real crash —
+                # e.g. DuckDB faulting on a malformed oracle — and must
+                # count as a failure, not vanish into the skip column
+                rows.append((name, "FAIL",
+                             f"replay worker crashed (signal {-p.returncode})"))
+                failures += 1
                 continue
             if p.returncode != 0 or not p.stdout.strip():
                 rows.append((name, "FAIL",
