@@ -403,8 +403,13 @@ object PipelineOps {
       .join(index.sets.select(col("doc_id").as("doc_b"),
         col("seth").as("hb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
+        // the session must be the PROBE side's: under foreachBatch the
+        // batch frame lives in the cloned streaming session, and that
+        // clone's registry is what analyzes this plan — registering the
+        // kernel into the index's (outer) session would leave it
+        // unresolvable here
         (graft.functions.SortedIntersect(
-          index.sh.sparkSession, col("ha"), col("hb")).cast("double") /
+          aSets0.sparkSession, col("ha"), col("hb")).cast("double") /
           col("na")).as("containment"))
       .where(col("containment") >= threshold)
   }

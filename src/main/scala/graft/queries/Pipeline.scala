@@ -172,9 +172,7 @@ object Pipeline {
         val docs = Tables.load(s, dir, "documents")
         val index = graft.ext.SpanDedup.buildGramIndex(
           docs.where(col("doc_id") % 2 === 0), w = 8)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = graft.ext.SpanDedup.spanDedupOnIngest(
           stream.where(col("doc_id") % 2 === 1), index)
         index.release()
@@ -438,9 +436,7 @@ object Pipeline {
         Tables.prepare(s)
         val docs = Tables.load(s, dir, "documents")
         val profile = PipelineOps.buildHygieneProfile(docs, col("doc_id") < 25)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = PipelineOps.hygieneOnIngest(
           stream.where(col("doc_id") >= 25), profile)
         profile.release()
@@ -682,9 +678,7 @@ object Pipeline {
         val docs = Tables.load(s, dir, "documents")
         val refDf = PipelineOps.shingleDf(docs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = graft.streaming.StreamingOps.runBatchesToParquet(
           stream, "stream_boilerplate",
           batch => PipelineOps.boilerplateAgainst(refDf, batch))
@@ -717,9 +711,7 @@ object Pipeline {
         val docs = Tables.load(s, dir, "documents")
         val refDf = PipelineOps.chunkDf(docs, 16)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = graft.streaming.StreamingOps.runBatchesToParquet(
           stream, "stream_chunk_dedup",
           batch => PipelineOps.chunkDedupAgainst(refDf, batch, 16))
@@ -770,9 +762,7 @@ object Pipeline {
         val docs = Tables.load(s, dir, "documents")
         val refDf = PipelineOps.cdcChunkDf(docs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = graft.streaming.StreamingOps.runBatchesToParquet(
           stream, "stream_cdc_dedup",
           batch => PipelineOps.cdcDedupAgainst(refDf, batch))
@@ -800,9 +790,7 @@ object Pipeline {
         FROM i"""),
       (s, dir) => {
         Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         graft.streaming.StreamingOps.runToParquet(
           PipelineOps.redactDemo(stream), "stream_redact")
       }),
@@ -838,9 +826,7 @@ object Pipeline {
         Tables.prepare(s)
         val docs = Tables.load(s, dir, "documents")
         val evalSh = PipelineOps.evalShingleSet(docs.where(col("doc_id") < 25))
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         graft.streaming.StreamingOps.runToParquet(
           PipelineOps.decontaminateScore(
             stream.where(col("doc_id") >= 25), evalSh, maxFrac = 0.3),
@@ -878,9 +864,7 @@ object Pipeline {
         Tables.prepare(s)
         val docs = Tables.load(s, dir, "documents")
         val index = PipelineOps.buildContainmentIndex(docs)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val out = PipelineOps.containmentOnIngest(stream, index, 0.8)
         index.release()
         out
@@ -897,9 +881,7 @@ object Pipeline {
         FROM documents"""),
       (s, dir) => {
         Tables.prepare(s)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         val deduped = stream
           .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"))
           .dropDuplicates("fp")

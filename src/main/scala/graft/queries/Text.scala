@@ -264,9 +264,7 @@ object Text {
         val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_dedup_index_s"
         DedupIndex.build(docs.where(col("doc_id") % 2 === 0), path)
         val idx = DedupIndex.load(s, path)
-        val schema = s.read.parquet(s"$dir/documents.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val stream = Tables.documentsStream(s, dir)
         DedupIndex.nearDupOnIngest(
           stream.where(col("doc_id") % 2 === 1), idx, 0.7)
       }),

@@ -57,17 +57,36 @@ object Tables {
     load(spark, sfDir, "events")
   }
 
+  /** Parquet schema by path, memoized for the JVM's lifetime: every
+    * file-stream query needs an explicit schema and used to pay a batch
+    * `spark.read.parquet(...).schema` footer read per RUN (~0.11 s warm
+    * at sf0.1 — ~1.3 s across the suite's streaming rows). Testdata
+    * files never change within a session; a regenerated corpus arrives
+    * in a fresh JVM. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+  def parquetSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   /** Streaming reader for the events table with the same `ts`
     * normalization as [[events]]. File streams need an explicit schema, so
-    * we take it from a batch read of the same file (metadata-only).
+    * we take it from a (memoized) batch read of the same file.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     prepare(spark)
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
-      .schema(schema)
+      .schema(parquetSchema(spark, s"$dir/events.parquet"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     normalizeEventsTs(raw)
   }
+
+  /** Streaming reader for the documents table (memoized schema). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(parquetSchema(spark, s"$dir/documents.parquet"))
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
 }

@@ -251,8 +251,13 @@ object StreamingOps {
     * `transform` — the escape hatch for per-batch logic Structured
     * Streaming cannot express statefully (joins + aggregations against
     * static reference frames, e.g. containment-on-ingest). The output
-    * schema is derived by applying `transform` to an empty batch-shaped
-    * frame, so zero-batch streams still return a typed empty result.
+    * schema is captured from the FIRST transformed batch; only a
+    * zero-batch stream pays an empty-batch `transform` application to
+    * type its empty result. (Deriving it eagerly up front cost each
+    * drain a full dry-run of the transform: probe transforms like
+    * `DedupIndex.searchAgainst` collect candidate lists, open the index
+    * parquet, and localCheckpoint even on an empty frame — measured
+    * 0.2-0.6 s of pure schema-derivation overhead per streaming query.)
     *
     * Two sink modes: with `sinkDir` (the production S4 shape) each batch
     * appends parquet to the user-designated shared storage and the
@@ -270,15 +275,24 @@ object StreamingOps {
       statePartitions: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.{Dataset, Row}
     val spark = df.sparkSession
-    val outSchema = transform(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)).schema
+    // captured from the first transformed batch; the zero-batch fallback
+    // is the only path that ever APPLIES transform to an empty frame
+    val seenSchema = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.types.StructType]()
+    def outSchema = Option(seenSchema.get).getOrElse(transform(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)).schema)
     def emptyOut =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     sinkDir match {
       case Some(dir) =>
         val q = withShufflePartitions(spark, statePartitions)(df.writeStream
           .foreachBatch { (batch: Dataset[Row], _: Long) =>
-            transform(batch.toDF()).write.mode("append").parquet(dir)
+            // the batch analyzes in the CLONED streaming session — make
+            // every statically-named kernel resolvable there
+            graft.functions.GraftFunctions.registerAll(batch.sparkSession)
+            val t = transform(batch.toDF())
+            seenSchema.compareAndSet(null, t.schema)
+            t.write.mode("append").parquet(dir)
           }
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -299,6 +313,7 @@ object StreamingOps {
         withScratchCheckpoint(name) { ckpt =>
           val q = withShufflePartitions(spark, statePartitions)(df.writeStream
             .foreachBatch { (batch: Dataset[Row], _: Long) =>
+              graft.functions.GraftFunctions.registerAll(batch.sparkSession)
               frames.add(graft.ext.Lineage.cut(transform(batch.toDF())))
               ()
             }
