@@ -36,10 +36,32 @@ object IngestProbeDiag {
       graft.ext.DedupIndex.build(docs.where(col("doc_id") % 2 === 0), path))
     val idx = graft.ext.DedupIndex.load(spark, path)
     val odd = docs.where(col("doc_id") % 2 === 1)
+    // per-job wall clock: which jobs appear (and how much slower) in the
+    // streamed probe vs the identical batch probe
+    val jobLog = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobLog.put(e.jobId, (e.time, 0L))
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobLog.computeIfPresent(e.jobId, (_, v) => (v._1, e.time))
+    }
+    spark.sparkContext.addSparkListener(jl)
+    def dumpJobs(label: String): Unit = {
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters.ConcurrentMapHasAsScala
+      val rows = jobLog.asScala.toSeq.sortBy(_._1)
+      println(s"[ingest] jobs during $label: n=${rows.size} " +
+        rows.map { case (id, (s0, s1)) => s"$id:${s1 - s0}ms" }.mkString(" "))
+      jobLog.clear()
+    }
     time("batch probe 1")(
       graft.ext.DedupIndex.searchAgainst(idx, odd, 0.7).count())
+    dumpJobs("warmup")
     time("batch probe 2")(
       graft.ext.DedupIndex.searchAgainst(idx, odd, 0.7).count())
+    dumpJobs("batch probe 2")
     def stream = {
       val schema = spark.read.parquet(s"$dir/documents.parquet").schema
       spark.readStream.schema(schema)
@@ -51,11 +73,19 @@ object IngestProbeDiag {
         stream, "ingest_diag", { b =>
           println("[ingest] microbatch partitions: " + b.rdd.getNumPartitions +
             " rows=" + b.count())
+          val c = b.sparkSession.conf
+          println("[ingest] clone conf: aqe=" +
+            c.get("spark.sql.adaptive.enabled") + " coalesce=" +
+            c.get("spark.sql.adaptive.coalescePartitions.enabled") +
+            " shuffle=" + c.get("spark.sql.shuffle.partitions") +
+            " outer aqe=" + spark.conf.get("spark.sql.adaptive.enabled"))
           graft.ext.DedupIndex.searchAgainst(idx, b, 0.7)
         }).count())
+    dumpJobs("streamed probe 1")
     time("streamed probe 2")(
       graft.streaming.StreamingOps.runBatchesToParquet(
         stream, "ingest_diag2", b => graft.ext.DedupIndex.searchAgainst(idx, b, 0.7)).count())
+    dumpJobs("streamed probe 2")
     spark.stop()
   }
 }
