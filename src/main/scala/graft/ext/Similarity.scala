@@ -147,7 +147,9 @@ object Similarity {
 
   /** Sign-random-projection (SRP) LSH near-dup over dense vectors: the
     * cosine analog of MinHash-LSH. Each vector gets `bits * bands` sign
-    * bits from fixed Gaussian hyperplanes (seeded — fully deterministic),
+    * bits from fixed md5-derived ±1 hyperplanes (Charikar's SimHash
+    * family — fully deterministic, and replayable from SQL, see
+    * [[srpHyperplanes]]),
     * packed into `bands` band values; two vectors become a candidate pair
     * when ANY band matches exactly, and candidates alone are verified with
     * exact cosine >= threshold. P(bit agrees) = 1 - angle/pi, so a pair at
@@ -186,11 +188,14 @@ object Similarity {
     * (bits=15, bands=100), i.e. ~55% miss — sizing bands to guarantee
     * boundary recall would need ~1300 bands (13x the signature compute),
     * the wrong trade when the corpus is bimodal (true dups 0.89-1.0,
-    * noise < 0.32, measured). tools/SrpCheck measures this: pair-exact
-    * at sf0.01/sf0.1; at x10 recall 2559/2560 with the single miss a
-    * boundary pair at cosine 0.614 (0/100 band collisions, hamming 437
-    * well inside the 559 gate — tools/SrpMissDiag attributes every miss
-    * to band-recall vs hamming-gate). Beyond the banding miss, the
+    * noise < 0.32, measured). tools/SrpCheck measures this: on the
+    * round-15 md5-±1 plane family it reads pair-exact at sf0.01, sf0.1
+    * AND x10 (2561/2561) — the previous Gaussian draw missed one
+    * boundary pair at cosine 0.614 at x10, which is the contract's
+    * documented regime, not a defect class the family change removed;
+    * a future corpus can still present boundary pairs that miss
+    * (tools/SrpMissDiag attributes any miss to band-recall vs
+    * hamming-gate). Beyond the banding miss, the
     * hamming prefilter can drop a TRUE banded candidate whose signature
     * hamming exceeds h·acos(t)/π + `hamSigma`·√h. The signature hamming of a pair
     * at cosine exactly t concentrates at h·acos(t)/π with sd ≤ √h/2, so
@@ -204,7 +209,7 @@ object Similarity {
     * `bands` are explicit. */
   /** The auto-sizing pieces of [[srpNearDup]], exposed so diagnostics
     * (`tools/SrpMissDiag`) recompute signatures from the SAME formulas,
-    * seed, and Gaussian stream instead of hand-copied constants that
+    * seed, and hyperplane family instead of hand-copied constants that
     * could silently desynchronize when the sizing is tuned. */
   def srpAutoBits(n: Long): Int =
     math.max(8, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
@@ -219,12 +224,41 @@ object Similarity {
     math.ceil(
       h * math.acos(threshold) / math.Pi + hamSigma * math.sqrt(h.toDouble)).toInt
 
-  /** The seeded flat h×dim Gaussian hyperplane matrix [[srpNearDup]]
-    * projects against — one shared definition so the signature is
-    * reproducible outside the operator. */
+  /** The seeded flat h×dim hyperplane matrix [[srpNearDup]] projects
+    * against: deterministic Rademacher (±1) entries derived from md5 —
+    * entry (j, d) is +1 iff the low bit of md5("srp:<seed>:<j>:<d>")'s
+    * first hex digit is set. ±1 planes are Charikar's original SimHash
+    * construction; at dim=128 the sign-agreement probability matches
+    * the spherical 1 − θ/π to CLT accuracy, and the recall gates
+    * (tools/SrpCheck, re-stamped on this family) measure the realized
+    * recall directly. Two properties the previous seeded-Gaussian
+    * stream lacked and this round needs: (a) the whole banding is
+    * reproducible OUTSIDE the JVM — the DuckDB oracles replay it from
+    * the same md5 formula, which is what lets q_hash_embed_neardup and
+    * q_semdedup verify at x10 without an all-pairs brute force; (b)
+    * with the integer-valued hashed-text embeddings, every projection
+    * is an exact integer in double, so sign bits are bit-exact across
+    * engines and accumulation orders (a Gaussian replay would risk
+    * float-order sign flips at |proj| ≈ ulp). Prefix-stable in h: the
+    * first h' rows of srpHyperplanes(h, dim) equal srpHyperplanes(h',
+    * dim), since entries depend only on (j, d, seed). */
   def srpHyperplanes(h: Int, dim: Int, seed: Long = 42L): Array[Double] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(h * dim)(rnd.nextGaussian())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](h * dim)
+    var j = 0
+    while (j < h) {
+      var d = 0
+      while (d < dim) {
+        md.reset()
+        val hash = md.digest(s"srp:$seed:$j:$d".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0 (what DuckDB's
+        // substr(md5(...), 1, 1) parses); its low bit picks the sign
+        out(j * dim + d) = if (((hash(0) >> 4) & 1) != 0) 1d else -1d
+        d += 1
+      }
+      j += 1
+    }
+    out
   }
 
   def srpNearDup(

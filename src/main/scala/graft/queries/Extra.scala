@@ -8,6 +8,89 @@ import org.apache.spark.sql.functions._
   * pairs, TF-IDF. */
 object Extra {
 
+  /** DuckDB replay of [[Similarity.srpNearDup]]'s banded candidate
+    * generation over the hashing-trick text embeddings — the shared
+    * oracle core for q_hash_embed_neardup and q_semdedup (round-15
+    * reformulation; the previous dense all-pairs brute force was
+    * quadratic in documents and could not follow the x10 sweep). Every
+    * stage replays the operator exactly, and exactly is achievable
+    * because the chain is integer-valued end to end: the hashed
+    * embedding entries are ±1 counts, the hyperplanes are the md5-
+    * derived ±1 family ([[Similarity.srpHyperplanes]] — same md5
+    * formula both engines), so each projection is an exact integer in
+    * double and every sign bit matches bit-for-bit regardless of
+    * accumulation order. Sizing replays srpAutoBits/srpAutoBands/
+    * srpHamMax from live counts with the operator's own formulas (the
+    * only float risk is a count n where LN(n/2)/LN(2) lands exactly on
+    * an integer — n/2 an exact power of two — where a 1-ulp libm
+    * difference could flip CEIL; no testdata scale sits on one).
+    * Algorithm-INDEPENDENT verification stays with tools/SrpCheck,
+    * which compares the operator against true brute-force cosine at
+    * sf0.01/sf0.1/x10 — same division of labor as q_dup_clusters /
+    * tools/ClusterExactCheck. Defines srp_pairs(doc_a, doc_b, cos);
+    * composes after Text.shinglesCte (t/sh). Plane budget: range(4096)
+    * covers h = bits*bands beyond x100 (2934). */
+  private val srpReplayCtes = """
+    f AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
+            (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
+          FROM sh),
+    v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
+    dims AS (SELECT t.doc_id, r.i AS dim FROM t CROSS JOIN range(128) r(i)),
+    dense AS MATERIALIZED (SELECT dims.doc_id,
+                list(coalesce(v.x, 0.0) ORDER BY dims.dim) AS vec
+              FROM dims LEFT JOIN v
+                ON v.doc_id = dims.doc_id AND v.dim = dims.dim
+              GROUP BY dims.doc_id),
+    -- zero-norm docs have no cosine direction; the operator drops them
+    -- (srpNearDup's nrm > 0 filter) BEFORE the count that sizes the
+    -- signature, so the filter must precede srp_sz here too
+    nr2 AS MATERIALIZED (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense
+            WHERE list_dot_product(vec, vec) > 0),
+    srp_sz AS (SELECT bits,
+                 CAST(CEIL(32.0 * POWER(0.85, 8 - bits)) AS INT) AS bands
+               FROM (SELECT GREATEST(8,
+                       CAST(CEIL(LN(n / 2.0) / LN(2.0)) AS INT)) AS bits
+                     FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM nr2))),
+    planes AS (SELECT r.j,
+                 list_transform(range(128), d -> CAST(
+                   (CAST(('0x' || substr(md5('srp:42:' || r.j || ':' || d), 1, 1))
+                      AS INT) & 1) * 2 - 1 AS DOUBLE)) AS pl
+               FROM range(4096) r(j), srp_sz
+               WHERE r.j < srp_sz.bits * srp_sz.bands),
+    proj AS MATERIALIZED (SELECT dense.doc_id, planes.j,
+                    list_dot_product(dense.vec, planes.pl) AS pr
+             FROM dense JOIN nr2 USING (doc_id) CROSS JOIN planes),
+    -- band b packs projection signs [b*bits, (b+1)*bits) (VectorKernels
+    -- .signBands layout); the band VALUE encoding only needs equality,
+    -- so an ordered bit string replays the kernel's packed int
+    bitsb AS MATERIALIZED (SELECT doc_id, band, string_agg(bit, '' ORDER BY j) AS bval
+              FROM (SELECT doc_id, j, CAST(j // srp_sz.bits AS INT) AS band,
+                           CASE WHEN pr > 0 THEN '1' ELSE '0' END AS bit
+                    FROM proj, srp_sz)
+              GROUP BY doc_id, band),
+    cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bitsb a JOIN bitsb b
+               ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+    -- hamming prefilter on the full h-bit signature (packSigns replay):
+    -- BIT xor + bit_count keeps the per-pair cost flat at x10 volumes
+    sigbit AS MATERIALIZED (SELECT doc_id, CAST(string_agg(
+                 CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS BIT) AS s
+               FROM proj GROUP BY doc_id),
+    surv AS MATERIALIZED (SELECT doc_a, doc_b FROM cand
+             JOIN sigbit sa ON sa.doc_id = cand.doc_a
+             JOIN sigbit sb ON sb.doc_id = cand.doc_b, srp_sz
+             WHERE bit_count(xor(sa.s, sb.s)) <=
+               CAST(CEIL(srp_sz.bits * srp_sz.bands * ACOS(0.6) / PI()
+                 + 3.0 * SQRT(CAST(srp_sz.bits * srp_sz.bands AS DOUBLE))) AS INT)),
+    srp_pairs AS MATERIALIZED (SELECT doc_a, doc_b,
+                    list_dot_product(da.vec, db.vec) / (na.nrm * nb.nrm) AS cos
+                  FROM surv
+                  JOIN dense da ON da.doc_id = surv.doc_a
+                  JOIN dense db ON db.doc_id = surv.doc_b
+                  JOIN nr2 na ON na.doc_id = surv.doc_a
+                  JOIN nr2 nb ON nb.doc_id = surv.doc_b)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- distinct aggregates + min/max ------------------------------------
@@ -102,34 +185,9 @@ object Extra {
       "q_hash_embed_neardup",
       Some(s"""
         WITH ${Text.shinglesCte},
-        f AS (SELECT doc_id,
-                CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
-                (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
-              FROM sh),
-        v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
-        -- DENSE 128-dim vectors + list_dot_product over doc pairs: the
-        -- same exact brute force (feature counts are integer-valued, so
-        -- every dot product is accumulation-order exact) without the
-        -- sparse pair-dim join whose GROUP BY materializes ~|docs|^2 * 128
-        -- rows and spills DuckDB at sf0.1 (>90 GB observed)
-        dims AS (SELECT t.doc_id, r.i AS dim FROM t CROSS JOIN range(128) r(i)),
-        dense AS (SELECT dims.doc_id,
-                    list(coalesce(v.x, 0.0) ORDER BY dims.dim) AS vec
-                  FROM dims LEFT JOIN v
-                    ON v.doc_id = dims.doc_id AND v.dim = dims.dim
-                  GROUP BY dims.doc_id),
-        -- zero-norm docs (under 3 tokens => no shingles) have no cosine
-        -- direction; the engine drops them (srpNearDup's nrm > 0 filter),
-        -- and without this WHERE their 0/0 = NaN cos would pass >= 0.6
-        -- under DuckDB's NaN-highest ordering
-        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense
-                WHERE list_dot_product(vec, vec) > 0),
-        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) AS cos
-               FROM dense a JOIN dense b ON a.doc_id < b.doc_id
-               JOIN nr2 na ON na.doc_id = a.doc_id
-               JOIN nr2 nb ON nb.doc_id = b.doc_id)
-        SELECT doc_a, doc_b, round(cos, 6) AS sim FROM pr WHERE cos >= 0.6"""),
+        $srpReplayCtes
+        SELECT doc_a, doc_b, round(cos, 6) AS sim
+        FROM srp_pairs WHERE cos >= 0.6"""),
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val vecs = docs.select(col("doc_id"),
@@ -139,36 +197,17 @@ object Extra {
 
     // ---- semantic dedup (SemDeDup: embedding-cluster keep-one) ------------
     // srpNearDup pairs -> connected components -> keep min-id per
-    // cluster. The oracle rebuilds the hashing-trick embedding + brute
-    // pairs in SQL and closes components over 3 hops — exact because
+    // cluster. The oracle replays the operator's SRP banded candidate
+    // generation (srpReplayCtes — see its scaladoc for why the replay is
+    // bit-exact) and closes components over 3 hops — exact because
     // cosine near-dup clusters are near-cliques (same bet q_dup_clusters
     // makes, while the engine computes TRUE components via fixpoint).
     QueryDef(
       "q_semdedup",
       Some(s"""
         WITH ${Text.shinglesCte},
-        f AS (SELECT doc_id,
-                CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
-                (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
-              FROM sh),
-        v AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS x FROM f GROUP BY 1, 2),
-        -- dense-vector brute force (see q_hash_embed_neardup): exact and
-        -- spill-free where the sparse pair-dim GROUP BY exhausted DuckDB
-        dims AS (SELECT t.doc_id, r.i AS dim FROM t CROSS JOIN range(128) r(i)),
-        dense AS (SELECT dims.doc_id,
-                    list(coalesce(v.x, 0.0) ORDER BY dims.dim) AS vec
-                  FROM dims LEFT JOIN v
-                    ON v.doc_id = dims.doc_id AND v.dim = dims.dim
-                  GROUP BY dims.doc_id),
-        -- nrm > 0: drop direction-less zero vectors like the engine does
-        -- (they'd otherwise pair with everything via NaN cos in DuckDB)
-        nr2 AS (SELECT doc_id, sqrt(list_dot_product(vec, vec)) AS nrm FROM dense
-                WHERE list_dot_product(vec, vec) > 0),
-        pr AS (SELECT a.doc_id AS a, b.doc_id AS b
-               FROM dense a JOIN dense b ON a.doc_id < b.doc_id
-               JOIN nr2 na ON na.doc_id = a.doc_id
-               JOIN nr2 nb ON nb.doc_id = b.doc_id
-               WHERE list_dot_product(a.vec, b.vec) / (na.nrm * nb.nrm) >= 0.6),
+        $srpReplayCtes,
+        pr AS (SELECT doc_a AS a, doc_b AS b FROM srp_pairs WHERE cos >= 0.6),
         e AS (SELECT a, b FROM pr
               UNION ALL SELECT b, a FROM pr
               UNION ALL SELECT doc_id, doc_id FROM documents),

@@ -51,7 +51,7 @@ object SrpMissDiag {
     println(s"[srpmiss] $dir: ${missed.length} missed pair(s)")
 
     // recompute signatures from srpNearDup's OWN sizing helpers (same
-    // formulas, seed, and Gaussian stream — no hand-copied constants to
+    // formulas, seed, and hyperplane family — no hand-copied constants to
     // desynchronize if the sizing is tuned)
     val n = withNorm.count()
     val nBits = Similarity.srpAutoBits(n)

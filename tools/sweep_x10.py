@@ -23,15 +23,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # oracles whose DuckDB form is brute force over pairs (quadratic at x10)
-# or rebuilds a corpus-wide intermediate DuckDB must fully materialize;
-# each took minutes-to-spill at sf0.1 already (BASELINE.md round-12/13
-# sweep notes) — pre-skipped with the reason recorded in the table
-PRE_SKIP = {
-    "q_semdedup": "dense-vector all-pairs brute force (~5 min at sf0.1; "
-                  "~100x pairs at x10)",
-    "q_hash_embed_neardup": "dense-vector all-pairs brute force (same "
-                            "construction as q_semdedup)",
-}
+# or rebuilds a corpus-wide intermediate DuckDB must fully materialize —
+# pre-skipped with the reason recorded in the table. Round 15: empty —
+# q_semdedup / q_hash_embed_neardup now replay the operator's SRP banded
+# candidate generation (Extra.srpReplayCtes) instead of all-pairs brute
+# force, the same reformulation that unblocked q_mm_phash in round 14.
+PRE_SKIP = {}
 
 # the worker imports compare.py's TABLES/norm/cmp so the x10 sweep
 # validates with the SAME semantics as the sf-scale gate — no drifting
