@@ -30,16 +30,46 @@ object Multimodal {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
       (p(0) == 'B' && p(1) == 'M'))
 
+  /** `ImageIO.read` with the header-declared dimensions validated FIRST
+    * (`reader.getWidth/getHeight(0)` parse only header bytes): a hostile
+    * BMP/PNG/JPEG header can declare a 40000x40000 raster, and letting
+    * the decode allocate it OOMs the executor with an Error no Exception
+    * handler sees — the [[decodeGifFrames]] rule, applied to every
+    * single-image path ([[decodeImage]], [[perceptualHash]]). Returns
+    * null for non-images, undecodable bytes, and over-[[MaxGifPixels]]
+    * declarations. */
+  private def readImageBounded(
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (!looksLikeImage(payload)) return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return null }
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxGifPixels) null
+        else reader.read(0)
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => null }
+  }
+
   /** Real image decode via `javax.imageio` (JDK-native, no container
     * packages): (width, height, features) where features =
     * [mean R, mean G, mean B, mean luma, quadrant lumas TL/TR/BL/BR]
     * (luma = (299R + 587G + 114B)/1000; odd center row/column counts to
-    * top/left). None when the payload is not a decodable image. */
+    * top/left). None when the payload is not a decodable image, or when
+    * its HEADER-declared dimensions exceed [[MaxGifPixels]] — the same
+    * refuse-before-allocating rule as [[decodeGifFrames]]: a hostile
+    * BMP/PNG header can declare a 40000x40000 raster, and letting
+    * `ImageIO.read` allocate it OOMs the executor with an Error no
+    * Exception handler sees. `reader.getWidth/getHeight(0)` parse only
+    * header bytes. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
-    if (!looksLikeImage(payload)) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Exception => null }
+    val img = readImageBounded(payload)
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -151,11 +181,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val img =
-          if (!looksLikeImage(payload)) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: Exception => null }
+        val img = readImageBounded(payload)
         if (img == null) Row(id, payload, -1, -1, false)
         else {
           val w = img.getWidth
@@ -210,8 +236,24 @@ object Multimodal {
       val bits = fmt.getSampleSizeInBits
       if (bits != 8 && bits != 16) return None
       val ch = fmt.getChannels
-      val bytes = in.readAllBytes()
       val frameSize = fmt.getFrameSize
+      if (ch <= 0 || frameSize <= 0) return None
+      // bounded manual drain, NOT readAllBytes: PCM data can never
+      // exceed the container payload, and on a corrupted header
+      // AudioInputStream.read can return 0 forever (a misaligned
+      // frameSize makes every read come back short) — readAllBytes
+      // then spins at 100% CPU. Found by MultimodalFuzzSpec.
+      val bytes = {
+        val buf = new Array[Byte](payload.length)
+        var got = 0
+        var n = 0
+        while (got < buf.length && {
+          n = try in.read(buf, got, buf.length - got)
+          catch { case _: Exception => -1 }
+          n > 0
+        }) got += n
+        if (got == buf.length) buf else java.util.Arrays.copyOf(buf, got)
+      }
       val nFrames = bytes.length / frameSize
       if (nFrames == 0) return None
       val scale = if (bits == 8) 128.0 else 32768.0
@@ -340,11 +382,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         if (payload.isEmpty) None
         else {
-          val img =
-            if (!looksLikeImage(payload)) null
-            else
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              catch { case _: Exception => null }
+          val img = readImageBounded(payload)
           val phash =
             if (img != null) {
               val (w, h) = (img.getWidth, img.getHeight)
@@ -478,6 +516,11 @@ object Multimodal {
     * frames' gray canvases are retained, so a thousand-frame GIF
     * resampled to a handful holds a handful — pass the default to keep
     * every frame. */
+  /** Pixel ceiling for EVERY image decode path (single images via
+    * [[readImageBounded]], GIF logical screens and per-frame
+    * descriptors via [[decodeGifFrames]]): header-declared w*h beyond
+    * this is refused before any raster allocation. 16 MP holds the
+    * worst canvas at ~64 MB of INT_RGB — bounded per task. */
   val MaxGifPixels: Long = 16L * 1024 * 1024
 
   def decodeGifFrames(
