@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-15 bench campaign: 3x sf0.1 + 3x x10 on FINAL round-15 code,
+# plus the pinned-commit weather control (round-14 protocol, validated
+# there): rebuild 91c75bc (the round-14 final commit whose campaign
+# produced BASELINE.md's current columns) in a throwaway clone and run
+# it once at x10 in the same window. Control at-or-below its own r14
+# campaign mins => window clean, stamp the new columns; elevated
+# control => weather, re-run later. Run with NOTHING else on the box.
+# Run files are written atomically (tmp + mv); progress markers record
+# how far a killed campaign got.
+set -x
+cd /root/repo
+R=/root/repo/bench_runs_r15
+echo "started $(date -u +%FT%TZ)" > $R/progress.log
+run_one() {  # $1 = sf dir, $2 = output basename, $3 = repo dir
+  local repo=${3:-/root/repo}
+  (cd "$repo" && SPARK_GRAFT_SF_DIR=$1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench") 2>&1 \
+    | grep '^\[info\] {"metric"' | sed 's/^\[info\] //' > $R/$2.tmp
+  if [ -s $R/$2.tmp ]; then mv $R/$2.tmp $R/$2.json; else rm -f $R/$2.tmp; fi
+  echo "$2 $(date -u +%FT%TZ)" >> $R/progress.log
+}
+for i in 1 2 3; do run_one /root/testdata/sf0.1 sf01_run$i; done
+for i in 1 2 3; do run_one /root/repo/bench_scale/x10 x10_run$i; done
+# pinned-commit control at x10, same window
+CTRL=/tmp/graft_ctrl_91c75bc
+if [ ! -d $CTRL ]; then
+  git clone -q /root/repo $CTRL && (cd $CTRL && git checkout -q 91c75bc)
+fi
+(cd $CTRL && sbt -batch compile) > $R/ctrl_build.log 2>&1
+run_one /root/repo/bench_scale/x10 x10_control_91c75bc $CTRL
+echo DONE > $R/done.flag
