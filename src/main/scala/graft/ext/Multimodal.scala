@@ -20,6 +20,22 @@ object Multimodal {
 
   val featureDim = 8
 
+  /** Pixel ceiling for GIF decodes (logical-screen canvas AND every
+    * frame's ImageDescriptor, validated header-only in
+    * [[decodeGifFrames]] before any allocation): the canvas PERSISTS
+    * across the composed frame sequence and each kept frame retains a
+    * full-canvas luma array, so the GIF bound is deliberately tighter
+    * than [[MaxImagePixels]]. 16 MP holds the worst canvas at ~64 MB
+    * of INT_RGB. */
+  val MaxGifPixels: Long = 16L * 1024 * 1024
+
+  /** Pixel ceiling for SINGLE-image decodes ([[readImageBounded]] →
+    * decodeImage / perceptualHash / resizeTo): header-declared w*h
+    * beyond this is refused before any raster allocation. 64 MP admits
+    * every real camera output (a 40000x40000 hostile header is ~95x
+    * over) while bounding the transient raster at ~256 MB per task. */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** Magic-number sniff for the formats JDK 17's ImageIO decodes natively
     * (PNG, JPEG, GIF, BMP) — keeps the non-image fast path free of
     * reader-registry lookups. */
@@ -35,9 +51,9 @@ object Multimodal {
     * BMP/PNG/JPEG header can declare a 40000x40000 raster, and letting
     * the decode allocate it OOMs the executor with an Error no Exception
     * handler sees — the [[decodeGifFrames]] rule, applied to every
-    * single-image path ([[decodeImage]], [[perceptualHash]]). Returns
-    * null for non-images, undecodable bytes, and over-[[MaxGifPixels]]
-    * declarations. */
+    * single-image path ([[decodeImage]], [[perceptualHash]],
+    * [[resizeTo]]). Returns null for non-images, undecodable bytes,
+    * and over-[[MaxImagePixels]] declarations. */
   private def readImageBounded(
       payload: Array[Byte]): java.awt.image.BufferedImage = {
     if (!looksLikeImage(payload)) return null
@@ -51,7 +67,7 @@ object Multimodal {
       try {
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxGifPixels) null
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) null
         else reader.read(0)
       } finally { reader.dispose(); iis.close() }
     } catch { case _: Exception => null }
@@ -62,8 +78,8 @@ object Multimodal {
     * [mean R, mean G, mean B, mean luma, quadrant lumas TL/TR/BL/BR]
     * (luma = (299R + 587G + 114B)/1000; odd center row/column counts to
     * top/left). None when the payload is not a decodable image, or when
-    * its HEADER-declared dimensions exceed [[MaxGifPixels]] — the same
-    * refuse-before-allocating rule as [[decodeGifFrames]]: a hostile
+    * its HEADER-declared dimensions exceed [[MaxImagePixels]] — the
+    * same refuse-before-allocating rule as [[decodeGifFrames]]: a hostile
     * BMP/PNG header can declare a 40000x40000 raster, and letting
     * `ImageIO.read` allocate it OOMs the executor with an Error no
     * Exception handler sees. `reader.getWidth/getHeight(0)` parse only
@@ -516,13 +532,6 @@ object Multimodal {
     * frames' gray canvases are retained, so a thousand-frame GIF
     * resampled to a handful holds a handful — pass the default to keep
     * every frame. */
-  /** Pixel ceiling for EVERY image decode path (single images via
-    * [[readImageBounded]], GIF logical screens and per-frame
-    * descriptors via [[decodeGifFrames]]): header-declared w*h beyond
-    * this is refused before any raster allocation. 16 MP holds the
-    * worst canvas at ~64 MB of INT_RGB — bounded per task. */
-  val MaxGifPixels: Long = 16L * 1024 * 1024
-
   def decodeGifFrames(
       payload: Array[Byte],
       keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[GifFrame]] = {

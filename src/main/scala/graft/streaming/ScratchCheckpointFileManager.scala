@@ -9,7 +9,8 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileStatus, FSDataInput
 import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
 import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager.CancellableFSDataOutputStream
 
-/** In-heap [[CheckpointFileManager]] for BOUNDED scratch drains.
+/** Path-scoped in-heap [[CheckpointFileManager]] for BOUNDED scratch
+  * drains.
   *
   * A scratch drain's checkpoint is disposable by construction — the
   * query is created, drained with AvailableNow, and discarded inside
@@ -20,75 +21,111 @@ import org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileMana
   * ditto, the file-source seen-files log, and one state-store delta
   * file per store per batch — measured ~0.08 s of walCommit+
   * commitOffsets alone per bounded drain at sf0.1, even on /dev/shm.
-  * This manager keeps those "files" in a JVM-global map instead:
-  * byte-array values, atomic create via buffer-then-put, zero
-  * syscalls. [[StreamingOps.withScratchCheckpoint]] activates it ONLY
-  * for scratch drains and [[dropTree]]s the map afterwards; deployed
-  * continuous queries keep the default durable manager exactly as they
-  * keep durable checkpoint directories.
   *
-  * Single-JVM scope is inherent and fine here: scratch drains already
-  * pin their checkpoint to node-local tmpfs, which is equally invisible
-  * across machines. (In local[*] the "executors" share this JVM, so
-  * state-store commits land in the same map.) Spark instantiates one
-  * manager instance per metadata log via the documented
-  * `spark.sql.streaming.checkpointFileManagerClass` conf and the
-  * (Path, Configuration) constructor; all instances share the global
-  * map, so the offset log, commit log, source log, and state stores
-  * see one coherent tree. */
+  * Scope is decided PER PATH, not per session: paths under a root
+  * registered by [[StreamingOps.withScratchCheckpoint]] live in a
+  * JVM-global byte-array map (atomic create via buffer-then-put, zero
+  * syscalls); every other path DELEGATES to the default manager
+  * Spark would have built, so installing this class via the documented
+  * `spark.sql.streaming.checkpointFileManagerClass` conf is safe to
+  * leave in place for the session's lifetime — durable checkpoints
+  * (the sinkDir production shape, `IvfIndex.appendOnIngest`, any
+  * user query started while a drain is in flight) keep their exact
+  * default-manager behavior. That is what makes concurrent drains and
+  * drain-overlapping durable queries safe: there is no session conf to
+  * race on (the install is idempotent and never reverted), only the
+  * root registry, and an unregistered path can never land in the heap.
+  * Late writes from a still-loaded state-store provider's maintenance
+  * task after a drain unregisters its root fall through to the
+  * delegate (the scratch dir is deleted by then, so they fail as the
+  * non-fatal maintenance misses they are).
+  *
+  * Single-JVM scope for the in-heap tree is inherent and fine here:
+  * scratch drains already pin their checkpoint to node-local tmpfs,
+  * which is equally invisible across machines. (In local[*] the
+  * "executors" share this JVM, so state-store commits land in the same
+  * map.) */
 class ScratchCheckpointFileManager(root: Path, conf: Configuration)
     extends CheckpointFileManager {
   import ScratchCheckpointFileManager._
 
+  /** The manager Spark would have created without this class installed
+    * — built lazily (most instances under an active scratch root never
+    * need it) from a conf copy with the override removed so the
+    * factory cannot recurse into this class. */
+  private lazy val delegate: CheckpointFileManager = {
+    val clean = new Configuration(conf)
+    clean.unset(ConfKey)
+    CheckpointFileManager.create(root, clean)
+  }
+
+  private def inHeap(path: Path): Boolean = underActiveRoot(key(path))
+
   override def createAtomic(
-      path: Path, overwriteIfPossible: Boolean): CancellableFSDataOutputStream = {
-    val k = key(path)
-    registerDirs(parentOf(k))
-    new MemOut(k, overwriteIfPossible)
-  }
+      path: Path, overwriteIfPossible: Boolean): CancellableFSDataOutputStream =
+    if (!inHeap(path)) delegate.createAtomic(path, overwriteIfPossible)
+    else {
+      val k = key(path)
+      registerDirs(parentOf(k))
+      new MemOut(k, overwriteIfPossible)
+    }
 
-  override def open(path: Path): FSDataInputStream = {
-    val bytes = files.get(key(path))
-    if (bytes == null)
-      throw new java.io.FileNotFoundException(s"scratch-ckpt: ${key(path)}")
-    new FSDataInputStream(new SeekableBytes(bytes._1))
-  }
+  override def open(path: Path): FSDataInputStream =
+    if (!inHeap(path)) delegate.open(path)
+    else {
+      val bytes = files.get(key(path))
+      if (bytes == null)
+        throw new java.io.FileNotFoundException(s"scratch-ckpt: ${key(path)}")
+      new FSDataInputStream(new SeekableBytes(bytes._1))
+    }
 
-  override def list(path: Path, filter: PathFilter): Array[FileStatus] = {
-    val p = key(path)
-    val fileKids = files.entrySet().asScala.iterator
-      .filter(e => parentOf(e.getKey) == p)
-      .map(e => new FileStatus(
-        e.getValue._1.length.toLong, false, 1, BlockSize,
-        e.getValue._2, new Path(e.getKey)))
-    val dirKids = dirs.asScala.iterator
-      .filter(d => d != p && parentOf(d) == p)
-      .map(d => new FileStatus(0L, true, 1, BlockSize, 0L, new Path(d)))
-    (fileKids ++ dirKids).filter(st => filter.accept(st.getPath)).toArray
-  }
+  override def list(path: Path, filter: PathFilter): Array[FileStatus] =
+    if (!inHeap(path)) delegate.list(path, filter)
+    else {
+      val p = key(path)
+      val fileKids = files.entrySet().asScala.iterator
+        .filter(e => parentOf(e.getKey) == p)
+        .map(e => new FileStatus(
+          e.getValue._1.length.toLong, false, 1, BlockSize,
+          e.getValue._2, new Path(e.getKey)))
+      val dirKids = dirs.asScala.iterator
+        .filter(d => d != p && parentOf(d) == p)
+        .map(d => new FileStatus(0L, true, 1, BlockSize, 0L, new Path(d)))
+      (fileKids ++ dirKids).filter(st => filter.accept(st.getPath)).toArray
+    }
 
-  override def mkdirs(path: Path): Unit = registerDirs(key(path))
+  override def mkdirs(path: Path): Unit =
+    if (!inHeap(path)) delegate.mkdirs(path)
+    else registerDirs(key(path))
 
-  override def exists(path: Path): Boolean = {
-    val k = key(path)
-    files.containsKey(k) || dirs.contains(k)
-  }
+  override def exists(path: Path): Boolean =
+    if (!inHeap(path)) delegate.exists(path)
+    else {
+      val k = key(path)
+      files.containsKey(k) || dirs.contains(k)
+    }
 
-  override def delete(path: Path): Unit = {
-    val k = key(path)
-    files.remove(k)
-    if (dirs.remove(k)) dropTree(k)
-  }
+  override def delete(path: Path): Unit =
+    if (!inHeap(path)) delegate.delete(path)
+    else {
+      val k = key(path)
+      files.remove(k)
+      if (dirs.remove(k)) dropTree(k)
+    }
 
-  override def isLocal: Boolean = true
+  override def isLocal: Boolean =
+    if (underActiveRoot(key(root))) true else delegate.isLocal
 
-  override def createCheckpointDirectory(): Path = {
-    registerDirs(key(root))
-    root
-  }
+  override def createCheckpointDirectory(): Path =
+    if (!underActiveRoot(key(root))) delegate.createCheckpointDirectory()
+    else {
+      registerDirs(key(root))
+      root
+    }
 }
 
 object ScratchCheckpointFileManager {
+  val ConfKey = "spark.sql.streaming.checkpointFileManagerClass"
   private val BlockSize = 64L * 1024 * 1024
   /** key -> (bytes, modification time ms); keys are scheme-stripped
     * absolute paths so "file:/x" and "/x" address the same entry. */
@@ -96,10 +133,38 @@ object ScratchCheckpointFileManager {
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Byte], Long)]()
   private val dirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Roots currently owned by an in-flight scratch drain. */
+  private val activeRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Route `root` (a scratch checkpoint dir) to the in-heap tree until
+    * [[release]]. */
+  def claim(root: String): Unit = activeRoots.add(normalize(root))
+
+  /** Stop routing `root` in-heap and drop every entry under it. */
+  def release(root: String): Unit = {
+    val k = normalize(root)
+    activeRoots.remove(k)
+    dropTree(k)
+  }
+
+  private def normalize(s: String): String =
+    key(new Path(s))
 
   private def key(p: Path): String = {
     val raw = p.toUri.getPath
     if (raw.length > 1 && raw.endsWith("/")) raw.dropRight(1) else raw
+  }
+
+  private def underActiveRoot(k: String): Boolean = {
+    if (activeRoots.isEmpty) return false
+    val it = activeRoots.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      if (k == r || (k.length > r.length && k.startsWith(r) &&
+        k.charAt(r.length) == '/')) return true
+    }
+    false
   }
 
   private def parentOf(k: String): String = {
@@ -112,12 +177,13 @@ object ScratchCheckpointFileManager {
     while (cur != "/" && dirs.add(cur)) cur = parentOf(cur)
   }
 
-  /** Drop every in-heap entry under `root` — called by the scratch
-    * wrapper's finally so a drain's map entries never outlive it. */
-  def dropTree(root: String): Unit = {
+  /** Drop the in-heap entries at and under `root` (the root dir entry
+    * included — leaking one key per drain would accumulate forever in
+    * a long-lived bench JVM). */
+  private def dropTree(root: String): Unit = {
     val prefix = (if (root.endsWith("/")) root.dropRight(1) else root) + "/"
-    files.keySet().removeIf(k => k.startsWith(prefix))
-    dirs.removeIf(k => k.startsWith(prefix))
+    files.keySet().removeIf(k => k == root || k.startsWith(prefix))
+    dirs.removeIf(k => k == root || k.startsWith(prefix))
   }
 
   private final class MemOut(
@@ -130,10 +196,11 @@ object ScratchCheckpointFileManager {
       if (!done) {
         done = true
         super.close()
-        val prev = files.putIfAbsent(k, (buf.toByteArray, System.currentTimeMillis()))
+        val contents = (buf.toByteArray, System.currentTimeMillis())
+        val prev = files.putIfAbsent(k, contents)
         if (prev != null) {
           if (!overwrite) throw new FileAlreadyExistsException(s"scratch-ckpt: $k")
-          files.put(k, (buf.toByteArray, System.currentTimeMillis()))
+          files.put(k, contents)
         }
       }
     }

@@ -188,16 +188,21 @@ object StreamingOps {
     reapStaleScratch(base)
     val dir = java.nio.file.Files
       .createTempDirectory(base, s"graft_ckpt_$name")
-    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
-    val prevFm = spark.conf.getOption(fmKey)
-    spark.conf.set(fmKey, classOf[ScratchCheckpointFileManager].getName)
+    // install the path-scoped manager ONCE and leave it: it delegates
+    // every non-claimed path to the default manager, so the install is
+    // idempotent and needs no restore — a set/restore pair here raced
+    // with overlapping drains (B snapshots A's in-flight value and
+    // "restores" it after A unsets) and with durable-checkpoint queries
+    // started mid-drain, which would have inherited a session-wide
+    // in-heap manager. Only the CLAIMED root routes in-heap.
+    val scratchCls = classOf[ScratchCheckpointFileManager].getName
+    if (!spark.conf.getOption(ScratchCheckpointFileManager.ConfKey)
+        .contains(scratchCls))
+      spark.conf.set(ScratchCheckpointFileManager.ConfKey, scratchCls)
+    ScratchCheckpointFileManager.claim(dir.toString)
     try body(dir.toString)
     finally {
-      prevFm match {
-        case Some(v) => spark.conf.set(fmKey, v)
-        case None => spark.conf.unset(fmKey)
-      }
-      ScratchCheckpointFileManager.dropTree(dir.toString)
+      ScratchCheckpointFileManager.release(dir.toString)
       deleteRecursively(dir)
     }
   }
@@ -216,18 +221,27 @@ object StreamingOps {
 
   /** Reap graft_ckpt_* leftovers from hard-crashed runs: the scratch
     * base is memory-backed (/dev/shm), so crash leftovers consume RAM,
-    * not disk — every scratch-checkpoint entry sweeps dirs whose mtime
-    * is over an hour old (a live drain touches its checkpoint every
-    * microbatch, so an hour-stale root is never in use). */
+    * not disk — every scratch-checkpoint entry sweeps trees whose
+    * NEWEST entry (deep max mtime, not the root's — a write into a
+    * nested offsets/ dir never touches the root's own mtime) is over an
+    * hour old. With the in-heap manager these trees are empty dirs;
+    * the deep check matters for leftovers from older on-disk-layout
+    * binaries sharing the base. */
   private def reapStaleScratch(base: java.nio.file.Path): Unit =
     try {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      import scala.jdk.CollectionConverters.IteratorHasAsScala
+      def newestMtime(root: java.nio.file.Path): Long =
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { s =>
+          s.iterator().asScala
+            .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .foldLeft(0L)(math.max)
+        }
       scala.util.Using.resource(java.nio.file.Files.list(base)) { s =>
-        import scala.jdk.CollectionConverters.IteratorHasAsScala
         s.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("graft_ckpt_") &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+          .filter(_.getFileName.toString.startsWith("graft_ckpt_"))
           .toSeq
+          .filter(p => newestMtime(p) < cutoff)
           .foreach(deleteRecursively)
       }
     } catch { case scala.util.control.NonFatal(_) => }
