@@ -51,11 +51,16 @@ class ScratchCheckpointFileManager(root: Path, conf: Configuration)
 
   /** The manager Spark would have created without this class installed
     * — built lazily (most instances under an active scratch root never
-    * need it) from a conf copy with the override removed so the
-    * factory cannot recurse into this class. */
+    * need it) from a conf copy with the override swapped back to the
+    * session's PRE-INSTALL manager class ([[DelegateKey]], stashed by
+    * the installer) or removed entirely, so a user-configured custom
+    * manager keeps governing durable checkpoints and the factory
+    * cannot recurse into this class. */
   private lazy val delegate: CheckpointFileManager = {
     val clean = new Configuration(conf)
-    clean.unset(ConfKey)
+    val prior = conf.get(DelegateKey)
+    if (prior != null && prior.nonEmpty) clean.set(ConfKey, prior)
+    else clean.unset(ConfKey)
     CheckpointFileManager.create(root, clean)
   }
 
@@ -126,6 +131,12 @@ class ScratchCheckpointFileManager(root: Path, conf: Configuration)
 
 object ScratchCheckpointFileManager {
   val ConfKey = "spark.sql.streaming.checkpointFileManagerClass"
+  /** Where the installer stashes a PRE-EXISTING custom manager class so
+    * the delegate chains to it instead of silently reverting durable
+    * checkpoints to Spark's default (kept in the spark.sql.* namespace
+    * so the session->Hadoop conf copy carries it to every
+    * instantiation). */
+  val DelegateKey = "spark.sql.streaming.graft.scratchDelegateClass"
   private val BlockSize = 64L * 1024 * 1024
   /** key -> (bytes, modification time ms); keys are scheme-stripped
     * absolute paths so "file:/x" and "/x" address the same entry. */
@@ -196,6 +207,12 @@ object ScratchCheckpointFileManager {
       if (!done) {
         done = true
         super.close()
+        // a straggler closing AFTER its drain released the root (async
+        // state-store maintenance, a zombie task) must not re-insert:
+        // dropTree already ran and never will again for this root, so
+        // the entry would leak until JVM exit — and nothing can read a
+        // post-release write anyway
+        if (!underActiveRoot(k)) return
         val contents = (buf.toByteArray, System.currentTimeMillis())
         val prev = files.putIfAbsent(k, contents)
         if (prev != null) {

@@ -196,9 +196,15 @@ object StreamingOps {
     // started mid-drain, which would have inherited a session-wide
     // in-heap manager. Only the CLAIMED root routes in-heap.
     val scratchCls = classOf[ScratchCheckpointFileManager].getName
-    if (!spark.conf.getOption(ScratchCheckpointFileManager.ConfKey)
-        .contains(scratchCls))
-      spark.conf.set(ScratchCheckpointFileManager.ConfKey, scratchCls)
+    spark.conf.getOption(ScratchCheckpointFileManager.ConfKey) match {
+      case Some(`scratchCls`) => // already installed
+      case prior =>
+        // a pre-existing CUSTOM manager keeps governing durable
+        // checkpoints: stash it for the delegate to chain to
+        prior.filter(_.nonEmpty).foreach(
+          spark.conf.set(ScratchCheckpointFileManager.DelegateKey, _))
+        spark.conf.set(ScratchCheckpointFileManager.ConfKey, scratchCls)
+    }
     ScratchCheckpointFileManager.claim(dir.toString)
     try body(dir.toString)
     finally {
