@@ -52,12 +52,20 @@ object Extra {
                FROM (SELECT GREATEST(8,
                        CAST(CEIL(LN(n / 2.0) / LN(2.0)) AS INT)) AS bits
                      FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM nr2))),
+    -- the CASE errors LOUDLY (and names the budget) if a future corpus
+    -- sizes bits*bands past the range(4096) plane budget — without it
+    -- the signature would silently truncate and sweep mismatches would
+    -- carry no diagnostic pointing here
     planes AS (SELECT r.j,
                  list_transform(range(128), d -> CAST(
                    (CAST(('0x' || substr(md5('srp:42:' || r.j || ':' || d), 1, 1))
                       AS INT) & 1) * 2 - 1 AS DOUBLE)) AS pl
                FROM range(4096) r(j), srp_sz
-               WHERE r.j < srp_sz.bits * srp_sz.bands),
+               WHERE r.j < CASE WHEN srp_sz.bits * srp_sz.bands > 4096
+                 THEN error('srpReplayCtes: bits*bands = ' ||
+                   CAST(srp_sz.bits * srp_sz.bands AS VARCHAR) ||
+                   ' exceeds the range(4096) plane budget — raise it')
+                 ELSE srp_sz.bits * srp_sz.bands END),
     proj AS MATERIALIZED (SELECT dense.doc_id, planes.j,
                     list_dot_product(dense.vec, planes.pl) AS pr
              FROM dense JOIN nr2 USING (doc_id) CROSS JOIN planes),

@@ -219,6 +219,11 @@ object ScratchCheckpointFileManager {
           if (!overwrite) throw new FileAlreadyExistsException(s"scratch-ckpt: $k")
           files.put(k, contents)
         }
+        // release() may have run between the check above and the put —
+        // dropTree would then have missed this entry. Re-check and
+        // self-clean so the insert-then-release interleaving cannot
+        // leak the key for the JVM's lifetime.
+        if (!underActiveRoot(k)) files.remove(k)
       }
     }
   }

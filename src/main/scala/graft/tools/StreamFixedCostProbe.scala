@@ -66,14 +66,24 @@ object StreamFixedCostProbe {
       }
       spark.streams.addListener(l)
       val t0 = System.nanoTime()
+      // graft_ckpt_* prefix so StreamingOps.reapStaleScratch covers a
+      // crashed probe's leftovers; a clean run deletes it right below
+      val ckpt = java.nio.file.Paths.get("/dev/shm/graft_ckpt_probe_" + t0)
       val q = spark.readStream.schema(tinySchema).parquet(tiny)
         .writeStream.format("noop")
-        .option("checkpointLocation", "/dev/shm/graft_probe_ckpt_" + t0)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       val tStartRet = System.nanoTime()
       q.awaitTermination()
       val tAwait = System.nanoTime()
+      try {
+        import scala.jdk.CollectionConverters.IteratorHasAsScala
+        scala.util.Using.resource(java.nio.file.Files.walk(ckpt)) { s =>
+          s.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
       Thread.sleep(400)
       spark.streams.removeListener(l)
       def ms(k: String) = Option(stamps.get(k)).filter(_ != 0)

@@ -13,6 +13,11 @@
 #                  registry oracles replay the LSH banding, see Text.scala)
 #   RecallCheck    — all 12 self-validating ANN/SimHash gate rows true
 #   AsOfScaleGate  — as-of merge join stays Exchange-free on bucketed input
+#   srp_brute_check.py — q_hash_embed_neardup/q_semdedup operator output
+#                  vs the pre-round-15 ALL-PAIRS brute-force DuckDB oracle
+#                  at sf0.01 (engine- AND algorithm-independent; the
+#                  registry oracles replay the SRP banding, see
+#                  Extra.srpReplayCtes)
 #
 # Expected current state (round 12): everything OK/EXACT except one
 # documented boundary miss each for SrpCheck (cos 0.614) and
@@ -58,3 +63,12 @@ run graft.tools.WinnowCheck "$SF001" "$SF01"
 run graft.tools.ClusterExactCheck "$SF001" "$SF01"
 run graft.tools.RecallCheck "$SF01" "$X10"
 run graft.tools.AsOfScaleGate "$SF01" "$X10"
+# DuckDB-side all-pairs cross-check of the SRP-replay oracles: dump just
+# the two operators' outputs at sf0.01, then compare against the
+# quadratic brute-force oracle the sf0.01 scale still affords.
+SRP_OUT=$(mktemp -d /tmp/graft_srp_gate.XXXXXX)
+SPARK_GRAFT_QUERIES=q_hash_embed_neardup,q_semdedup \
+  sbt -batch "runMain graft.Verify $SF001 $SRP_OUT" >/dev/null 2>&1 \
+  || { echo "gates.sh: Verify for srp_brute_check failed" >&2; exit 1; }
+python3 tools/srp_brute_check.py "$SF001" "$SRP_OUT"
+rm -rf "$SRP_OUT"
