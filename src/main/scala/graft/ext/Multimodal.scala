@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Image payloads (PNG/JPEG/GIF/BMP) get a REAL decode through JDK 17's
   * built-in `javax.imageio` codecs — width/height and an 8-dim color/luma
-  * feature vector from actual pixels. Non-image payloads (this corpus's
-  * testdata is text bytes; audio/video would need codecs the container
-  * lacks) fall back to `decodeStub`, a clearly-marked deterministic fake,
-  * so the partition-parallel plumbing is exercised end-to-end on every
-  * row either way. The `decoded` output column says which path ran.
+  * feature vector from actual pixels. Video containers whose frames need
+  * no inter-frame codec decode for REAL too: animated GIF
+  * ([[decodeGifFrames]]) and MJPEG-in-AVI ([[decodeAviFrames]] — our
+  * RIFF walk + the JDK JPEG reader per frame). Everything else (this
+  * corpus's testdata is text bytes; other video codecs don't ship in
+  * this container) falls back to `decodeStub`, a clearly-marked
+  * deterministic fake, so the partition-parallel plumbing is exercised
+  * end-to-end on every row either way. The `decoded` output column says
+  * which path ran.
   */
 object Multimodal {
 
@@ -55,21 +59,31 @@ object Multimodal {
     * [[resizeTo]]). Returns null for non-images, undecodable bytes,
     * and over-[[MaxImagePixels]] declarations. */
   private def readImageBounded(
-      payload: Array[Byte]): java.awt.image.BufferedImage = {
+      payload: Array[Byte],
+      maxPixels: Long = MaxImagePixels): java.awt.image.BufferedImage = {
     if (!looksLikeImage(payload)) return null
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return null }
-      val reader = readers.next()
-      reader.setInput(iis)
+      // everything past this point — reader lookup, setInput, header
+      // reads, the decode itself — runs inside a finally that always
+      // closes the stream and disposes any acquired reader, so a throw
+      // from ANY step (not just the decode) cannot leak the
+      // ImageInputStream's temp resources until GC
+      var reader: javax.imageio.ImageReader = null
       try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        reader = readers.next()
+        reader.setInput(iis)
         val w = reader.getWidth(0)
         val h = reader.getHeight(0)
-        if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) null
+        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) null
         else reader.read(0)
-      } finally { reader.dispose(); iis.close() }
+      } finally {
+        if (reader != null) reader.dispose()
+        iis.close()
+      }
     } catch { case _: Exception => null }
   }
 
@@ -497,7 +511,7 @@ object Multimodal {
     * sequence, millisecond timestamp accumulated from the per-frame
     * GraphicControlExtension delays (frame 0 at 0 ms), canvas
     * dimensions, and the composed canvas as row-major 8-bit luma. */
-  final case class GifFrame(
+  final case class VideoFrame(
       frameIdx: Int, tsMs: Long, width: Int, height: Int, gray: Array[Byte])
 
   /** First attribute value of `node` under a GIF metadata tree, as Int. */
@@ -534,7 +548,7 @@ object Multimodal {
     * every frame. */
   def decodeGifFrames(
       payload: Array[Byte],
-      keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[GifFrame]] = {
+      keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[VideoFrame]] = {
     if (!looksLikeGif(payload)) return None
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return None
@@ -572,7 +586,7 @@ object Multimodal {
       val g2 = canvas.createGraphics()
       try {
         var ts = 0L
-        val out = Vector.newBuilder[GifFrame]
+        val out = Vector.newBuilder[VideoFrame]
         var i = 0
         while (i < n) {
           val img = reader.read(i)
@@ -599,7 +613,7 @@ object Multimodal {
                 114 * (p & 0xff)) / 1000).toByte
               k += 1
             }
-            out += GifFrame(i, ts, cw, ch, gray)
+            out += VideoFrame(i, ts, cw, ch, gray)
           }
           ts += delayCs * 10L
           i += 1
@@ -625,9 +639,135 @@ object Multimodal {
   }
 
   private[graft] def resampleByFps(
-      frames: Vector[GifFrame], targetFps: Int): Vector[GifFrame] = {
+      frames: Vector[VideoFrame], targetFps: Int): Vector[VideoFrame] = {
     val keep = fpsKeeper(targetFps)
     frames.filter(f => keep(f.frameIdx, f.tsMs))
+  }
+
+  private def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
+      p(11) == ' '
+
+  /** Little-endian u32 at `off` (RIFF sizes/fields), as Long — a hostile
+    * size field can exceed Int.MaxValue and must not wrap negative. */
+  private def leU32(p: Array[Byte], off: Int): Long =
+    (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+
+  private def fourcc(p: Array[Byte], off: Int): String = {
+    val b = new Array[Byte](4)
+    System.arraycopy(p, off, b, 0, 4)
+    new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** REAL multi-frame decode for a second container format — MJPEG in
+    * AVI — with zero external codecs: the RIFF/AVI container walk is
+    * pure header arithmetic (chunks are `[fourcc][u32 size LE][data]`
+    * padded to even offsets; `LIST` chunks nest), and each `00dc`/`00db`
+    * frame chunk of an MJPEG stream is a standalone JPEG that JDK 17's
+    * own ImageIO reader decodes — the same two-ingredient recipe as
+    * [[decodeGifFrames]] (JDK reader + our container parse), extended to
+    * the one mainstream VIDEO container whose frames need no inter-frame
+    * codec. Frame timestamps come from the `vids` stream header's
+    * rate/scale pair (`tsMs = idx*1000*scale/rate`, integer-exact),
+    * falling back to `avih`'s dwMicroSecPerFrame, then [[NativeFps]].
+    *
+    * Hostile-input rules, same as every decoder here: chunk sizes are
+    * bounds-checked against the payload before any read (a truncated or
+    * lying header aborts to None, the stub fallback); the `avih`
+    * declared raster and every frame JPEG's OWN header-declared raster
+    * are refused beyond [[MaxGifPixels]] BEFORE any pixel allocation
+    * (`readImageBounded(frame, MaxGifPixels)` — a hostile frame inside
+    * an innocent AVI cannot OOM the executor); a frame chunk that fails
+    * to decode as a JPEG aborts to None rather than emitting a partial
+    * sequence. `keep(frameIdx, tsMs)` filters BEFORE decode — MJPEG
+    * frames are independent (no delta composition), so unlike the GIF
+    * path a skipped frame costs nothing but the container walk.
+    * Output frames are full-raster 8-bit luma, like the GIF path. */
+  def decodeAviFrames(
+      payload: Array[Byte],
+      keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[VideoFrame]] = {
+    if (!looksLikeAvi(payload)) return None
+    try {
+      var usPerFrame = 0L
+      var avihW = 0L
+      var avihH = 0L
+      var scale = 0L
+      var rate = 0L
+      var sawVids = false
+      val frames = Vector.newBuilder[VideoFrame]
+      var frameIdx = 0
+      var nKept = 0
+      def tsOf(idx: Int): Long =
+        if (rate > 0 && scale > 0) idx * 1000L * scale / rate
+        else if (usPerFrame > 0) idx * usPerFrame / 1000L
+        else idx * 1000L / NativeFps
+
+      /** Walk the chunk sequence in payload[from, until); `inStrl` marks
+        * a stream-header list so `strh` binds the right stream. Returns
+        * false to abort the whole decode (hostile/truncated/undecodable). */
+      def walk(from: Int, until: Int, inStrl: Boolean): Boolean = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = fourcc(payload, pos)
+          val size = leU32(payload, pos + 4)
+          val dataStart = pos + 8
+          val dataEnd = dataStart + size
+          // a size field pointing past the payload is a truncated or
+          // hostile container — refuse rather than read garbage
+          if (dataEnd > until) return false
+          if (id == "LIST") {
+            if (size < 4) return false
+            val listType = fourcc(payload, dataStart)
+            if (!walk(dataStart + 4, dataEnd.toInt, listType == "strl"))
+              return false
+          } else id match {
+            case "avih" if size >= 40 =>
+              usPerFrame = leU32(payload, dataStart)
+              avihW = leU32(payload, dataStart + 32)
+              avihH = leU32(payload, dataStart + 36)
+              if (avihW * avihH > MaxGifPixels) return false
+            case "strh" if inStrl && size >= 28 =>
+              if (fourcc(payload, dataStart) == "vids" && !sawVids) {
+                sawVids = true
+                scale = leU32(payload, dataStart + 20)
+                rate = leU32(payload, dataStart + 24)
+              }
+            case f if f.length == 4 && f(0) == '0' && f(1) == '0' &&
+                (f.endsWith("dc") || f.endsWith("db")) =>
+              val ts = tsOf(frameIdx)
+              if (keep(frameIdx, ts)) {
+                val bytes = java.util.Arrays.copyOfRange(
+                  payload, dataStart, dataEnd.toInt)
+                val img = readImageBounded(bytes, MaxGifPixels)
+                if (img == null) return false
+                val w = img.getWidth
+                val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                val gray = Array.ofDim[Byte](w * h)
+                var k = 0
+                while (k < px.length) {
+                  val p = px(k)
+                  gray(k) = ((299 * ((p >> 16) & 0xff) +
+                    587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000).toByte
+                  k += 1
+                }
+                frames += VideoFrame(frameIdx, ts, w, h, gray)
+                nKept += 1
+              }
+              frameIdx += 1
+            case _ => // ignore idx1, strf, JUNK, audio chunks, ...
+          }
+          pos = (dataEnd + (size & 1L)).toInt // chunks pad to even
+        }
+        true
+      }
+
+      if (!walk(12, payload.length, inStrl = false)) return None
+      if (frameIdx == 0) return None // an AVI with no video frames
+      Some(frames.result())
+    } catch { case _: Exception => None }
   }
 
   private val frameSchema = StructType(Seq(
@@ -648,10 +788,13 @@ object Multimodal {
     * their own (frame_idx, ts_ms) so any later per-frame model stage can
     * shuffle/window them independently of the source video row.
     *
-    * Frame decode: payloads that ARE animated GIFs go through the REAL
-    * [[decodeGifFrames]] path (JDK-native reader; frame = composed
-    * canvas as 8-bit luma, ts_ms from the file's own per-frame delays,
-    * resampled to `targetFps` by [[resampleByFps]]); everything else
+    * Frame decode: MJPEG-in-AVI payloads go through the REAL
+    * [[decodeAviFrames]] path (our RIFF container walk + the JDK JPEG
+    * reader per frame; ts_ms from the stream header's rate/scale),
+    * animated GIFs through the REAL [[decodeGifFrames]] path
+    * (JDK-native reader; frame = composed canvas as 8-bit luma, ts_ms
+    * from the file's own per-frame delays, resampled to `targetFps` by
+    * [[resampleByFps]]); everything else
     * uses the deterministic byte-window stub ([[FrameBytes]] windows at
     * [[NativeFps]] — trailing partial frame included, same convention
     * as chunk dedup), where a real codec would replace ONLY the `slice`
@@ -667,16 +810,22 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        decodeGifFrames(payload, fpsKeeper(targetFps)) match {
-          case Some(frames) =>
-            frames.iterator.map { f =>
-              var s = 0L
-              var k = 0
-              while (k < f.gray.length) { s += f.gray(k) & 0xff; k += 1 }
-              val mean =
-                if (f.gray.length == 0) 0.0 else s.toDouble / f.gray.length
-              Row(id, f.frameIdx.toLong, f.tsMs, f.gray, mean)
-            }
+        def emit(frames: Vector[VideoFrame]) =
+          frames.iterator.map { f =>
+            var s = 0L
+            var k = 0
+            while (k < f.gray.length) { s += f.gray(k) & 0xff; k += 1 }
+            val mean =
+              if (f.gray.length == 0) 0.0 else s.toDouble / f.gray.length
+            Row(id, f.frameIdx.toLong, f.tsMs, f.gray, mean)
+          }
+        // each real decoder gets a FRESH stateful keeper; the magic
+        // sniffs are disjoint (RIFF/AVI vs GIF8?a) so at most one of
+        // them ever consumes keeper state for a given payload
+        decodeAviFrames(payload, fpsKeeper(targetFps)) match {
+          case Some(frames) => emit(frames)
+          case None => decodeGifFrames(payload, fpsKeeper(targetFps)) match {
+          case Some(frames) => emit(frames)
           case None =>
             val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
             (0 until nFrames).iterator
@@ -691,6 +840,7 @@ object Multimodal {
                 Row(id, i.toLong, i * 1000L / NativeFps, frame,
                   s.toDouble / frame.length)
               }
+          }
         }
       }
     }

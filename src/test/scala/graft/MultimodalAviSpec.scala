@@ -1,0 +1,185 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+
+/** Pins the REAL MJPEG-in-AVI frame path: an AVI assembled here byte by
+  * byte (RIFF container per the public spec, frames JPEG-encoded with
+  * the JDK's own writer) must come back from
+  * [[Multimodal.decodeAviFrames]] with exact frame indices, timestamps
+  * (rate/scale, then dwMicroSecPerFrame, then NativeFps fallback) and
+  * near-exact solid-frame lumas (JPEG is lossy; solid gray survives to
+  * within quantization error), and [[Multimodal.sampleFrames]] must
+  * route AVI payloads through it while non-AVI payloads keep their
+  * paths. Hostile containers — lying chunk sizes, truncations, giant
+  * declared rasters in avih or inside a frame's own JPEG header — must
+  * be refused without a raster allocation or a throw.
+  */
+class MultimodalAviSpec extends AnyFunSuite with SparkSpec {
+
+  private def solid(w: Int, h: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(v, v, v))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 != 0) Array[Byte](0) else Array.emptyByteArray
+    fcc(id) ++ le32(data.length.toLong) ++ data ++ pad
+  }
+
+  private def list(listType: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fcc(listType) ++ body)
+
+  /** Minimal spec-shaped AVI: RIFF(AVI ( hdrl(avih, strl(strh, strf)),
+    * movi(00dc...) )). Field layout per the public AVIMAINHEADER /
+    * AVISTREAMHEADER / BITMAPINFOHEADER structures. */
+  private def writeAvi(
+      frames: Seq[Array[Byte]], w: Int, h: Int,
+      scale: Long, rate: Long, usPerFrame: Long): Array[Byte] = {
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(scale) ++ le32(rate) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ fcc("MJPG") ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  // 3 solid 16x12 frames at lumas 10/100/200, 5 fps via rate/scale
+  private lazy val frameJpegs = Seq(
+    solid(16, 12, 10), solid(16, 12, 100), solid(16, 12, 200))
+  private lazy val aviBytes =
+    writeAvi(frameJpegs, 16, 12, scale = 1, rate = 5, usPerFrame = 0)
+
+  private def meanLuma(gray: Array[Byte]): Double =
+    gray.map(_ & 0xff).sum.toDouble / gray.length
+
+  test("decodeAviFrames: frame count, dims, rate/scale timestamps, " +
+      "near-exact solid lumas through the real JPEG decode") {
+    val frames = Multimodal.decodeAviFrames(aviBytes).get
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+    assert(frames.forall(f => f.width == 16 && f.height == 12))
+    // 5 fps -> 200 ms steps, integer-exact from rate/scale
+    assert(frames.map(_.tsMs) == Vector(0L, 200L, 400L))
+    for ((f, want) <- frames.zip(Seq(10, 100, 200)))
+      assert(math.abs(meanLuma(f.gray) - want) <= 2.0,
+        s"frame ${f.frameIdx}: mean ${meanLuma(f.gray)} want ~$want")
+  }
+
+  test("decodeAviFrames: timestamp fallbacks — dwMicroSecPerFrame, then " +
+      "NativeFps") {
+    val viaUs = Multimodal.decodeAviFrames(
+      writeAvi(frameJpegs, 16, 12, scale = 0, rate = 0,
+        usPerFrame = 125000)).get
+    assert(viaUs.map(_.tsMs) == Vector(0L, 125L, 250L))
+    val viaNative = Multimodal.decodeAviFrames(
+      writeAvi(frameJpegs, 16, 12, scale = 0, rate = 0, usPerFrame = 0)).get
+    assert(viaNative.map(_.tsMs) ==
+      Vector(0L, 1000L / Multimodal.NativeFps, 2000L / Multimodal.NativeFps))
+  }
+
+  test("decodeAviFrames: non-AVI payloads return None") {
+    assert(Multimodal.decodeAviFrames("plain text".getBytes("UTF-8")).isEmpty)
+    // RIFF but not AVI (a WAVE header)
+    val wave = fcc("RIFF") ++ le32(4) ++ fcc("WAVE")
+    assert(Multimodal.decodeAviFrames(wave).isEmpty)
+    // AVI magic but garbage body: bounds-checked walk refuses, no throw
+    assert(Multimodal.decodeAviFrames(
+      (fcc("RIFF") ++ le32(9999) ++ fcc("AVI ") ++
+        "garbage".getBytes("UTF-8"))).isEmpty)
+  }
+
+  test("decodeAviFrames: hostile avih raster is refused before any " +
+      "frame decode") {
+    val hostile = writeAvi(frameJpegs, 40000, 40000,
+      scale = 1, rate = 5, usPerFrame = 0)
+    assert(40000L * 40000L > Multimodal.MaxGifPixels)
+    assert(Multimodal.decodeAviFrames(hostile).isEmpty)
+  }
+
+  test("decodeAviFrames: a frame JPEG declaring a giant raster inside an " +
+      "innocent container is refused header-only") {
+    // patch frame 1's SOF0 marker (FF C0 len prec H H W W) to declare
+    // 65500x65500 — the bounded reader must refuse via the header probe
+    val jpeg = frameJpegs(1).clone()
+    val sof = jpeg.indices.dropRight(8).find(i =>
+      (jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xc0).get
+    jpeg(sof + 5) = 0xff.toByte; jpeg(sof + 6) = 0xdc.toByte // height 65500
+    jpeg(sof + 7) = 0xff.toByte; jpeg(sof + 8) = 0xdc.toByte // width 65500
+    val hostile = writeAvi(Seq(frameJpegs(0), jpeg, frameJpegs(2)),
+      16, 12, scale = 1, rate = 5, usPerFrame = 0)
+    assert(Multimodal.decodeAviFrames(hostile).isEmpty)
+  }
+
+  test("decodeAviFrames: truncated and size-lying containers are refused") {
+    (0 to 24).foreach(n =>
+      assert(Multimodal.decodeAviFrames(aviBytes.take(n)).isEmpty))
+    assert(Multimodal.decodeAviFrames(
+      aviBytes.take(aviBytes.length / 2)).isEmpty)
+    // blow up the hdrl LIST's size field so it points past the payload
+    val lying = aviBytes.clone()
+    lying(16) = 0xff.toByte; lying(17) = 0xff.toByte
+    lying(18) = 0xff.toByte; lying(19) = 0x7f.toByte
+    assert(Multimodal.decodeAviFrames(lying).isEmpty)
+  }
+
+  test("decodeAviFrames keep-filter: only kept frames are returned (and " +
+      "skipped frames never decode)") {
+    var seen = List.empty[Int]
+    val kept = Multimodal.decodeAviFrames(aviBytes, (idx, ts) => {
+      seen ::= idx
+      idx == 2 && ts == 400L
+    }).get
+    assert(seen.reverse == List(0, 1, 2))
+    assert(kept.map(_.frameIdx) == Vector(2))
+    assert(math.abs(meanLuma(kept.head.gray) - 200) <= 2.0)
+  }
+
+  test("sampleFrames routes AVI payloads through the real decoder " +
+      "alongside GIF and stub paths") {
+    import spark.implicits._
+    val textPayload = Array.tabulate[Byte](100)(i => (i % 251).toByte)
+    val media = Seq((1L, aviBytes), (2L, textPayload))
+      .toDF("doc_id", "payload")
+    // 5 fps source resampled to 3 fps (333 ms ticks): ts 0/200/400 keeps
+    // frames 0 and 2 (fpsKeeper: 200*3 < 1000 skips frame 1)
+    val out = Multimodal.sampleFrames(media, targetFps = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(out.keySet.filter(_._1 == 1L) == Set((1L, 0L), (1L, 2L)))
+    assert(out((1L, 0L))._1 == 0L)
+    assert(out((1L, 2L))._1 == 400L)
+    assert(math.abs(out((1L, 0L))._2 - 10) <= 2.0)
+    assert(math.abs(out((1L, 2L))._2 - 200) <= 2.0)
+    // stub path unchanged for non-media payloads
+    assert(out.keySet.filter(_._1 == 2L) == Set((2L, 0L)))
+  }
+}

@@ -65,6 +65,7 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeImage(payload)
     Multimodal.decodeAudio(payload)
     Multimodal.decodeGifFrames(payload)
+    Multimodal.decodeAviFrames(payload)
     Multimodal.decodeStub(payload)
     ()
   }
