@@ -604,15 +604,7 @@ object Multimodal {
           // getRGB + gray materialization
           g2.drawImage(img, left, top, null)
           if (keep(i, ts)) {
-            val px = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
-            val gray = Array.ofDim[Byte](cw * ch)
-            var k = 0
-            while (k < px.length) {
-              val p = px(k)
-              gray(k) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
-                114 * (p & 0xff)) / 1000).toByte
-              k += 1
-            }
+            val gray = rgbToLuma(canvas.getRGB(0, 0, cw, ch, null, 0, cw))
             out += VideoFrame(i, ts, cw, ch, gray)
           }
           ts += delayCs * 10L
@@ -661,6 +653,21 @@ object Multimodal {
     new String(b, java.nio.charset.StandardCharsets.US_ASCII)
   }
 
+  /** Row-major INT_RGB pixels → 8-bit luma ((299R+587G+114B)/1000) —
+    * the ONE conversion every real video frame path shares, so the GIF
+    * and AVI lumas cannot silently diverge. */
+  private def rgbToLuma(px: Array[Int]): Array[Byte] = {
+    val gray = new Array[Byte](px.length)
+    var k = 0
+    while (k < px.length) {
+      val p = px(k)
+      gray(k) = ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000).toByte
+      k += 1
+    }
+    gray
+  }
+
   /** REAL multi-frame decode for a second container format — MJPEG in
     * AVI — with zero external codecs: the RIFF/AVI container walk is
     * pure header arithmetic (chunks are `[fourcc][u32 size LE][data]`
@@ -684,30 +691,49 @@ object Multimodal {
     * sequence. `keep(frameIdx, tsMs)` filters BEFORE decode — MJPEG
     * frames are independent (no delta composition), so unlike the GIF
     * path a skipped frame costs nothing but the container walk.
-    * Output frames are full-raster 8-bit luma, like the GIF path. */
+    * Output frames are full-raster 8-bit luma, like the GIF path.
+    *
+    * The walk honors the RIFF header's own declared size (trailing junk
+    * a downloader appended is never parsed as chunks), caps LIST
+    * nesting at [[MaxRiffDepth]] (a hostile payload of LISTs nested
+    * thousands deep would otherwise throw StackOverflowError — an Error
+    * no Exception handler sees), refuses hostile `avih` dimensions
+    * per-axis BEFORE multiplying (0xFFFFFFFF x 0xFFFFFFFF wraps Long
+    * negative and would slip a product guard), and computes timestamps
+    * with multiplyExact so absurd u32 rate/scale values abort to None
+    * instead of wrapping silently. The video stream's strl ordinal
+    * binds which `NNdc`/`NNdb` chunks are frames — an AVI muxed with
+    * audio as stream 00 and MJPEG video as stream 01 decodes stream
+    * 01, not nothing. */
+  val MaxRiffDepth = 32
+
   def decodeAviFrames(
       payload: Array[Byte],
       keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[VideoFrame]] = {
     if (!looksLikeAvi(payload)) return None
     try {
       var usPerFrame = 0L
-      var avihW = 0L
-      var avihH = 0L
       var scale = 0L
       var rate = 0L
-      var sawVids = false
+      var strlOrdinal = -1 // index of the strl list being walked
+      var vidsStream = -1  // strl ordinal of the FIRST vids stream
       val frames = Vector.newBuilder[VideoFrame]
       var frameIdx = 0
-      var nKept = 0
       def tsOf(idx: Int): Long =
-        if (rate > 0 && scale > 0) idx * 1000L * scale / rate
-        else if (usPerFrame > 0) idx * usPerFrame / 1000L
+        if (rate > 0 && scale > 0)
+          Math.multiplyExact(Math.multiplyExact(idx.toLong, 1000L), scale) / rate
+        else if (usPerFrame > 0)
+          Math.multiplyExact(idx.toLong, usPerFrame) / 1000L
         else idx * 1000L / NativeFps
+      // frame chunks are "NNdc"/"NNdb" for the vids stream's strl
+      // ordinal (stream 00 until a stream header says otherwise)
+      def frameStream: String = f"${math.max(vidsStream, 0)}%02d"
 
       /** Walk the chunk sequence in payload[from, until); `inStrl` marks
         * a stream-header list so `strh` binds the right stream. Returns
         * false to abort the whole decode (hostile/truncated/undecodable). */
-      def walk(from: Int, until: Int, inStrl: Boolean): Boolean = {
+      def walk(from: Int, until: Int, inStrl: Boolean, depth: Int): Boolean = {
+        if (depth > MaxRiffDepth) return false
         var pos = from
         while (pos + 8 <= until) {
           val id = fourcc(payload, pos)
@@ -720,21 +746,26 @@ object Multimodal {
           if (id == "LIST") {
             if (size < 4) return false
             val listType = fourcc(payload, dataStart)
-            if (!walk(dataStart + 4, dataEnd.toInt, listType == "strl"))
+            val isStrl = listType == "strl"
+            if (isStrl) strlOrdinal += 1
+            if (!walk(dataStart + 4, dataEnd.toInt, isStrl, depth + 1))
               return false
           } else id match {
             case "avih" if size >= 40 =>
               usPerFrame = leU32(payload, dataStart)
-              avihW = leU32(payload, dataStart + 32)
-              avihH = leU32(payload, dataStart + 36)
-              if (avihW * avihH > MaxGifPixels) return false
+              val avihW = leU32(payload, dataStart + 32)
+              val avihH = leU32(payload, dataStart + 36)
+              // per-axis first: a 0xFFFFFFFF x 0xFFFFFFFF product wraps
+              // Long negative and would pass a product-only guard
+              if (avihW > MaxGifPixels || avihH > MaxGifPixels ||
+                avihW * avihH > MaxGifPixels) return false
             case "strh" if inStrl && size >= 28 =>
-              if (fourcc(payload, dataStart) == "vids" && !sawVids) {
-                sawVids = true
+              if (fourcc(payload, dataStart) == "vids" && vidsStream < 0) {
+                vidsStream = strlOrdinal
                 scale = leU32(payload, dataStart + 20)
                 rate = leU32(payload, dataStart + 24)
               }
-            case f if f.length == 4 && f(0) == '0' && f(1) == '0' &&
+            case f if f.length == 4 && f.startsWith(frameStream) &&
                 (f.endsWith("dc") || f.endsWith("db")) =>
               val ts = tsOf(frameIdx)
               if (keep(frameIdx, ts)) {
@@ -744,17 +775,8 @@ object Multimodal {
                 if (img == null) return false
                 val w = img.getWidth
                 val h = img.getHeight
-                val px = img.getRGB(0, 0, w, h, null, 0, w)
-                val gray = Array.ofDim[Byte](w * h)
-                var k = 0
-                while (k < px.length) {
-                  val p = px(k)
-                  gray(k) = ((299 * ((p >> 16) & 0xff) +
-                    587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000).toByte
-                  k += 1
-                }
+                val gray = rgbToLuma(img.getRGB(0, 0, w, h, null, 0, w))
                 frames += VideoFrame(frameIdx, ts, w, h, gray)
-                nKept += 1
               }
               frameIdx += 1
             case _ => // ignore idx1, strf, JUNK, audio chunks, ...
@@ -764,7 +786,10 @@ object Multimodal {
         true
       }
 
-      if (!walk(12, payload.length, inStrl = false)) return None
+      // the RIFF header's size bounds the body: trailing junk appended
+      // after a valid container must not be parsed as chunks
+      val riffEnd = math.min(payload.length.toLong, 8L + leU32(payload, 4)).toInt
+      if (!walk(12, riffEnd, inStrl = false, depth = 0)) return None
       if (frameIdx == 0) return None // an AVI with no video frames
       Some(frames.result())
     } catch { case _: Exception => None }

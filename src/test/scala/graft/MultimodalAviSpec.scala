@@ -150,6 +150,72 @@ class MultimodalAviSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeAviFrames(lying).isEmpty)
   }
 
+  test("decodeAviFrames: 0xFFFFFFFF x 0xFFFFFFFF avih dims (Long-wrapping " +
+      "product) are refused per-axis") {
+    // hand-patch the committed avih chunk: dwWidth/dwHeight at data
+    // offsets 32/36; the product wraps Long negative, so only a
+    // per-axis guard catches it
+    val hostile = aviBytes.clone()
+    val avihData = {
+      val i = hostile.indices.find(j => j + 4 <= hostile.length &&
+        new String(hostile, j, 4, "US-ASCII") == "avih").get
+      i + 8
+    }
+    for (off <- Seq(32, 36); k <- 0 until 4)
+      hostile(avihData + off + k) = 0xff.toByte
+    assert(Multimodal.decodeAviFrames(hostile).isEmpty)
+  }
+
+  test("decodeAviFrames: LISTs nested past MaxRiffDepth are refused " +
+      "without a StackOverflowError") {
+    // 5000 nested LISTs: each level is LIST + size + 'hdrl' wrapping the
+    // next — deep enough to overflow a 1 MB stack if walked recursively
+    // without the depth cap
+    val depth = 5000
+    var inner = Array.emptyByteArray
+    for (_ <- 1 to depth) inner = list("hdrl", inner)
+    val bomb = fcc("RIFF") ++ le32((4 + inner.length).toLong) ++
+      fcc("AVI ") ++ inner
+    assert(Multimodal.decodeAviFrames(bomb).isEmpty)
+  }
+
+  test("decodeAviFrames: trailing junk after the RIFF body is ignored, " +
+      "not parsed as chunks") {
+    // 8 bytes of junk whose pseudo-size field points past the payload:
+    // without the RIFF-size bound this aborted the whole (valid) decode
+    val junk = fcc("XXXX") ++ le32(0x7fffffffL)
+    val frames = Multimodal.decodeAviFrames(aviBytes ++ junk).get
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+  }
+
+  test("decodeAviFrames: an MJPEG stream muxed as stream 01 (audio first) " +
+      "decodes via its own strl ordinal") {
+    // hdrl with TWO strl lists: stream 00 auds, stream 01 vids; frames
+    // stored as 01dc chunks
+    val audsStrh = fcc("auds") ++ fcc("    ") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(8000) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val vidsStrh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(1) ++ le32(5) ++ le32(0) ++
+      le32(frameJpegs.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val avih = le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frameJpegs.length.toLong) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(16) ++ le32(12) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", audsStrh)) ++
+        list("strl", chunk("strh", vidsStrh)))
+    val movi = list("movi",
+      frameJpegs.flatMap(f => chunk("01dc", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ le32(body.length.toLong) ++ body
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+    assert(frames.map(_.tsMs) == Vector(0L, 200L, 400L))
+    assert(math.abs(meanLuma(frames(2).gray) - 200) <= 2.0)
+  }
+
   test("decodeAviFrames keep-filter: only kept frames are returned (and " +
       "skipped frames never decode)") {
     var seen = List.empty[Int]

@@ -67,8 +67,8 @@ run graft.tools.AsOfScaleGate "$SF01" "$X10"
 # the two operators' outputs at sf0.01, then compare against the
 # quadratic brute-force oracle the sf0.01 scale still affords.
 SRP_OUT=$(mktemp -d /tmp/graft_srp_gate.XXXXXX)
+trap 'rm -rf "$SRP_OUT"' EXIT   # cleaned on failing paths too (set -e)
 SPARK_GRAFT_QUERIES=q_hash_embed_neardup,q_semdedup \
   sbt -batch "runMain graft.Verify $SF001 $SRP_OUT" >/dev/null 2>&1 \
   || { echo "gates.sh: Verify for srp_brute_check failed" >&2; exit 1; }
 python3 tools/srp_brute_check.py "$SF001" "$SRP_OUT"
-rm -rf "$SRP_OUT"
