@@ -668,6 +668,12 @@ object Multimodal {
     gray
   }
 
+  /** LIST-nesting ceiling for the RIFF walk: real AVIs nest 2-3 deep
+    * (hdrl/strl, movi/rec ); a payload of LISTs nested thousands deep
+    * would otherwise overflow the walk's recursion with an Error no
+    * Exception handler sees. */
+  val MaxRiffDepth = 32
+
   /** REAL multi-frame decode for a second container format — MJPEG in
     * AVI — with zero external codecs: the RIFF/AVI container walk is
     * pure header arithmetic (chunks are `[fourcc][u32 size LE][data]`
@@ -693,8 +699,11 @@ object Multimodal {
     * path a skipped frame costs nothing but the container walk.
     * Output frames are full-raster 8-bit luma, like the GIF path.
     *
-    * The walk honors the RIFF header's own declared size (trailing junk
-    * a downloader appended is never parsed as chunks), caps LIST
+    * The walk honors the RIFF header's own declared size when it lands
+    * inside the payload (trailing junk a downloader appended is never
+    * parsed as chunks) and falls back to the full payload when it
+    * doesn't — a crashed recorder that never backpatched dwSize leaves
+    * 0 there, and by-spec demuxers still play such files. It caps LIST
     * nesting at [[MaxRiffDepth]] (a hostile payload of LISTs nested
     * thousands deep would otherwise throw StackOverflowError — an Error
     * no Exception handler sees), refuses hostile `avih` dimensions
@@ -702,11 +711,10 @@ object Multimodal {
     * negative and would slip a product guard), and computes timestamps
     * with multiplyExact so absurd u32 rate/scale values abort to None
     * instead of wrapping silently. The video stream's strl ordinal
-    * binds which `NNdc`/`NNdb` chunks are frames — an AVI muxed with
-    * audio as stream 00 and MJPEG video as stream 01 decodes stream
-    * 01, not nothing. */
-  val MaxRiffDepth = 32
-
+    * binds which `NNdc`/`NNdb` chunks are frames (two HEX digits per
+    * vfw's MAKEAVICKID, though decimal and hex coincide below stream
+    * 10) — an AVI muxed with audio as stream 00 and MJPEG video as
+    * stream 01 decodes stream 01, not nothing. */
   def decodeAviFrames(
       payload: Array[Byte],
       keep: (Int, Long) => Boolean = (_, _) => true): Option[Vector[VideoFrame]] = {
@@ -725,9 +733,11 @@ object Multimodal {
         else if (usPerFrame > 0)
           Math.multiplyExact(idx.toLong, usPerFrame) / 1000L
         else idx * 1000L / NativeFps
-      // frame chunks are "NNdc"/"NNdb" for the vids stream's strl
-      // ordinal (stream 00 until a stream header says otherwise)
-      def frameStream: String = f"${math.max(vidsStream, 0)}%02d"
+      // frame chunks are "NNdc"/"NNdb" where NN is the vids stream's
+      // strl ordinal as two HEX digits (vfw MAKEAVICKID; stream 00
+      // until a stream header says otherwise). Cached: the walk tests
+      // this prefix once per chunk, and it changes at most once.
+      var framePrefix: String = "00"
 
       /** Walk the chunk sequence in payload[from, until); `inStrl` marks
         * a stream-header list so `strh` binds the right stream. Returns
@@ -762,10 +772,11 @@ object Multimodal {
             case "strh" if inStrl && size >= 28 =>
               if (fourcc(payload, dataStart) == "vids" && vidsStream < 0) {
                 vidsStream = strlOrdinal
+                framePrefix = f"${math.max(vidsStream, 0)}%02X"
                 scale = leU32(payload, dataStart + 20)
                 rate = leU32(payload, dataStart + 24)
               }
-            case f if f.length == 4 && f.startsWith(frameStream) &&
+            case f if f.length == 4 && f.startsWith(framePrefix) &&
                 (f.endsWith("dc") || f.endsWith("db")) =>
               val ts = tsOf(frameIdx)
               if (keep(frameIdx, ts)) {
@@ -786,9 +797,17 @@ object Multimodal {
         true
       }
 
-      // the RIFF header's size bounds the body: trailing junk appended
-      // after a valid container must not be parsed as chunks
-      val riffEnd = math.min(payload.length.toLong, 8L + leU32(payload, 4)).toInt
+      // the RIFF header's size bounds the body when it lands inside the
+      // payload (trailing junk appended after a valid container must
+      // not be parsed as chunks); a dwSize of 0 or one lying past the
+      // end (a recorder that crashed before backpatching it) falls back
+      // to the full payload, like by-spec demuxers that still play
+      // unfinalized files
+      val declaredEnd = 8L + leU32(payload, 4)
+      val riffEnd =
+        if (declaredEnd >= 12 && declaredEnd <= payload.length)
+          declaredEnd.toInt
+        else payload.length
       if (!walk(12, riffEnd, inStrl = false, depth = 0)) return None
       if (frameIdx == 0) return None // an AVI with no video frames
       Some(frames.result())

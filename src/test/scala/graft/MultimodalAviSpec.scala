@@ -179,6 +179,15 @@ class MultimodalAviSpec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeAviFrames(bomb).isEmpty)
   }
 
+  test("decodeAviFrames: an unfinalized file (dwSize left 0 by a crashed " +
+      "recorder) still decodes via the full-payload fallback") {
+    val unfinalized = aviBytes.clone()
+    unfinalized(4) = 0; unfinalized(5) = 0
+    unfinalized(6) = 0; unfinalized(7) = 0
+    val frames = Multimodal.decodeAviFrames(unfinalized).get
+    assert(frames.map(_.frameIdx) == Vector(0, 1, 2))
+  }
+
   test("decodeAviFrames: trailing junk after the RIFF body is ignored, " +
       "not parsed as chunks") {
     // 8 bytes of junk whose pseudo-size field points past the payload:
