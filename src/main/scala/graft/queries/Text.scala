@@ -953,6 +953,64 @@ object Text {
       (s, dir) => Multimodal.phashNearDup(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
 
+    // ---- band-energy audio fingerprint dedup (the audio modality) ---------
+    // Audio near-dup via 64-bit band-energy fingerprint — the q_mm_phash
+    // pattern completing the dedup modality matrix: real sample-energy
+    // path for decodable WAVs (spec-pinned in ExtOpsSpec on synthesized
+    // PCM), integer-exact signed-byte-energy stub for this corpus's text
+    // payloads — cross-multiplied threshold comparisons keep the stub
+    // all-integer (sb² <= 16384, sums < 2^53), so DuckDB reproduces
+    // every BIT from hex(payload). Candidates come from four 16-bit
+    // fingerprint bands (pigeonhole recall 1 at hamming <= 3); the
+    // oracle replays the fingerprint AND the same four-band candidate
+    // generation (identical result set by pigeonhole, linear in
+    // candidates instead of all-pairs — the q_mm_phash argument). All
+    // 25 of the corpus's near-dup pairs land at hamming <= 3 (measured
+    // 11 at 0, 11 at 1, 2 at 2, 1 at 3) with nothing in (3, 8] — the
+    // energy fingerprint sees through tail edits exactly like the
+    // byte-mean aHash, while unrelated payloads concentrate at ~32.
+    QueryDef(
+      "q_audio_fp",
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        e AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b),
+        v AS (SELECT doc_id, CAST(i % 64 AS BIGINT) AS cell,
+                     CASE WHEN ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT >= 128
+                          THEN ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT - 256
+                          ELSE ('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2))::INT
+                     END AS sb
+              FROM e),
+        w AS (SELECT doc_id, cell, CAST(sb AS BIGINT) * sb AS en FROM v),
+        t AS (SELECT doc_id, sum(en) AS ts, count(*) AS tc FROM w GROUP BY doc_id),
+        c AS (SELECT doc_id, cell, sum(en) AS cs, count(*) AS cc
+              FROM w GROUP BY doc_id, cell),
+        cells AS (SELECT doc_id, unnest(range(64)) AS cell FROM b WHERE n > 0),
+        bits AS (SELECT cells.doc_id, cells.cell,
+                   CASE WHEN COALESCE(c.cs, 0) * t.tc > t.ts * COALESCE(c.cc, 0)
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells
+                 JOIN t ON t.doc_id = cells.doc_id
+                 LEFT JOIN c ON c.doc_id = cells.doc_id AND c.cell = cells.cell),
+        bands AS (SELECT doc_id, cell // 16 AS band,
+                         sum(bit << CAST(cell % 16 AS INT)) AS bval
+                  FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                 FROM bands a JOIN bands b2
+                   ON a.band = b2.band AND a.bval = b2.bval
+                      AND a.doc_id < b2.doc_id),
+        ham AS (SELECT c.doc_a, c.doc_b,
+                       sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+                FROM cand c
+                JOIN bits x ON x.doc_id = c.doc_a
+                JOIN bits y ON y.doc_id = c.doc_b AND y.cell = x.cell
+                GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM ham WHERE hamming <= 3"""),
+      (s, dir) => Multimodal.audioFpNearDup(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
+
     // ---- repetition signals (Gopher/MassiveText filters) ------------------
     // Top word-2-gram char fraction + duplicated word-3-gram char
     // fraction per doc. Engine side is ONE kernel call per row (no

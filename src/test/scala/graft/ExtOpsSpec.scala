@@ -448,4 +448,71 @@ class ExtOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === brute)
     assert(got.nonEmpty, "the corpus's near-dup pairs must land within 3 bits")
   }
+
+  /** 16-bit mono 8 kHz PCM WAV of a 440 Hz sine whose amplitude is
+    * `ampFirst` for the first half and `ampSecond` for the second —
+    * a loudness ENVELOPE the band-energy fingerprint must capture. */
+  private def envelopeWav(ampFirst: Double, ampSecond: Double): Array[Byte] = {
+    val sr = 8000
+    val n = 1600
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val amp = if (i < n / 2) ampFirst else ampSecond
+      val v = math.round(amp * 32767.0 * math.sin(2 * math.Pi * 440 * i / sr)).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint: real band energies, gain invariance, banding lossless") {
+    import spark.implicits._
+    val loudQuiet = envelopeWav(0.6, 0.1)
+    // the same recording through a -2 dB gain stage: every cell energy
+    // scales by the same factor, so every cell-vs-global comparison is
+    // unchanged — the invariance that makes it a fingerprint of the
+    // loudness CONTOUR, not of the absolute level
+    val regained = envelopeWav(0.48, 0.08)
+    // the reversed envelope: energy concentrates in the OTHER half, so
+    // the time-cell bits flip nearly wholesale
+    val reversed = envelopeWav(0.1, 0.6)
+    val media = Seq((1L, loudQuiet), (2L, envelopeWav(0.6, 0.1)),
+      (3L, regained), (4L, reversed)).toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(fps.values.forall(_._2), "WAV payloads must take the real sample path")
+    assert(fps(1L)._1 === fps(2L)._1, "identical recordings must collide")
+    assert(java.lang.Long.bitCount(fps(1L)._1 ^ fps(3L)._1) <= 2,
+      "a uniform gain change must (near-)cancel in every cell comparison")
+    assert(java.lang.Long.bitCount(fps(1L)._1 ^ fps(4L)._1) > 30,
+      "a reversed envelope must sit far away")
+    val pairs = Multimodal.audioFpNearDup(media, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 0L)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+
+    // banding losslessness on the stub corpus: banded candidates + verify
+    // == brute-force all-pairs popcount at the same threshold
+    val corpus = Multimodal.documentsAsMedia(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+    val got = Multimodal.audioFpNearDup(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val h = Multimodal.audioFingerprint(corpus)
+    val brute = h.select(col("doc_id").as("doc_a"), col("afp").as("ha"))
+      .crossJoin(h.select(col("doc_id").as("doc_b"), col("afp").as("hb")))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === brute)
+    assert(got.nonEmpty, "the corpus's near-dup pairs must land within 3 bits")
+  }
 }
