@@ -780,15 +780,54 @@ object Multimodal {
     * Exception handler sees. */
   val MaxRiffDepth = 32
 
-  /** REAL multi-frame decode for a second container format — MJPEG in
-    * AVI — with zero external codecs: the RIFF/AVI container walk is
-    * pure header arithmetic (chunks are `[fourcc][u32 size LE][data]`
-    * padded to even offsets; `LIST` chunks nest), and each `00dc`/`00db`
-    * frame chunk of an MJPEG stream is a standalone JPEG that JDK 17's
-    * own ImageIO reader decodes — the same two-ingredient recipe as
-    * [[decodeGifFrames]] (JDK reader + our container parse), extended to
-    * the one mainstream VIDEO container whose frames need no inter-frame
-    * codec. Frame timestamps come from the `vids` stream header's
+  /** Size ceiling for a captured vids `strf` (BITMAPINFOHEADER +
+    * optional palette): the real maximum is 40 + 4·256 palette entries
+    * + vendor extensions — a declared strf beyond this is hostile and
+    * is simply not captured (raw-DIB decode then aborts instead of
+    * copying an attacker-sized header per frame). */
+  val MaxStrfBytes = 65536
+
+  /** Raw-DIB AVI frame → BufferedImage by synthesizing a BMP: 14-byte
+    * BITMAPFILEHEADER + the stream's own `strf` (BITMAPINFOHEADER +
+    * palette, verbatim — pixel-data offset = 14 + strf length, exactly
+    * where a BMP with that header puts it) + the `00db` chunk's raster
+    * bytes, routed through [[readImageBounded]] so the strf-declared
+    * dimensions face the same refuse-before-allocating ceiling as every
+    * other image path and a malformed raster aborts as a caught decode
+    * failure, never a throw. The JDK BMP reader then handles the DIB
+    * reality our own code would otherwise reimplement: bottom-up vs
+    * top-down (negative height) rows, 4-byte row padding, 8-bit
+    * palettes, 16/24/32-bit pixels. */
+  private def dibToImage(
+      strf: Array[Byte], raster: Array[Byte]): java.awt.image.BufferedImage = {
+    val offBits = 14L + strf.length
+    val fileSize = offBits + raster.length
+    if (fileSize > Int.MaxValue) return null
+    val bmp = new Array[Byte](fileSize.toInt)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    var v = fileSize
+    var i = 0
+    while (i < 4) { bmp(2 + i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    v = offBits
+    i = 0
+    while (i < 4) { bmp(10 + i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    System.arraycopy(strf, 0, bmp, 14, strf.length)
+    System.arraycopy(raster, 0, bmp, 14 + strf.length, raster.length)
+    readImageBounded(bmp, MaxGifPixels)
+  }
+
+  /** REAL multi-frame decode for a second container format — MJPEG or
+    * uncompressed (raw-DIB) video in AVI — with zero external codecs:
+    * the RIFF/AVI container walk is pure header arithmetic (chunks are
+    * `[fourcc][u32 size LE][data]` padded to even offsets; `LIST`
+    * chunks nest), and each `00dc`/`00db` frame chunk is either a
+    * standalone JPEG that JDK 17's own ImageIO reader decodes (MJPEG
+    * streams) or, when the stream's `strf` BITMAPINFOHEADER declares
+    * biCompression BI_RGB, a raw DIB raster that [[dibToImage]] routes
+    * through the SAME reader by synthesizing a BMP around the stream
+    * header — the two-ingredient recipe of [[decodeGifFrames]] (JDK
+    * reader + our container parse), extended to both mainstream AVI
+    * stream layouts that need no inter-frame codec. Frame timestamps come from the `vids` stream header's
     * rate/scale pair (`tsMs = idx*1000*scale/rate`, integer-exact),
     * falling back to `avih`'s dwMicroSecPerFrame, then [[NativeFps]].
     *
@@ -831,6 +870,8 @@ object Multimodal {
       var rate = 0L
       var strlOrdinal = -1 // index of the strl list being walked
       var vidsStream = -1  // strl ordinal of the FIRST vids stream
+      var vidsStrf: Array[Byte] = null // that stream's BITMAPINFOHEADER(+palette)
+      var vidsCompression = -1L        // its biCompression (0 = BI_RGB raw DIB)
       val frames = Vector.newBuilder[VideoFrame]
       var frameIdx = 0
       def tsOf(idx: Int): Long =
@@ -882,13 +923,29 @@ object Multimodal {
                 scale = leU32(payload, dataStart + 20)
                 rate = leU32(payload, dataStart + 24)
               }
+            case "strf" if inStrl && strlOrdinal == vidsStream &&
+                vidsStrf == null && size >= 40 && size <= MaxStrfBytes =>
+              // the vids stream's BITMAPINFOHEADER: biCompression at
+              // offset 16 says whether frame chunks are standalone
+              // JPEGs (MJPG) or raw DIB rasters (0 = BI_RGB); the
+              // header bytes are kept verbatim for [[dibToImage]]
+              vidsCompression = leU32(payload, dataStart + 16)
+              vidsStrf = java.util.Arrays.copyOfRange(
+                payload, dataStart, dataEnd.toInt)
             case f if f.length == 4 && f.startsWith(framePrefix) &&
                 (f.endsWith("dc") || f.endsWith("db")) =>
               val ts = tsOf(frameIdx)
               if (keep(frameIdx, ts)) {
                 val bytes = java.util.Arrays.copyOfRange(
                   payload, dataStart, dataEnd.toInt)
-                val img = readImageBounded(bytes, MaxGifPixels)
+                // BI_RGB streams carry raw DIB rasters — no magic
+                // number to sniff, so the stream header decides the
+                // path; everything else (MJPG) is a standalone image
+                // the JDK reader takes directly
+                val img =
+                  if (vidsCompression == 0L && vidsStrf != null)
+                    dibToImage(vidsStrf, bytes)
+                  else readImageBounded(bytes, MaxGifPixels)
                 if (img == null) return false
                 val w = img.getWidth
                 val h = img.getHeight

@@ -237,6 +237,103 @@ class MultimodalAviSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(meanLuma(kept.head.gray) - 200) <= 2.0)
   }
 
+  /** Raw-DIB (BI_RGB) AVI: strf declares biCompression 0 and frames are
+    * `00db` chunks of bottom-up BGR24 rows padded to 4 bytes — assembled
+    * from an explicit top-down RGB matrix so the expected luma of every
+    * pixel is known exactly (integer (299R+587G+114B)/1000, the shared
+    * rgbToLuma). */
+  private def writeRawDibAvi(
+      rgbFrames: Seq[Array[Array[Int]]], w: Int, h: Int,
+      scale: Long = 1, rate: Long = 5): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val rasters = rgbFrames.map { px =>
+      val raster = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = px(y)(x)
+        val off = (h - 1 - y) * stride + x * 3 // bottom-up rows
+        raster(off) = (p & 0xff).toByte            // B
+        raster(off + 1) = ((p >> 8) & 0xff).toByte // G
+        raster(off + 2) = ((p >> 16) & 0xff).toByte// R
+      }
+      raster
+    }
+    val avih = le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(rasters.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = fcc("vids") ++ fcc("DIB ") ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(scale) ++ le32(rate) ++ le32(0) ++
+      le32(rasters.length.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ // biCompression = BI_RGB
+      le32(stride.toLong * h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", rasters.flatMap(f => chunk("00db", f)).toArray)
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("decodeAviFrames: raw-DIB (BI_RGB) 00db frames decode luma-EXACT " +
+      "through the synthesized-BMP path") {
+    val w = 4; val h = 2
+    // frame f, pixel (x,y): distinct primaries so BGR order, bottom-up
+    // rows and stride padding would each corrupt a known value
+    def px(f: Int): Array[Array[Int]] = Array.tabulate(h, w) { (y, x) =>
+      ((40 * f + 30 * x) << 16) | ((60 * y + 10 * f) << 8) | (25 * x + 50 * y)
+    }
+    val frames = Seq(px(0), px(1), px(2))
+    val got = Multimodal.decodeAviFrames(writeRawDibAvi(frames, w, h)).get
+    assert(got.map(_.frameIdx) == Vector(0, 1, 2))
+    assert(got.map(_.tsMs) == Vector(0L, 200L, 400L))
+    assert(got.forall(f => f.width == w && f.height == h))
+    for ((frame, want) <- got.zip(frames)) {
+      val expected = for (y <- 0 until h; x <- 0 until w) yield {
+        val p = want(y)(x)
+        ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000).toByte
+      }
+      assert(frame.gray.toSeq == expected,
+        s"frame ${frame.frameIdx} luma must be exact (no JPEG tolerance)")
+    }
+  }
+
+  test("decodeAviFrames: raw-DIB with a hostile strf raster declaration " +
+      "is refused header-only; truncated rasters abort") {
+    val w = 4; val h = 2
+    val rgb = Array.tabulate(h, w)((y, x) => (x * 40) << 16 | y << 8)
+    val good = writeRawDibAvi(Seq(rgb), w, h)
+    // patch strf biWidth/biHeight (strf data offsets 4/8) to 40000x40000:
+    // the synthesized BMP's header-declared raster must be refused before
+    // any allocation
+    val strfData = {
+      val i = good.indices.find(j => j + 4 <= good.length &&
+        new String(good, j, 4, "US-ASCII") == "strf").get
+      i + 8
+    }
+    val hostile = good.clone()
+    for (off <- Seq(4, 8); k <- 0 until 4)
+      hostile(strfData + off + k) = (if (k < 2) 0x40 else 0).toByte // 0x4040 = 16448
+    assert(16448L * 16448 > Multimodal.MaxGifPixels)
+    assert(Multimodal.decodeAviFrames(hostile).isEmpty)
+    // a 00db chunk holding half a raster: the BMP reader fails the
+    // decode, which must abort the sequence, not emit a partial frame
+    val truncated = {
+      val full = rgb
+      val stride = ((w * 3 + 3) / 4) * 4
+      val half = new Array[Byte](stride * h / 2)
+      val ok = writeRawDibAvi(Seq(full), w, h)
+      // rebuild movi with the short chunk
+      val moviAt = ok.indices.find(j => j + 4 <= ok.length &&
+        new String(ok, j, 4, "US-ASCII") == "movi").get
+      ok.take(moviAt - 8) ++
+        chunk("LIST", fcc("movi") ++ chunk("00db", half)).drop(0)
+    }
+    assert(Multimodal.decodeAviFrames(truncated).isEmpty)
+  }
+
   test("sampleFrames routes AVI payloads through the real decoder " +
       "alongside GIF and stub paths") {
     import spark.implicits._
