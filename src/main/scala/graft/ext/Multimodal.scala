@@ -1053,4 +1053,177 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, frameSchema)
   }
+
+  /** Container-format sniff over the payload magic — the dispatch row of
+    * the multimodal metadata table. Mirrors the q_mm_video_meta oracle's
+    * hex-prefix CASE chain EXACTLY (same prefixes, same precedence, same
+    * minimum lengths — an N-byte magic requires only >= N payload bytes,
+    * matching SQL substr semantics), so DuckDB replays the column
+    * bit-for-bit from hex(payload). */
+  def sniffContainer(p: Array[Byte]): String = {
+    def at(off: Int, s: String): Boolean =
+      p.length >= off + s.length &&
+        s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (at(4, "ftyp")) "mp4"
+    else if (at(0, "RIFF") && at(8, "AVI ")) "avi"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "GIF87a") || at(0, "GIF89a")) "gif"
+    else if (p.length >= 4 && p(0) == 0x89.toByte && at(1, "PNG")) "png"
+    else if (p.length >= 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
+    else if (at(0, "BM")) "bmp"
+    else "none"
+  }
+
+  /** Box-nesting ceiling for the ISO BMFF walk, the [[MaxRiffDepth]]
+    * rule applied to MP4/MOV: real files nest moov/trak/mdia a handful
+    * deep; a payload of boxes nested thousands deep would otherwise
+    * overflow the walk's recursion with an Error no Exception handler
+    * sees. */
+  val MaxBoxDepth = 32
+
+  /** Parsed MP4/MOV header metadata: presentation duration in ms (from
+    * `mvhd` timescale/duration, integer-exact), number of `trak` boxes,
+    * and the largest track's declared display dimensions (from `tkhd`'s
+    * 16.16 fixed-point width/height — audio tracks declare 0x0, so the
+    * max picks the video track). */
+  final case class Mp4Meta(
+      durationMs: Long, nTracks: Int, width: Int, height: Int)
+
+  /** Big-endian u32 at `off` (ISO BMFF sizes/fields), as Long — a
+    * hostile size field can exceed Int.MaxValue and must not wrap
+    * negative. */
+  private def beU32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+  /** Big-endian u64 at `off`; -1 when the value overflows a signed Long
+    * (a by-construction-hostile largesize — no real file is 8 EiB). */
+  private def beU64(p: Array[Byte], off: Int): Long = {
+    val hi = beU32(p, off)
+    if (hi > Int.MaxValue) -1L
+    else (hi << 32) | beU32(p, off + 4)
+  }
+
+  /** REAL video METADATA from MP4/MOV containers — pure header
+    * arithmetic like the RIFF walk, zero codecs: ISO BMFF boxes are
+    * `[u32 size BE][4cc type]` (size 1 → a u64 largesize follows; size
+    * 0 → box extends to the end of its parent), containers nest, and
+    * the facts live in two leaves: `moov/mvhd` carries
+    * timescale+duration (version 0: u32s; version 1: u64 duration) and
+    * each `moov/trak/tkhd` carries the track's display width/height as
+    * 16.16 fixed point (version decides the offset). durationMs is
+    * computed with multiplyExact so absurd u32/u64 values abort to None
+    * instead of wrapping silently; a zero/missing timescale or a
+    * missing mvhd aborts (every real file has one).
+    *
+    * Hostile-input rules, same as [[decodeAviFrames]]: every size field
+    * is bounds-checked against its parent before any read (lying or
+    * truncated headers abort to None), nesting is capped at
+    * [[MaxBoxDepth]] (a box-bomb would otherwise StackOverflowError —
+    * an Error no Exception handler sees), and a u64 largesize past
+    * Long.MaxValue is refused rather than wrapped. The walk recurses
+    * ONLY into `moov` and `trak` — media-data boxes (`mdat` can be
+    * gigabytes) are skipped by size without being read. */
+  def decodeMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (sniffContainer(payload) != "mp4") return None
+    try {
+      var timescale = 0L
+      var duration = -1L
+      var nTracks = 0
+      var width = 0
+      var height = 0
+      var sawMvhd = false
+      def walk(from: Long, until: Long, depth: Int): Boolean = {
+        if (depth > MaxBoxDepth) return false
+        var pos = from
+        while (pos + 8 <= until) {
+          var size = beU32(payload, pos.toInt)
+          val typ = fourcc(payload, pos.toInt + 4)
+          var hdr = 8L
+          if (size == 1L) {
+            if (pos + 16 > until) return false
+            size = beU64(payload, pos.toInt + 8)
+            hdr = 16L
+          } else if (size == 0L) size = until - pos
+          if (size < hdr || size > until - pos) return false
+          val ds = (pos + hdr).toInt // data start
+          val dataLen = size - hdr
+          typ match {
+            case "moov" =>
+              if (!walk(pos + hdr, pos + size, depth + 1)) return false
+            case "trak" if depth >= 1 =>
+              nTracks += 1
+              if (!walk(pos + hdr, pos + size, depth + 1)) return false
+            case "mvhd" if depth >= 1 =>
+              if (dataLen < 4) return false
+              val version = payload(ds) & 0xff
+              if (version == 0 && dataLen >= 20) {
+                timescale = beU32(payload, ds + 12)
+                duration = beU32(payload, ds + 16)
+                sawMvhd = true
+              } else if (version == 1 && dataLen >= 32) {
+                timescale = beU32(payload, ds + 20)
+                duration = beU64(payload, ds + 24)
+                if (duration < 0) return false
+                sawMvhd = true
+              } else return false
+            case "tkhd" if depth >= 2 =>
+              if (dataLen < 4) return false
+              val version = payload(ds) & 0xff
+              // width/height close the box: fullbox header + times/ids
+              // (v0: 24, v1: 36 bytes — creation/modification/duration
+              // widen to u64) + reserved/layer/volume/matrix (52 bytes)
+              // → 16.16 fixed at 76/80 (v0) or 88/92 (v1)
+              val wOff = if (version == 0) 76 else if (version == 1) 88 else -1
+              if (wOff < 0 || dataLen < wOff + 8) return false
+              val tw = (beU32(payload, ds + wOff) >> 16).toInt
+              val th = (beU32(payload, ds + wOff + 4) >> 16).toInt
+              if (tw > width) width = tw
+              if (th > height) height = th
+            case _ => // ftyp, mdat, free, udta, ... skipped by size
+          }
+          pos += size
+        }
+        true
+      }
+      if (!walk(0, payload.length.toLong, 0)) return None
+      if (!sawMvhd || timescale <= 0) return None
+      val durMs = Math.multiplyExact(duration, 1000L) / timescale
+      Some(Mp4Meta(durMs, nTracks, width, height))
+    } catch { case _: Exception => None }
+  }
+
+  private val containerMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_tracks", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true)))
+
+  /** Per-payload container metadata: the magic-number `container` column
+    * ([[sniffContainer]] — oracle-replayed from hex(payload)) plus REAL
+    * MP4/MOV header facts ([[decodeMp4Meta]]) for payloads that sniff as
+    * MP4 and parse — duration, track count, declared display dims, all
+    * from pure header arithmetic, no codec. Non-MP4 and unparseable
+    * payloads carry nulls (this corpus's text payloads never parse: a
+    * valid moov/mvhd cannot occur in prose, and the sniff itself is
+    * hex-replayed either way). Same partition-parallel plumbing as
+    * every decoder here. */
+  def containerMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val kind = sniffContainer(payload)
+        decodeMp4Meta(payload) match {
+          case Some(m) => Row(id, kind, m.durationMs, m.nTracks.toLong,
+            m.width.toLong, m.height.toLong)
+          case None => Row(id, kind, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, containerMetaSchema)
+  }
 }

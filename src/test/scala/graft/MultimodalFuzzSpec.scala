@@ -66,6 +66,8 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeAudio(payload)
     Multimodal.decodeGifFrames(payload)
     Multimodal.decodeAviFrames(payload)
+    Multimodal.decodeMp4Meta(payload)
+    Multimodal.sniffContainer(payload)
     Multimodal.decodeStub(payload)
     ()
   }
@@ -170,8 +172,10 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
       schema)
     assert(Multimodal.extractFeatures(df).count() == payloads.length)
     assert(Multimodal.resizeTo(df, 3).count() == payloads.length)
-    // perceptualHash skips empty payloads by contract
+    // perceptualHash/audioFingerprint skip empty payloads by contract
     assert(Multimodal.perceptualHash(df).count() == payloads.length - 1)
+    assert(Multimodal.audioFingerprint(df).count() == payloads.length - 1)
     assert(Multimodal.sampleFrames(df, 2).count() > 0)
+    assert(Multimodal.containerMeta(df).count() == payloads.length)
   }
 }

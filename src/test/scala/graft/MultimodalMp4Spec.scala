@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+
+/** Pins the REAL MP4/MOV metadata path: ISO BMFF boxes assembled here
+  * byte by byte per the public spec (u32-BE size + fourcc, u64
+  * largesize when size==1, to-end when size==0, moov/trak nesting,
+  * mvhd v0/v1 timescale+duration, tkhd v0/v1 16.16 display dims) must
+  * come back from [[Multimodal.decodeMp4Meta]] with exact integer
+  * values, and hostile containers — lying sizes, truncations, box
+  * bombs, overflowing u64 fields, zero timescales — must be refused
+  * without a throw. [[Multimodal.sniffContainer]] must mirror the
+  * q_mm_video_meta oracle's CASE chain on every magic family, and
+  * [[Multimodal.containerMeta]] must route only parsed MP4s into the
+  * non-null columns.
+  */
+class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def box(typ: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length + 8L) ++ fcc(typ) ++ data
+
+  /** mvhd version 0: fullbox header, creation/modification u32,
+    * timescale u32, duration u32, then the box's remaining 76 bytes
+    * (rate/volume/matrix/next-track) zeroed — real-file length. */
+  private def mvhdV0(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) ++ new Array[Byte](76))
+
+  private def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(timescale) ++ be64(duration) ++ new Array[Byte](76))
+
+  /** tkhd version 0: fullbox header, creation/mod/trackId/reserved/
+    * duration u32s, 52 bytes of reserved+layer+volume+matrix, then
+    * width/height as 16.16 fixed — 84 data bytes total. */
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    box("tkhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(0) ++ new Array[Byte](52) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private def tkhdV1(w: Int, h: Int): Array[Byte] =
+    box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(0) ++ new Array[Byte](52) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+
+  private val ftyp = box("ftyp", fcc("isom") ++ be32(512) ++ fcc("isomiso2"))
+
+  // timescale 600, duration 3000 -> 5000 ms; video 640x360 + audio 0x0
+  private lazy val moovV0: Array[Byte] =
+    box("moov", mvhdV0(600, 3000) ++
+      box("trak", tkhdV0(640, 360)) ++
+      box("trak", tkhdV0(0, 0)))
+  private lazy val mp4V0: Array[Byte] =
+    ftyp ++ moovV0 ++ box("mdat", Array.fill[Byte](32)(0x55))
+
+  test("decodeMp4Meta: v0 mvhd/tkhd — exact duration, track count, video dims") {
+    val m = Multimodal.decodeMp4Meta(mp4V0).get
+    assert(m.durationMs === 5000L)
+    assert(m.nTracks === 2)
+    assert(m.width === 640 && m.height === 360)
+  }
+
+  test("decodeMp4Meta: v1 mvhd/tkhd (64-bit times) parse at their own offsets") {
+    val mp4 = ftyp ++
+      box("moov", mvhdV1(90000, 90000L * 123) ++ box("trak", tkhdV1(1920, 1080)))
+    val m = Multimodal.decodeMp4Meta(mp4).get
+    assert(m.durationMs === 123000L)
+    assert(m.nTracks === 1)
+    assert(m.width === 1920 && m.height === 1080)
+  }
+
+  test("decodeMp4Meta: u64 largesize and size==0 (to-end) boxes walk correctly") {
+    val moov = box("moov", mvhdV0(1000, 7500) ++ box("trak", tkhdV0(320, 240)))
+    val payload = Array.fill[Byte](64)(0x33)
+    // mdat with largesize header (size field 1 + u64), then a trailing
+    // free box written with size 0 = extends to end of file
+    val mdatLarge = be32(1) ++ fcc("mdat") ++ be64(16L + payload.length) ++ payload
+    val freeToEnd = be32(0) ++ fcc("free") ++ Array.fill[Byte](20)(0)
+    val m = Multimodal.decodeMp4Meta(ftyp ++ moov ++ mdatLarge ++ freeToEnd).get
+    assert(m.durationMs === 7500L && m.width === 320)
+  }
+
+  test("decodeMp4Meta: non-MP4 payloads and missing moov/mvhd return None") {
+    assert(Multimodal.decodeMp4Meta("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeMp4Meta(ftyp).isEmpty) // no moov
+    assert(Multimodal.decodeMp4Meta(
+      ftyp ++ box("moov", box("trak", tkhdV0(640, 360)))).isEmpty) // no mvhd
+  }
+
+  test("decodeMp4Meta: lying sizes, truncations and short leaf boxes are " +
+      "refused without a throw") {
+    // a moov whose size points past the payload
+    val lying = mp4V0.clone()
+    val moovAt = lying.indices.find(i => i + 4 <= lying.length &&
+      new String(lying, i, 4, "US-ASCII") == "moov").get - 4
+    lying(moovAt) = 0x7f.toByte
+    assert(Multimodal.decodeMp4Meta(lying).isEmpty)
+    // every truncation of the valid file either refuses (mid-box cut)
+    // or IS a valid shorter file — a cut at a top-level box boundary
+    // after moov, plus up to 7 trailing bytes (a fragment smaller than
+    // a box header is ignored, the RIFF walk's lenience) — and never
+    // throws
+    val moovEnd = ftyp.length + moovV0.length
+    (0 until mp4V0.length).foreach { n =>
+      val got = Multimodal.decodeMp4Meta(mp4V0.take(n))
+      val validCut = n >= moovEnd && n < moovEnd + 8
+      assert(got.isEmpty || validCut,
+        s"truncation at $n must refuse, got $got")
+    }
+    // an mvhd too short for its declared version
+    val short = ftyp ++ box("moov",
+      box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0)))
+    assert(Multimodal.decodeMp4Meta(short).isEmpty)
+  }
+
+  test("decodeMp4Meta: box bombs past MaxBoxDepth are refused without " +
+      "a StackOverflowError") {
+    var inner = mvhdV0(600, 600)
+    for (_ <- 1 to 5000) inner = box("moov", inner)
+    assert(Multimodal.decodeMp4Meta(ftyp ++ inner).isEmpty)
+  }
+
+  test("decodeMp4Meta: zero timescale and Long-overflowing durations abort " +
+      "instead of wrapping") {
+    assert(Multimodal.decodeMp4Meta(
+      ftyp ++ box("moov", mvhdV0(0, 3000))).isEmpty)
+    // duration near Long.Max: multiplyExact(d, 1000) overflows -> None
+    assert(Multimodal.decodeMp4Meta(
+      ftyp ++ box("moov", mvhdV1(600, Long.MaxValue / 2))).isEmpty)
+    // u64 largesize beyond Long.MaxValue is refused, not wrapped
+    val evil = be32(1) ++ fcc("mdat") ++
+      Array.fill[Byte](8)(0xff.toByte)
+    assert(Multimodal.decodeMp4Meta(ftyp ++ evil).isEmpty)
+  }
+
+  test("sniffContainer mirrors the oracle CASE chain on every magic family") {
+    assert(Multimodal.sniffContainer(mp4V0) === "mp4")
+    assert(Multimodal.sniffContainer(
+      fcc("RIFF") ++ be32(0) ++ fcc("AVI ")) === "avi")
+    assert(Multimodal.sniffContainer(
+      fcc("RIFF") ++ be32(0) ++ fcc("WAVE")) === "wav")
+    assert(Multimodal.sniffContainer(fcc("GIF89a")) === "gif")
+    assert(Multimodal.sniffContainer(fcc("GIF87a")) === "gif")
+    assert(Multimodal.sniffContainer(
+      Array(0x89.toByte) ++ fcc("PNG")) === "png")
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0xd8.toByte)) === "jpeg")
+    assert(Multimodal.sniffContainer(fcc("BMxx")) === "bmp")
+    assert(Multimodal.sniffContainer("plain text".getBytes) === "none")
+    assert(Multimodal.sniffContainer(Array.emptyByteArray) === "none")
+    // precedence: ftyp at 4 wins even when byte 0 collides with another
+    // family ('B','M' prefix + ftyp at 4 must sniff mp4, like the SQL)
+    assert(Multimodal.sniffContainer(fcc("BMxx") ++ fcc("ftyp")) === "mp4")
+  }
+
+  test("containerMeta: parsed MP4s carry real header facts; everything " +
+      "else carries nulls with its sniffed family") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, mp4V0),
+      (2L, ftyp), // sniffs mp4 but has no moov: parse fails, nulls
+      (3L, "just prose".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.containerMeta(media.repartition(2)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) === "mp4")
+    assert(rows(1L).getLong(2) === 5000L && rows(1L).getLong(3) === 2L)
+    assert(rows(1L).getLong(4) === 640L && rows(1L).getLong(5) === 360L)
+    assert(rows(2L).getString(1) === "mp4")
+    assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
+    assert(rows(3L).getString(1) === "none")
+    assert((2 to 5).forall(rows(3L).isNullAt))
+  }
+}
