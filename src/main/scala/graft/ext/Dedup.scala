@@ -21,6 +21,63 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Conf key bounding the candidate-pair volume a pair-generating
+    * dedup operator may feed its verification shuffle. */
+  val MaxCandidatePairsConf = "spark.graft.dedup.maxCandidatePairs"
+
+  /** Default candidate-pair ceiling. The verification join ships BOTH
+    * documents' sorted fingerprint arrays per candidate pair (~1 KB at
+    * this corpus's set sizes), so 1e8 pairs is ~100 GB of verification
+    * shuffle — past a single box's scratch, and a red flag even on a
+    * cluster: TRUE near-dup pair volume is quadratic in duplication
+    * density, so a corpus that trips this is degenerate
+    * (mass-replicated boilerplate) or hostile, and the useful output
+    * is the bucket diagnostic, not 1e8 pairs. Measured by
+    * [[graft.tools.DedupGuardProbe]]: winnowNearDup accounts 1.55e6
+    * pairs at sf0.1 and 1.57e7 at x10 (6.4x under the ceiling — normal
+    * corpora pass with headroom), while the x100 corpus whose 100
+    * perturbed replicas/doc ENOSPC'd this box's 76 GB scratch in round
+    * 16 accounts 1.57e9 (quadratic in the replication factor:
+    * per-bucket counts scale ~100x from x10) and now aborts HERE,
+    * 15.7x over, with the hot fingerprints named. Raise via
+    * [[MaxCandidatePairsConf]] (or set <= 0 to disable) only with
+    * shuffle capacity to match. */
+  val DefaultMaxCandidatePairs: Long = 100_000_000L
+
+  /** Thrown INSTEAD of launching a candidate join whose output volume
+    * would bury the shuffle: names the operator, the accounted volume,
+    * the ceiling, and the hottest buckets — the actionable form of the
+    * failure (which boilerplate key exploded), where the alternative is
+    * an executor dead on ENOSPC hours later with nothing attributed. */
+  final class CandidateVolumeExceeded(
+      val op: String, val totalPairs: Long, val cap: Long,
+      val topBuckets: Seq[(String, Long)])
+    extends IllegalStateException(
+      s"$op: accounted candidate-pair volume $totalPairs exceeds " +
+        s"$MaxCandidatePairsConf=$cap; hottest buckets: " +
+        topBuckets.map { case (k, v) => s"$k -> $v pairs" }.mkString(", ") +
+        ". True pair volume is quadratic in duplication density — a " +
+        "corpus tripping this is mass-duplicated or hostile; raise the " +
+        "cap (or set it <= 0 to disable) only with shuffle capacity to " +
+        "match.")
+
+  /** The configured candidate-pair ceiling; <= 0 means disabled. */
+  private[ext] def candidatePairCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(MaxCandidatePairsConf)
+      .map(_.toLong).getOrElse(DefaultMaxCandidatePairs)
+
+  /** Refuse-before-shuffle enforcement: throw [[CandidateVolumeExceeded]]
+    * when the accounted volume exceeds the ceiling. The bucket
+    * diagnostic is BY-NAME — it costs a Spark job of its own, paid only
+    * on the abort path (where latency is irrelevant and attribution is
+    * everything); the happy path pays just the caller's one accounting
+    * aggregate. */
+  private[ext] def enforceCandidateCap(
+      op: String, total: Long, cap: Long,
+      topBuckets: => Seq[(String, Long)]): Unit =
+    if (total > cap)
+      throw new CandidateVolumeExceeded(op, total, cap, topBuckets)
+
   /** One row per distinct document shingle: (doc_id, shingle). The
     * [[graft.functions.ShinglesExpr]] kernel tokenizes, windows, AND
     * set-dedups per row inside whole-stage codegen — no exchange of its own
@@ -186,6 +243,22 @@ object Dedup {
     // persist both so signatures are computed exactly once
     val bandRows = minhashBandRows(raw, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // refuse-before-shuffle accounting: Σ c·(c-1)/2 over per-bucket
+    // counts of the tiny persisted band rows (docs × bands rows — ONE
+    // small aggregation), so a degenerate corpus (every doc sharing a
+    // band key) aborts with the bucket named instead of burying the
+    // candidate shuffle; the top-bucket job runs only on the abort path
+    val cap = candidatePairCap(docs.sparkSession)
+    if (cap > 0) {
+      val perBucket = bandRows.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("c"))
+        .select(concat_ws("/", col("band"), col("bkey")).as("k"),
+          shiftright(col("c") * (col("c") - 1), 1).as("p"))
+      val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+      enforceCandidateCap("minhashNearDup", total, cap,
+        perBucket.orderBy(col("p").desc).limit(5).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+    }
     val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val candidates = l.join(r, Seq("band", "bkey"))
@@ -497,17 +570,42 @@ object Dedup {
     // array in rarest-first (global df asc, fp asc) order for prefix
     // slicing, the numerically sorted array for two-pointer
     // verification, and the set size
+    val prefixLen = s"cast(ceil(${1.0 - threshold} * n) as int) + 1"
     val sets = fp.join(df, Seq("fp"))
       .groupBy("doc_id")
       .agg(
-        expr("transform(sort_array(collect_list(struct(df, fp))), s -> s.fp)")
-          .as("rare_first"),
+        sort_array(collect_list(struct(col("df"), col("fp")))).as("rf"),
         sort_array(collect_list(col("fp"))).as("seth"),
         count(lit(1)).as("n"))
+      // strip the sort keys before persisting, but first fold THIS doc's
+      // candidate-volume contribution out of them: each prefix entry
+      // joins df(fp) inverted-index rows, so Σ df over the prefix slice
+      // is the doc's exact candidate count — one scalar per doc, making
+      // the guard below a narrow sum with no join and no extra shuffle
+      .select(col("doc_id"),
+        expr("transform(rf, s -> s.fp)").as("rare_first"),
+        expr(s"aggregate(slice(rf, 1, $prefixLen), 0L, (a, s) -> a + s.df)")
+          .as("pvol"),
+        col("seth"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // refuse-before-shuffle: the stage that ENOSPC'd the x100 box in
+    // round 16 dies HERE with the hot fingerprints named instead; the
+    // top-bucket job is by-name, paid only on the abort path
+    val cap = candidatePairCap(docs.sparkSession)
+    if (cap > 0) {
+      val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
+      enforceCandidateCap("winnowNearDup", total, cap,
+        sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
+            .as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("np"))
+          .join(df, Seq("fp"))
+          .select(col("fp"), (col("np") * col("df")).as("p"))
+          .orderBy(col("p").desc).limit(5).collect()
+          .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
+    }
     val cand = sets
       .select(col("doc_id"), explode(expr(
-        s"slice(rare_first, 1, cast(ceil(${1.0 - threshold} * n) as int) + 1)"))
+        s"slice(rare_first, 1, $prefixLen)"))
         .as("fp"))
       .select(col("doc_id").as("doc_p"), col("fp"))
       .join(fp.select(col("doc_id").as("doc_q"), col("fp")), Seq("fp"))
