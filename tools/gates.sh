@@ -17,7 +17,12 @@
 #                  vs the pre-round-15 ALL-PAIRS brute-force DuckDB oracle
 #                  at sf0.01 (engine- AND algorithm-independent; the
 #                  registry oracles replay the SRP banding, see
-#                  Extra.srpReplayCtes)
+#                  Extra.srpReplayCtes), PLUS a deterministic 1/50
+#                  sampled-probe variant at x10 (every 50th doc
+#                  brute-forced against the full corpus via numpy
+#                  matmul; precision must be 1, recall floor 0.9 over
+#                  the sampled true pairs — the scale where the r14
+#                  cluster-oracle divergence appeared)
 #
 # Expected current state (round 12): everything OK/EXACT except one
 # documented boundary miss each for SrpCheck (cos 0.614) and
@@ -65,10 +70,23 @@ run graft.tools.RecallCheck "$SF01" "$X10"
 run graft.tools.AsOfScaleGate "$SF01" "$X10"
 # DuckDB-side all-pairs cross-check of the SRP-replay oracles: dump just
 # the two operators' outputs at sf0.01, then compare against the
-# quadratic brute-force oracle the sf0.01 scale still affords.
+# quadratic brute-force oracle the sf0.01 scale still affords. Verify's
+# output is captured and tailed on failure (it used to vanish into
+# /dev/null, leaving a failing run with no diagnostics).
 SRP_OUT=$(mktemp -d /tmp/graft_srp_gate.XXXXXX)
-trap 'rm -rf "$SRP_OUT"' EXIT   # cleaned on failing paths too (set -e)
+SRP_LOG=$(mktemp /tmp/graft_srp_gate_log.XXXXXX)
+trap 'rm -rf "$SRP_OUT" "$SRP_LOG"' EXIT  # cleaned on failing paths too (set -e)
 SPARK_GRAFT_QUERIES=q_hash_embed_neardup,q_semdedup \
-  sbt -batch "runMain graft.Verify $SF001 $SRP_OUT" >/dev/null 2>&1 \
-  || { echo "gates.sh: Verify for srp_brute_check failed" >&2; exit 1; }
+  sbt -batch "runMain graft.Verify $SF001 $SRP_OUT" >"$SRP_LOG" 2>&1 \
+  || { echo "gates.sh: Verify for srp_brute_check failed; last output:" >&2
+       tail -20 "$SRP_LOG" >&2; exit 1; }
 python3 tools/srp_brute_check.py "$SF001" "$SRP_OUT"
+# The sampled-probe variant at x10: the registry's x10 sweep follows the
+# SRP-replay oracle, so this is the only x10 check whose ground truth is
+# independent of the operator's own banding.
+rm -rf "$SRP_OUT"/*
+SPARK_GRAFT_QUERIES=q_hash_embed_neardup \
+  sbt -batch "runMain graft.Verify $X10 $SRP_OUT" >"$SRP_LOG" 2>&1 \
+  || { echo "gates.sh: x10 Verify for srp_brute_check failed; last output:" >&2
+       tail -20 "$SRP_LOG" >&2; exit 1; }
+python3 tools/srp_brute_check.py "$X10" "$SRP_OUT" --sample 50
