@@ -243,42 +243,50 @@ object Dedup {
     // persist both so signatures are computed exactly once
     val bandRows = minhashBandRows(raw, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // refuse-before-shuffle accounting: Σ c·(c-1)/2 over per-bucket
-    // counts of the tiny persisted band rows (docs × bands rows — ONE
-    // small aggregation), so a degenerate corpus (every doc sharing a
-    // band key) aborts with the bucket named instead of burying the
-    // candidate shuffle; the top-bucket job runs only on the abort path
-    val cap = candidatePairCap(docs.sparkSession)
-    if (cap > 0) {
-      val perBucket = bandRows.groupBy("band", "bkey")
-        .agg(count(lit(1)).as("c"))
-        .select(concat_ws("/", col("band"), col("bkey")).as("k"),
-          shiftright(col("c") * (col("c") - 1), 1).as("p"))
-      val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
-      enforceCandidateCap("minhashNearDup", total, cap,
-        perBucket.orderBy(col("p").desc).limit(5).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+    // corpus-scale cached blocks must not outlive an abort: a guard
+    // throw would otherwise leave them cached for the session's
+    // lifetime — in a probe/catch-and-continue caller that leak
+    // accumulates into exactly the memory pressure the guard exists
+    // to prevent
+    var candidates: DataFrame = null
+    try {
+      // refuse-before-shuffle accounting: Σ c·(c-1)/2 over per-bucket
+      // counts of the tiny persisted band rows (docs × bands rows — ONE
+      // small aggregation), so a degenerate corpus (every doc sharing a
+      // band key) aborts with the bucket named instead of burying the
+      // candidate shuffle; the top-bucket job runs only on the abort path
+      val cap = candidatePairCap(docs.sparkSession)
+      if (cap > 0) {
+        val perBucket = bandRows.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("c"))
+          .select(concat_ws("/", col("band"), col("bkey")).as("k"),
+            shiftright(col("c") * (col("c") - 1), 1).as("p"))
+        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        enforceCandidateCap("minhashNearDup", total, cap,
+          perBucket.orderBy(col("p").desc).limit(5).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      }
+      val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      candidates = l.join(r, Seq("band", "bkey"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candDocs = candidates.select(col("doc_a").as("doc_id"))
+        .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+      val shCand = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      // materialize verified pairs (tiny by construction), then release
+      // the corpus-sized intermediates — downstream consumers (cluster
+      // resolution, reporting) must not inherit cached blocks or a plan
+      // that re-embeds this whole DAG into every one of their actions
+      Lineage.cut(
+        jaccardFor(candidates, shCand).where(col("jaccard") >= threshold))
+    } finally {
+      raw.unpersist()
+      bandRows.unpersist()
+      if (candidates != null) candidates.unpersist()
     }
-    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-    val candidates = l.join(r, Seq("band", "bkey"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = raw.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    // materialize verified pairs (tiny by construction), then release the
-    // corpus-sized intermediates — downstream consumers (cluster
-    // resolution, reporting) must not inherit cached blocks or a plan that
-    // re-embeds this whole DAG into every one of their actions
-    val verified = Lineage.cut(
-      jaccardFor(candidates, shCand).where(col("jaccard") >= threshold))
-    raw.unpersist()
-    bandRows.unpersist()
-    candidates.unpersist()
-    verified
   }
 
   /** Incremental near-dup: detect which documents of a NEW batch are
@@ -588,46 +596,50 @@ object Dedup {
           .as("pvol"),
         col("seth"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // refuse-before-shuffle: the stage that ENOSPC'd the x100 box in
-    // round 16 dies HERE with the hot fingerprints named instead; the
-    // top-bucket job is by-name, paid only on the abort path
-    val cap = candidatePairCap(docs.sparkSession)
-    if (cap > 0) {
-      val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
-      enforceCandidateCap("winnowNearDup", total, cap,
-        sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
-            .as("fp"))
-          .groupBy("fp").agg(count(lit(1)).as("np"))
-          .join(df, Seq("fp"))
-          .select(col("fp"), (col("np") * col("df")).as("p"))
-          .orderBy(col("p").desc).limit(5).collect()
-          .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
+    // corpus-scale cached blocks must not outlive a guard abort (the
+    // minhashNearDup rule): unpersist in finally, not after the cut
+    try {
+      // refuse-before-shuffle: the stage that ENOSPC'd the x100 box in
+      // round 16 dies HERE with the hot fingerprints named instead; the
+      // top-bucket job is by-name, paid only on the abort path
+      val cap = candidatePairCap(docs.sparkSession)
+      if (cap > 0) {
+        val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
+        enforceCandidateCap("winnowNearDup", total, cap,
+          sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
+              .as("fp"))
+            .groupBy("fp").agg(count(lit(1)).as("np"))
+            .join(df, Seq("fp"))
+            .select(col("fp"), (col("np") * col("df")).as("p"))
+            .orderBy(col("p").desc).limit(5).collect()
+            .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
+      }
+      val cand = sets
+        .select(col("doc_id"), explode(expr(
+          s"slice(rare_first, 1, $prefixLen)"))
+          .as("fp"))
+        .select(col("doc_id").as("doc_p"), col("fp"))
+        .join(fp.select(col("doc_id").as("doc_q"), col("fp")), Seq("fp"))
+        .where(col("doc_p") =!= col("doc_q"))
+        .select(least(col("doc_p"), col("doc_q")).as("doc_a"),
+          greatest(col("doc_p"), col("doc_q")).as("doc_b"))
+        .distinct()
+      val inter = graft.functions.SortedIntersect(
+        spark, col("ha"), col("hb")).cast("double")
+      val out = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
+          col("n").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (inter / least(col("na"), col("nb"))).as("ov"))
+        .where(col("ov") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("ov"), 6).as("overlap"))
+      Lineage.cut(out)
+    } finally {
+      fp.unpersist()
+      sets.unpersist()
     }
-    val cand = sets
-      .select(col("doc_id"), explode(expr(
-        s"slice(rare_first, 1, $prefixLen)"))
-        .as("fp"))
-      .select(col("doc_id").as("doc_p"), col("fp"))
-      .join(fp.select(col("doc_id").as("doc_q"), col("fp")), Seq("fp"))
-      .where(col("doc_p") =!= col("doc_q"))
-      .select(least(col("doc_p"), col("doc_q")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_q")).as("doc_b"))
-      .distinct()
-    val inter = graft.functions.SortedIntersect(
-      spark, col("ha"), col("hb")).cast("double")
-    val out = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
-        col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
-        col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (inter / least(col("na"), col("nb"))).as("ov"))
-      .where(col("ov") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("ov"), 6).as("overlap"))
-    val pairs = Lineage.cut(out)
-    fp.unpersist()
-    sets.unpersist()
-    pairs
   }
 
   /** Self-validating gate for the rolling-hash winnowing variant, same

@@ -246,14 +246,44 @@ object Multimodal {
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
 
-  /** Real audio decode via `javax.sound.sampled` (JDK-native WAV/PCM — no
-    * container packages): (sampleRate, channels, mono-mixed normalized
-    * samples in [-1, 1]). None when the payload is not decodable PCM
-    * audio. The sample array is the shared substrate for
-    * [[decodeAudio]]'s aggregate features and [[audioFingerprint]]'s
-    * band-energy signature — its length is bounded by the payload
-    * length (one double per PCM frame), never by header claims. */
-  def decodeWavSamples(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  /** Decoded PCM substrate shared by [[decodeAudio]] and
+    * [[audioFingerprint]]: the drained raw bytes plus the format facts
+    * needed to read any frame's mono-mixed normalized sample ON DEMAND.
+    * Deliberately NOT a materialized Double array — that would be an 8x
+    * transient amplification of an 8-bit payload per task (a 100 MB
+    * recording → an ~800 MB array); each consumer streams `sample(f)`
+    * in its own single pass at O(1) extra memory instead. */
+  private final case class WavPcm(
+      sampleRate: Int, channels: Int, bits: Int, signed: Boolean,
+      frameSize: Int, bytes: Array[Byte]) {
+    val nFrames: Int = bytes.length / frameSize
+    private val scale = if (bits == 8) 128.0 else 32768.0
+    /** Frame f's channels mono-mixed into one normalized sample. */
+    def sample(f: Int): Double = {
+      var s = 0.0
+      var c = 0
+      while (c < channels) {
+        val off = f * frameSize + c * (bits / 8)
+        val raw =
+          if (bits == 8) {
+            if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128
+          } else {
+            // WAV PCM16 is little-endian signed
+            val lo = bytes(off) & 0xff
+            val hi = bytes(off + 1).toInt
+            (hi << 8) | lo
+          }
+        s += raw / scale
+        c += 1
+      }
+      s / channels
+    }
+  }
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-native WAV/PCM —
+    * no container packages) down to the [[WavPcm]] substrate. None when
+    * the payload is not decodable 8/16-bit PCM audio. */
+  private def decodeWavPcm(payload: Array[Byte]): Option[WavPcm] = {
     if (!looksLikeWav(payload)) return None
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -287,50 +317,25 @@ object Multimodal {
         }) got += n
         if (got == buf.length) buf else java.util.Arrays.copyOf(buf, got)
       }
-      val nFrames = bytes.length / frameSize
-      if (nFrames == 0) return None
-      val scale = if (bits == 8) 128.0 else 32768.0
-      val samples = new Array[Double](nFrames)
-      var f = 0
-      while (f < nFrames) {
-        // mono-mix the frame's channels into one normalized sample
-        var s = 0.0
-        var c = 0
-        while (c < ch) {
-          val off = f * frameSize + c * (bits / 8)
-          val raw =
-            if (bits == 8) {
-              if (signed) bytes(off).toInt else (bytes(off) & 0xff) - 128
-            } else {
-              // WAV PCM16 is little-endian signed
-              val lo = bytes(off) & 0xff
-              val hi = bytes(off + 1).toInt
-              (hi << 8) | lo
-            }
-          s += raw / scale
-          c += 1
-        }
-        samples(f) = s / ch
-        f += 1
-      }
-      Some((fmt.getSampleRate.toInt, ch, samples))
+      if (bytes.length / frameSize == 0) return None
+      Some(WavPcm(fmt.getSampleRate.toInt, ch, bits, signed, frameSize, bytes))
     } catch {
       case _: Exception => None
     } finally in.close()
   }
 
   /** Real audio feature decode: (sampleRate, channels, nFrames, [rms,
-    * peak, zero-crossing rate, dc offset]) over [[decodeWavSamples]]'s
-    * mono-mixed normalized samples. None when the payload is not
+    * peak, zero-crossing rate, dc offset]) streamed over the mono-mixed
+    * normalized samples in one pass. None when the payload is not
     * decodable PCM audio. */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Long, Array[Double])] =
-    decodeWavSamples(payload).map { case (sr, ch, samples) =>
-      val nFrames = samples.length
+    decodeWavPcm(payload).map { pcm =>
+      val nFrames = pcm.nFrames
       var ss = 0.0; var sm = 0.0; var pk = 0.0; var zc = 0L
       var prev = 0.0
       var f = 0
       while (f < nFrames) {
-        val s = samples(f)
+        val s = pcm.sample(f)
         ss += s * s; sm += s
         val a = math.abs(s)
         if (a > pk) pk = a
@@ -342,7 +347,7 @@ object Multimodal {
         math.sqrt(ss / nFrames), pk,
         if (nFrames > 1) zc.toDouble / (nFrames - 1) else 0.0,
         sm / nFrames)
-      (sr, ch, nFrames.toLong, feats)
+      (pcm.sampleRate, pcm.channels, nFrames.toLong, feats)
     }
 
   /** STUB audio decoder for non-audio payloads, mirroring [[decodeStub]]:
@@ -484,30 +489,47 @@ object Multimodal {
     * thresholds. Input: (doc_id, `hashCol`: long); output:
     * (doc_a, doc_b, hamming), doc_a < doc_b. */
   private def bandedHamming64(
-      hashes: DataFrame, hashCol: String, maxHamming: Int): DataFrame = {
+      op: String, hashes: DataFrame, hashCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming < 4,
       s"4 bands guarantee recall only for hamming < 4, got $maxHamming")
     val h = hashes.select(col("doc_id"), col(hashCol).as("hv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = h.select(col("doc_id"), col("hv"),
-      explode(expr("transform(sequence(0, 3), " +
-        "b -> struct(b as band, shiftright(hv, 16 * b) & 65535 as bval))"))
-        .as("bb"))
-      .select(col("doc_id"), col("hv"), col("bb.band").as("band"),
-        col("bb.bval").as("bval"))
-    val cand = bands.select(col("doc_id").as("doc_a"), col("hv").as("ha"),
-        col("band"), col("bval"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("hv").as("hb"),
-        col("band"), col("bval")), Seq("band", "bval"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "ha", "hb").distinct()
-    val out = cand
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-    val pairs = Lineage.cut(out)
-    h.unpersist()
-    pairs
+    try {
+      val bands = h.select(col("doc_id"), col("hv"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b as band, shiftright(hv, 16 * b) & 65535 as bval))"))
+          .as("bb"))
+        .select(col("doc_id"), col("hv"), col("bb.band").as("band"),
+          col("bb.bval").as("bval"))
+      // refuse-before-shuffle accounting (the Dedup.minhashNearDup rule):
+      // a degenerate media corpus — mass-replicated payloads, or silent/
+      // constant recordings that all fingerprint identically — collides
+      // the band buckets and makes the self-join quadratic; Σ c·(c-1)/2
+      // over one small aggregation aborts it with the bucket named
+      val cap = Dedup.candidatePairCap(h.sparkSession)
+      if (cap > 0) {
+        val perBucket = bands.groupBy("band", "bval")
+          .agg(count(lit(1)).as("c"))
+          .select(concat_ws("/", col("band"), col("bval")).as("k"),
+            shiftright(col("c") * (col("c") - 1), 1).as("p"))
+        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        Dedup.enforceCandidateCap(op, total, cap,
+          perBucket.orderBy(col("p").desc).limit(5).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      }
+      val cand = bands.select(col("doc_id").as("doc_a"), col("hv").as("ha"),
+          col("band"), col("bval"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("hv").as("hb"),
+          col("band"), col("bval")), Seq("band", "bval"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb").distinct()
+      val out = cand
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .where(col("hamming") <= maxHamming)
+      Lineage.cut(out)
+    } finally h.unpersist()
   }
 
   /** Perceptual near-duplicate pairs: payloads whose aHashes are within
@@ -515,12 +537,13 @@ object Multimodal {
     * shape as the text stack, via [[bandedHamming64]].
     * Output: (doc_a, doc_b, hamming). */
   def phashNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHamming64(perceptualHash(media), "phash", maxHamming)
+    bandedHamming64("phashNearDup", perceptualHash(media), "phash", maxHamming)
 
   /** 64-bit band-energy audio fingerprint per payload — the audio
     * sibling of [[perceptualHash]], completing the dedup modality
     * matrix. Decodable WAV payloads use the REAL sample path: the
-    * mono-mixed normalized samples ([[decodeWavSamples]]) are split
+    * mono-mixed normalized samples (streamed from the decoded PCM, one
+    * sample at a time — never a materialized array) are split
     * into 64 equal TIME cells (cell = f*64/nFrames — the envelope
     * signature a recording's loudness contour leaves), and bit j is
     * set when cell j's mean ENERGY (sample²) exceeds the global mean
@@ -548,13 +571,13 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
         if (payload.isEmpty) None
-        else decodeWavSamples(payload) match {
-          case Some((_, _, samples)) =>
-            val n = samples.length
+        else decodeWavPcm(payload) match {
+          case Some(pcm) =>
+            val n = pcm.nFrames
             val sums = new Array[Double](64); val cnts = new Array[Long](64)
             var f = 0
             while (f < n) {
-              val s = samples(f)
+              val s = pcm.sample(f)
               val cell = ((f.toLong * 64) / n).toInt
               sums(cell) += s * s; cnts(cell) += 1
               f += 1
@@ -592,7 +615,8 @@ object Multimodal {
     * at sf0.01) with NOTHING in (3, 8] — the same margin shape as
     * [[phashNearDup]]. Output: (doc_a, doc_b, hamming). */
   def audioFpNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHamming64(audioFingerprint(media), "afp", maxHamming)
+    bandedHamming64("audioFpNearDup", audioFingerprint(media), "afp",
+      maxHamming)
 
   /** Documents → media table: text bytes standing in for an encoded blob,
     * with typed metadata carried alongside the opaque payload. */
@@ -1133,7 +1157,11 @@ object Multimodal {
       var width = 0
       var height = 0
       var sawMvhd = false
-      def walk(from: Long, until: Long, depth: Int): Boolean = {
+      // leaves bind to their spec parent (mvhd under moov, tkhd under
+      // trak, trak under moov), not to bare depth: a hostile file can
+      // nest a second mvhd inside a trak, and a depth-only match would
+      // let it overwrite the real movie header's timescale/duration
+      def walk(from: Long, until: Long, depth: Int, parent: String): Boolean = {
         if (depth > MaxBoxDepth) return false
         var pos = from
         while (pos + 8 <= until) {
@@ -1149,12 +1177,12 @@ object Multimodal {
           val ds = (pos + hdr).toInt // data start
           val dataLen = size - hdr
           typ match {
-            case "moov" =>
-              if (!walk(pos + hdr, pos + size, depth + 1)) return false
-            case "trak" if depth >= 1 =>
+            case "moov" if parent == "" =>
+              if (!walk(pos + hdr, pos + size, depth + 1, "moov")) return false
+            case "trak" if parent == "moov" =>
               nTracks += 1
-              if (!walk(pos + hdr, pos + size, depth + 1)) return false
-            case "mvhd" if depth >= 1 =>
+              if (!walk(pos + hdr, pos + size, depth + 1, "trak")) return false
+            case "mvhd" if parent == "moov" =>
               if (dataLen < 4) return false
               val version = payload(ds) & 0xff
               if (version == 0 && dataLen >= 20) {
@@ -1167,7 +1195,7 @@ object Multimodal {
                 if (duration < 0) return false
                 sawMvhd = true
               } else return false
-            case "tkhd" if depth >= 2 =>
+            case "tkhd" if parent == "trak" =>
               if (dataLen < 4) return false
               val version = payload(ds) & 0xff
               // width/height close the box: fullbox header + times/ids
@@ -1180,13 +1208,13 @@ object Multimodal {
               val th = (beU32(payload, ds + wOff + 4) >> 16).toInt
               if (tw > width) width = tw
               if (th > height) height = th
-            case _ => // ftyp, mdat, free, udta, ... skipped by size
+            case _ => // ftyp, mdat, free, udta, nested-moov bombs, ...
           }
           pos += size
         }
         true
       }
-      if (!walk(0, payload.length.toLong, 0)) return None
+      if (!walk(0, payload.length.toLong, 0, "")) return None
       if (!sawMvhd || timescale <= 0) return None
       val durMs = Math.multiplyExact(duration, 1000L) / timescale
       Some(Mp4Meta(durMs, nTracks, width, height))

@@ -122,6 +122,22 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.decodeMp4Meta(short).isEmpty)
   }
 
+  test("decodeMp4Meta: leaves bind to their spec parents — an mvhd " +
+      "nested inside trak cannot overwrite the movie header") {
+    // hostile: valid moov/mvhd (5000 ms), then a trak smuggling a second
+    // mvhd with timescale 1 / duration 999999 — parent binding must keep
+    // the real header's values and not count nested traks
+    val smuggled = ftyp ++
+      box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(640, 360) ++ mvhdV0(1, 999999) ++
+          box("trak", tkhdV0(9999, 9999))))
+    val m = Multimodal.decodeMp4Meta(smuggled).get
+    assert(m.durationMs === 5000L, "smuggled mvhd must not win")
+    assert(m.nTracks === 1, "nested trak must not count")
+    assert(m.width === 640 && m.height === 360,
+      "nested trak's tkhd must not contribute dims")
+  }
+
   test("decodeMp4Meta: box bombs past MaxBoxDepth are refused without " +
       "a StackOverflowError") {
     var inner = mvhdV0(600, 600)
