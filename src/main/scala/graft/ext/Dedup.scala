@@ -27,22 +27,23 @@ object Dedup {
 
   /** Default candidate-pair ceiling. The verification join ships BOTH
     * documents' sorted fingerprint arrays per candidate pair (~1 KB at
-    * this corpus's set sizes), so 1e8 pairs is ~100 GB of verification
-    * shuffle — past a single box's scratch, and a red flag even on a
-    * cluster: TRUE near-dup pair volume is quadratic in duplication
+    * this corpus's set sizes), so 1e9 pairs is ~1 TB of verification
+    * shuffle — far past a single box's scratch, and a red flag even on
+    * a cluster: TRUE near-dup pair volume is quadratic in duplication
     * density, so a corpus that trips this is degenerate
     * (mass-replicated boilerplate) or hostile, and the useful output
-    * is the bucket diagnostic, not 1e8 pairs. Measured by
+    * is the bucket diagnostic, not 1e9 pairs. Measured by
     * [[graft.tools.DedupGuardProbe]]: winnowNearDup accounts 1.55e6
-    * pairs at sf0.1 and 1.57e7 at x10 (6.4x under the ceiling — normal
-    * corpora pass with headroom), while the x100 corpus whose 100
-    * perturbed replicas/doc ENOSPC'd this box's 76 GB scratch in round
-    * 16 accounts 1.57e9 (quadratic in the replication factor:
-    * per-bucket counts scale ~100x from x10) and now aborts HERE,
-    * 15.7x over, with the hot fingerprints named. Raise via
-    * [[MaxCandidatePairsConf]] (or set <= 0 to disable) only with
-    * shuffle capacity to match. */
-  val DefaultMaxCandidatePairs: Long = 100_000_000L
+    * exact pairs at sf0.1 and 1.57e7 at x10, with free tier-1 bounds
+    * (Σ df² — see the guard in [[winnowNearDup]]) of 6.0e7 and 6.7e8 —
+    * both UNDER this ceiling, so normal corpora never pay an
+    * accounting job at all — while the x100 corpus whose 100 perturbed
+    * replicas/doc ENOSPC'd this box's 76 GB scratch in round 16
+    * accounts 1.57e9 exact (quadratic in the replication factor:
+    * per-bucket counts scale ~100x from x10) and aborts HERE with the
+    * hot fingerprints named. Raise via [[MaxCandidatePairsConf]] (or
+    * set <= 0 to disable) only with shuffle capacity to match. */
+  val DefaultMaxCandidatePairs: Long = 1_000_000_000L
 
   /** Thrown INSTEAD of launching a candidate join whose output volume
     * would bury the shuffle: names the operator, the accounted volume,
@@ -567,7 +568,20 @@ object Dedup {
     * single exact division — bit-identical across engines. */
   def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int = 8, w: Int = 4,
-      rolling: Boolean = false): DataFrame = {
+      rolling: Boolean = false): DataFrame =
+    winnowNearDup(docs, threshold, k, w, rolling, guarded = true)
+
+  /** `guarded = false` skips the candidate-volume accounting action —
+    * ONLY for callers that already accounted an equivalent volume in
+    * the same pass ([[winnowRecallGate]]'s rolling leg: the identical
+    * selection algorithm over differently-hashed grams, so the portable
+    * leg's accounting bounds it to within hash noise). The guard action
+    * is one narrow sum, but it moves the sets cache round-trip onto the
+    * critical path (~1.5 s/call at x10) — paying it twice for one
+    * logical volume is waste, not safety. */
+  private[ext] def winnowNearDup(
+      docs: DataFrame, threshold: Double, k: Int, w: Int,
+      rolling: Boolean, guarded: Boolean): DataFrame = {
     val spark = docs.sparkSession
     val fp = spread(docs).select(
       col("doc_id"),
@@ -600,19 +614,32 @@ object Dedup {
     // minhashNearDup rule): unpersist in finally, not after the cut
     try {
       // refuse-before-shuffle: the stage that ENOSPC'd the x100 box in
-      // round 16 dies HERE with the hot fingerprints named instead; the
-      // top-bucket job is by-name, paid only on the abort path
+      // round 16 dies HERE with the hot fingerprints named instead.
+      // TWO TIERS, because the accounting action's cost is all in WHERE
+      // it runs: tier 1 bounds the volume by Σ df² — since a fingerprint
+      // has at most df prefix entries, Σ np·df <= Σ df² — computed from
+      // the df aggregate alone (no collect_list arrays, so the sets
+      // cache round-trip stays pipelined inside the main job; measured
+      // +3.4 s/call at x10 when the exact sum ran as its own job, ~0
+      // for this bound). Only a tripped bound pays tier 2, the exact
+      // Σ pvol — and a corpus anywhere near the cap is aborting anyway,
+      // where latency is irrelevant and attribution is everything.
       val cap = candidatePairCap(docs.sparkSession)
-      if (cap > 0) {
-        val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
-        enforceCandidateCap("winnowNearDup", total, cap,
-          sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
-              .as("fp"))
-            .groupBy("fp").agg(count(lit(1)).as("np"))
-            .join(df, Seq("fp"))
-            .select(col("fp"), (col("np") * col("df")).as("p"))
-            .orderBy(col("p").desc).limit(5).collect()
-            .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
+      if (guarded && cap > 0) {
+        val bound = df
+          .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
+          .head.getDouble(0)
+        if (bound > cap.toDouble) {
+          val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
+          enforceCandidateCap("winnowNearDup", total, cap,
+            sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
+                .as("fp"))
+              .groupBy("fp").agg(count(lit(1)).as("np"))
+              .join(df, Seq("fp"))
+              .select(col("fp"), (col("np") * col("df")).as("p"))
+              .orderBy(col("p").desc).limit(5).collect()
+              .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
+        }
       }
       val cand = sets
         .select(col("doc_id"), explode(expr(
@@ -657,7 +684,12 @@ object Dedup {
     val portable = winnowNearDup(docs, threshold)
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fast = winnowNearDup(docs, threshold, rolling = true)
+    // the rolling leg runs the IDENTICAL selection algorithm over
+    // differently-hashed grams — the portable leg's candidate-volume
+    // accounting (which ran and passed just above) bounds it to within
+    // hash noise, so re-paying the guard action here is waste
+    val fast = winnowNearDup(docs, threshold, k = 8, w = 4,
+      rolling = true, guarded = false)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
