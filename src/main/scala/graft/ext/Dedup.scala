@@ -27,23 +27,60 @@ object Dedup {
 
   /** Default candidate-pair ceiling. The verification join ships BOTH
     * documents' sorted fingerprint arrays per candidate pair (~1 KB at
-    * this corpus's set sizes), so 1e9 pairs is ~1 TB of verification
-    * shuffle — far past a single box's scratch, and a red flag even on
-    * a cluster: TRUE near-dup pair volume is quadratic in duplication
+    * this corpus's set sizes), so 1e8 pairs is ~100 GB of verification
+    * shuffle — past a single box's scratch, and a red flag even on a
+    * cluster: TRUE near-dup pair volume is quadratic in duplication
     * density, so a corpus that trips this is degenerate
     * (mass-replicated boilerplate) or hostile, and the useful output
-    * is the bucket diagnostic, not 1e9 pairs. Measured by
-    * [[graft.tools.DedupGuardProbe]]: winnowNearDup accounts 1.55e6
-    * exact pairs at sf0.1 and 1.57e7 at x10, with free tier-1 bounds
-    * (Σ df² — see the guard in [[winnowNearDup]]) of 6.0e7 and 6.7e8 —
-    * both UNDER this ceiling, so normal corpora never pay an
-    * accounting job at all — while the x100 corpus whose 100 perturbed
-    * replicas/doc ENOSPC'd this box's 76 GB scratch in round 16
-    * accounts 1.57e9 exact (quadratic in the replication factor:
-    * per-bucket counts scale ~100x from x10) and aborts HERE with the
-    * hot fingerprints named. Raise via [[MaxCandidatePairsConf]] (or
-    * set <= 0 to disable) only with shuffle capacity to match. */
-  val DefaultMaxCandidatePairs: Long = 1_000_000_000L
+    * is the bucket diagnostic, not 1e8 pairs. The ceiling is enforced
+    * against the EXACT accounted volume; the free Σ df² bound in
+    * [[winnowNearDup]] only decides whether the exact accounting job
+    * runs at all (bound <= cap proves safety for free; a tripped
+    * bound pays the exact sum, and only exact > cap aborts — so a
+    * loose bound costs seconds of accounting, never a spurious
+    * abort). Measured by [[graft.tools.DedupGuardProbe]]:
+    * winnowNearDup accounts 1.55e6 exact pairs at sf0.1 (tier-1 bound
+    * 6.0e7 — under the cap, zero accounting jobs) and 1.57e7 at x10
+    * (bound 6.7e8 — trips, pays the ~2-3 s exact accounting: the
+    * insurance price scales with the shuffle it insures), while the
+    * x100 corpus whose 100 perturbed replicas/doc ENOSPC'd this box's
+    * 76 GB scratch in round 16 accounts 1.57e9 exact (quadratic in
+    * the replication factor) and aborts HERE with the hot
+    * fingerprints named. Raise via [[MaxCandidatePairsConf]] (or set
+    * <= 0 to disable) only with shuffle capacity to match. */
+  val DefaultMaxCandidatePairs: Long = 100_000_000L
+
+  /** Winnowing defaults, named once: the public [[winnowNearDup]]
+    * signature, [[winnowRecallGate]]'s rolling leg and
+    * [[graft.tools.DedupGuardProbe]]'s bound printout must all winnow
+    * with the SAME (k, w) or their "identical selection algorithm"
+    * premises silently break. */
+  val DefaultWinnowK: Int = 8
+  val DefaultWinnowW: Int = 4
+
+  /** The winnow guard's tier-1 bound over a (fp, df) document-frequency
+    * aggregate: Σ df² >= Σ np·df (a fingerprint has at most df prefix
+    * entries), computed without touching the per-doc fingerprint
+    * arrays. ONE definition shared by the guard in [[winnowNearDup]]
+    * and [[graft.tools.DedupGuardProbe]] — the default-cap headroom
+    * comment above is calibrated from the probe's printout, so the two
+    * sites must never diverge. */
+  private[graft] def tier1Bound(dfCounts: DataFrame): Double =
+    dfCounts
+      .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
+      .head.getDouble(0)
+
+  /** The (fp, df) document-frequency aggregate for a corpus, as
+    * [[winnowNearDup]] builds it (distinct-per-doc winnow fingerprints,
+    * counted per fingerprint) — for probes that need the tier-1 bound
+    * without running the operator. */
+  private[graft] def winnowDocFreq(
+      docs: DataFrame, k: Int = DefaultWinnowK,
+      w: Int = DefaultWinnowW): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.Winnow(
+          docs.sparkSession, col("text"), k, w, rolling = false)).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
 
   /** Thrown INSTEAD of launching a candidate join whose output volume
     * would bury the shuffle: names the operator, the accounted volume,
@@ -567,8 +604,8 @@ object Dedup {
     * fingerprint-set sizes are integers, so the emitted double is a
     * single exact division — bit-identical across engines. */
   def winnowNearDup(
-      docs: DataFrame, threshold: Double, k: Int = 8, w: Int = 4,
-      rolling: Boolean = false): DataFrame =
+      docs: DataFrame, threshold: Double, k: Int = DefaultWinnowK,
+      w: Int = DefaultWinnowW, rolling: Boolean = false): DataFrame =
     winnowNearDup(docs, threshold, k, w, rolling, guarded = true)
 
   /** `guarded = false` skips the candidate-volume accounting action —
@@ -579,7 +616,7 @@ object Dedup {
     * is one narrow sum, but it moves the sets cache round-trip onto the
     * critical path (~1.5 s/call at x10) — paying it twice for one
     * logical volume is waste, not safety. */
-  private[ext] def winnowNearDup(
+  private[graft] def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int, w: Int,
       rolling: Boolean, guarded: Boolean): DataFrame = {
     val spark = docs.sparkSession
@@ -621,15 +658,16 @@ object Dedup {
       // the df aggregate alone (no collect_list arrays, so the sets
       // cache round-trip stays pipelined inside the main job; measured
       // +3.4 s/call at x10 when the exact sum ran as its own job, ~0
-      // for this bound). Only a tripped bound pays tier 2, the exact
-      // Σ pvol — and a corpus anywhere near the cap is aborting anyway,
-      // where latency is irrelevant and attribution is everything.
+      // for this bound). bound <= cap PROVES the corpus safe for free
+      // (sf0.1: 6.0e7); a tripped bound pays tier 2, the exact Σ pvol,
+      // and the CAP IS ENFORCED ON THE EXACT VOLUME ONLY — a loose
+      // bound (x10: 6.7e8 vs 1.57e7 exact) costs seconds of
+      // accounting, never a spurious abort, so the default cap stays
+      // at the volume that is actually dangerous instead of being
+      // inflated to whatever the bound reads on a legitimate corpus.
       val cap = candidatePairCap(docs.sparkSession)
       if (guarded && cap > 0) {
-        val bound = df
-          .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
-          .head.getDouble(0)
-        if (bound > cap.toDouble) {
+        if (tier1Bound(df) > cap.toDouble) {
           val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
           enforceCandidateCap("winnowNearDup", total, cap,
             sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
@@ -688,8 +726,8 @@ object Dedup {
     // differently-hashed grams — the portable leg's candidate-volume
     // accounting (which ran and passed just above) bounds it to within
     // hash noise, so re-paying the guard action here is waste
-    val fast = winnowNearDup(docs, threshold, k = 8, w = 4,
-      rolling = true, guarded = false)
+    val fast = winnowNearDup(docs, threshold, k = DefaultWinnowK,
+      w = DefaultWinnowW, rolling = true, guarded = false)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))

@@ -23,17 +23,11 @@ object DedupGuardProbe {
       val docs = graft.sources.Tables.load(spark, dir, "documents")
       // tier-1 bound for the winnow guard (Σ df² >= Σ np·df): whether a
       // corpus pays the exact tier-2 accounting at the default cap is
-      // decided by THIS number — print it per corpus
-      locally {
-        import org.apache.spark.sql.functions._
-        val fp = docs.select(col("doc_id"), explode(
-          graft.functions.Winnow(spark, col("text"), 8, 4, rolling = false))
-          .as("fp"))
-        val bound = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-          .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
-          .head.getDouble(0)
-        println(f"[guardprobe] $dir winnow tier-1 bound (sum df^2) = $bound%.0f")
-      }
+      // decided by THIS number — print it per corpus. Same helpers as
+      // the guard itself (shared formula + shared winnow defaults), so
+      // this printout cannot diverge from what winnowNearDup computes.
+      val bound = Dedup.tier1Bound(Dedup.winnowDocFreq(docs))
+      println(f"[guardprobe] $dir winnow tier-1 bound (sum df^2) = $bound%.0f")
       for ((op, run) <- Seq[(String, () => Unit)](
         "winnowNearDup" -> (() => Dedup.winnowNearDup(docs, 0.7).count(): Unit),
         "minhashNearDup" -> (() => Dedup.minhashNearDup(docs, 0.7).count(): Unit))) {
