@@ -15,9 +15,16 @@
 # before final code; it was invalidated when the winnow guard rework
 # (9e00ace, removes a ~2-3.7 s/call accounting cost at x10) landed
 # after it — exactly the protocol gap item 1 forbids, so the campaign
-# was re-run in full on the final sha. Window-1 files are kept as the
-# same-day weather record (its 0e2c350 control read 386.5 s = 1.067 vs
-# the r16 min-of-3, an adverse window).
+# was re-run in full. Window-1 files are kept as the same-day weather
+# record (its 0e2c350 control read 386.5 s = 1.067 vs the r16
+# min-of-3, an adverse window).
+# WINDOW 2 (archived in window2_9e00ace/) ran at 9e00ace and was in
+# turn invalidated when the round's self-review rejected that commit's
+# 10x cap raise (restored to 1e8 by 8d81062, changing the two winnow
+# rows' x10 path); its control read 428.9 s = 1.184. WINDOW 3, on the
+# final sha 8d81062, is the stamped campaign (control 447.4 s = 1.235
+# — the day's worst weather; see BASELINE.md for the cross-window
+# stamping rule and the path-identity proof).
 set -x
 cd /root/repo
 R=/root/repo/bench_runs_r17
