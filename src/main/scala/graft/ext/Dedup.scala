@@ -70,17 +70,30 @@ object Dedup {
       .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
       .head.getDouble(0)
 
+  /** Per-fingerprint document frequency over exploded (doc_id, fp)
+    * rows — THE aggregate the winnow guard bounds and accounts.
+    * Factored so [[winnowNearDup]] and [[winnowDocFreq]] build it from
+    * one definition (the 'cannot diverge' guarantee is by
+    * construction, not by parallel copy): a future change to this
+    * aggregate reaches the guard, the probe and the specs together. */
+  private def docFreq(fp: DataFrame): DataFrame =
+    fp.groupBy("fp").agg(count(lit(1)).as("df"))
+
   /** The (fp, df) document-frequency aggregate for a corpus, as
-    * [[winnowNearDup]] builds it (distinct-per-doc winnow fingerprints,
-    * counted per fingerprint) — for probes that need the tier-1 bound
-    * without running the operator. */
+    * [[winnowNearDup]] builds it for the SAME (k, w, rolling) call
+    * shape (distinct-per-doc winnow fingerprints via [[docFreq]]) —
+    * for probes that need the tier-1 bound without running the
+    * operator. `rolling` defaults to the portable leg, which is what
+    * calibrates [[DefaultMaxCandidatePairs]]'s headroom comment; pass
+    * `rolling = true` to model a Karp-Rabin-hash call instead (its df
+    * lives in a different hash universe, so portable numbers do not
+    * predict its tier-2 behavior). */
   private[graft] def winnowDocFreq(
       docs: DataFrame, k: Int = DefaultWinnowK,
-      w: Int = DefaultWinnowW): DataFrame =
-    docs.select(col("doc_id"),
-        explode(graft.functions.Winnow(
-          docs.sparkSession, col("text"), k, w, rolling = false)).as("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("df"))
+      w: Int = DefaultWinnowW, rolling: Boolean = false): DataFrame =
+    docFreq(docs.select(col("doc_id"),
+      explode(graft.functions.Winnow(
+        docs.sparkSession, col("text"), k, w, rolling)).as("fp")))
 
   /** Thrown INSTEAD of launching a candidate join whose output volume
     * would bury the shuffle: names the operator, the accounted volume,
@@ -616,7 +629,7 @@ object Dedup {
     * is one narrow sum, but it moves the sets cache round-trip onto the
     * critical path (~1.5 s/call at x10) — paying it twice for one
     * logical volume is waste, not safety. */
-  private[graft] def winnowNearDup(
+  private[ext] def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int, w: Int,
       rolling: Boolean, guarded: Boolean): DataFrame = {
     val spark = docs.sparkSession
@@ -624,7 +637,7 @@ object Dedup {
       col("doc_id"),
       explode(graft.functions.Winnow(spark, col("text"), k, w, rolling)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val df = docFreq(fp)
     // ONE doc_id aggregation builds everything per doc: the fingerprint
     // array in rarest-first (global df asc, fp asc) order for prefix
     // slicing, the numerically sorted array for two-pointer

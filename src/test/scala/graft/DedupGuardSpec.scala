@@ -79,8 +79,12 @@ class DedupGuardSpec extends AnyFunSuite with SparkSpec {
     assert(bound >= exact.toDouble,
       s"tier-1 bound $bound must dominate the exact volume $exact")
     // a cap BETWEEN exact and bound trips tier 1 but passes tier 2:
-    // the guard must fall through to the join, not abort on the bound
-    val midCap = exact + ((bound.toLong - exact) / 2).max(1L)
+    // the guard must fall through to the join, not abort on the bound.
+    // (clamp before toLong: on a degenerate corpus the double bound
+    // can exceed Long range, and an unclamped cast would overflow
+    // midCap into nonsense instead of failing the precondition below)
+    val boundL = math.min(bound, Long.MaxValue.toDouble).toLong
+    val midCap = exact + ((boundL - exact) / 2).max(1L)
     assert(midCap > exact && midCap.toDouble < bound,
       s"corpus must separate exact=$exact from bound=$bound to pin this")
     val falseTrip = withCap(Some(midCap.toString)) {
@@ -93,27 +97,4 @@ class DedupGuardSpec extends AnyFunSuite with SparkSpec {
     assert(falseTrip.nonEmpty)
   }
 
-  test("the unguarded overload skips the ceiling entirely (recall-gate " +
-      "rolling leg) and returns the guarded result") {
-    val docs = Tables.load(spark, sfDir, "documents")
-    // cap=1 aborts every guarded call on this corpus...
-    withCap(Some("1")) {
-      intercept[Dedup.CandidateVolumeExceeded] {
-        Dedup.winnowNearDup(docs, 0.7).count()
-      }
-    }
-    // ...but the private unguarded overload must still run — it exists
-    // so winnowRecallGate's rolling leg, whose volume the portable
-    // leg's guard already accounted, does not pay the action twice
-    val unguarded = withCap(Some("1")) {
-      Dedup.winnowNearDup(docs, 0.7, Dedup.DefaultWinnowK,
-        Dedup.DefaultWinnowW, rolling = false, guarded = false)
-        .collect().map(_.toSeq).toSet
-    }
-    val guarded = withCap(None) {
-      Dedup.winnowNearDup(docs, 0.7).collect().map(_.toSeq).toSet
-    }
-    assert(unguarded === guarded)
-    assert(unguarded.nonEmpty)
-  }
 }
