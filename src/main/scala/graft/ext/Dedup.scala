@@ -33,21 +33,22 @@ object Dedup {
     * density, so a corpus that trips this is degenerate
     * (mass-replicated boilerplate) or hostile, and the useful output
     * is the bucket diagnostic, not 1e8 pairs. The ceiling is enforced
-    * against the EXACT accounted volume; the free Σ df² bound in
-    * [[winnowNearDup]] only decides whether the exact accounting job
-    * runs at all (bound <= cap proves safety for free; a tripped
-    * bound pays the exact sum, and only exact > cap aborts — so a
-    * loose bound costs seconds of accounting, never a spurious
-    * abort). Measured by [[graft.tools.DedupGuardProbe]]:
-    * winnowNearDup accounts 1.55e6 exact pairs at sf0.1 (tier-1 bound
-    * 6.0e7 — under the cap, zero accounting jobs) and 1.57e7 at x10
-    * (bound 6.7e8 — trips, pays the ~2-3 s exact accounting: the
-    * insurance price scales with the shuffle it insures), while the
-    * x100 corpus whose 100 perturbed replicas/doc ENOSPC'd this box's
-    * 76 GB scratch in round 16 accounts 1.57e9 exact (quadratic in
-    * the replication factor) and aborts HERE with the hot
-    * fingerprints named. Raise via [[MaxCandidatePairsConf]] (or set
-    * <= 0 to disable) only with shuffle capacity to match. */
+    * against the EXACT accounted volume (self-matches excluded — see
+    * [[tier1Bound]]); the free bounds in [[winnowNearDup]] only decide
+    * whether the exact accounting job runs at all (bound <= cap proves
+    * safety for free; a tripped bound pays the exact sum, and only
+    * exact > cap aborts — so a loose bound costs seconds of
+    * accounting, never a spurious abort). Measured by
+    * [[graft.tools.DedupGuardProbe]]: winnowNearDup accounts 1.40e6
+    * exact pairs at sf0.1 (tier-1 bound 5.9e7 — under the cap, zero
+    * accounting jobs) and 1.42e7 at x10 (bounds 6.6e8 / 5.1e8 — trip,
+    * pays the ~2-3 s exact accounting: the insurance price scales
+    * with the shuffle it insures), while the x100 corpus whose 100
+    * perturbed replicas/doc ENOSPC'd this box's 76 GB scratch in
+    * round 16 accounts 1.56e9 exact (quadratic in the replication
+    * factor) and aborts HERE with the hot fingerprints named. Raise
+    * via [[MaxCandidatePairsConf]] (or set <= 0 to disable) only with
+    * shuffle capacity to match. */
   val DefaultMaxCandidatePairs: Long = 100_000_000L
 
   /** Winnowing defaults, named once: the public [[winnowNearDup]]
@@ -59,15 +60,69 @@ object Dedup {
   val DefaultWinnowW: Int = 4
 
   /** The winnow guard's tier-1 bound over a (fp, df) document-frequency
-    * aggregate: Σ df² >= Σ np·df (a fingerprint has at most df prefix
-    * entries), computed without touching the per-doc fingerprint
-    * arrays. ONE definition shared by the guard in [[winnowNearDup]]
+    * aggregate: Σ df·(df-1) >= Σ np·(df-1) (a fingerprint has at most
+    * df prefix entries), computed without touching the per-doc
+    * fingerprint arrays. The (df-1) weight — not df — is load-bearing
+    * at scale: each prefix entry of f always matches ITSELF in f's
+    * posting list, so a metric counting self-matches grows with
+    * Σ np = Σ prefixLen even at ZERO duplication (measured x10:
+    * 1.46e6 of the old metric's 1.57e7 was self-matches) — a
+    * legitimate fully-unique corpus ~70x the x10 gate would have
+    * falsely aborted on sheer size. With self-matches excluded both
+    * the bound and the exact volume measure true duplication only —
+    * zero on a unique corpus of ANY size. ONE definition shared by the guard in [[winnowNearDup]]
     * and [[graft.tools.DedupGuardProbe]] — the default-cap headroom
     * comment above is calibrated from the probe's printout, so the two
     * sites must never diverge. */
   private[graft] def tier1Bound(dfCounts: DataFrame): Double =
     dfCounts
-      .agg(coalesce(sum(col("df").cast("double") * col("df")), lit(0.0)))
+      .agg(coalesce(sum(col("df").cast("double") * (col("df") - 1)),
+        lit(0.0)))
+      .head.getDouble(0)
+
+  /** Second free bound for Σ np·(df-1) given the prefix-mass budget
+    * P = Σ_doc prefixLen_doc: the true np(f) (how many docs carry f in
+    * their prefix) satisfies np(f) <= df(f) and Σ np = P, so the worst
+    * case assigns the budget to the HOTTEST fingerprints first —
+    * grouping by distinct df value v (cnt_v fingerprints each, v·cnt_v
+    * assignable units contributing v-1 per unit), the maximum is the
+    * v-descending greedy fill. Dominates the exact volume by
+    * construction (the exact assignment is feasible for this program),
+    * and among bounds computable from the histogram + budget alone it
+    * is TIGHT: an adversarial corpus built of all-hottest-fingerprint
+    * docs forces prefixes onto the hot fingerprints, realizing the
+    * greedy assignment — so no free bound of this family can clear a
+    * corpus this one trips on (measured x10: budgeted 5.1e8 vs exact
+    * 1.4e7 — the replica corpus's prefix mass COULD sit on its hot
+    * fingerprints, rarest-first just doesn't put it there, and only
+    * the exact accounting can know that; the x10 winnow rows therefore
+    * keep paying the tier-2 job as priced insurance). The histogram is a tiny aggregate (distinct df
+    * values, not fingerprints) collected to the driver. */
+  private[graft] def budgetedBound(dfCounts: DataFrame, budget: Double): Double = {
+    val hist = dfCounts.groupBy("df").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var remaining = budget
+    var bound = 0.0
+    hist.foreach { case (v, cnt) =>
+      if (remaining > 0) {
+        val take = math.min(v.toDouble * cnt, remaining)
+        bound += take * (v - 1)
+        remaining -= take
+      }
+    }
+    bound
+  }
+
+  /** The winnow guard's prefix-mass budget: Σ over docs of the SAME
+    * prefix length the candidate join slices
+    * (ceil((1-threshold)·n)+1, n = the doc's distinct fingerprint
+    * count) — one narrow count aggregate over the exploded (doc_id,
+    * fp) rows, no arrays. */
+  private def prefixBudget(fp: DataFrame, threshold: Double): Double =
+    fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(
+        expr(s"cast(ceil(${1.0 - threshold} * n) as int) + 1")
+          .cast("double")), lit(0.0)))
       .head.getDouble(0)
 
   /** Per-fingerprint document frequency over exploded (doc_id, fp)
@@ -91,9 +146,27 @@ object Dedup {
   private[graft] def winnowDocFreq(
       docs: DataFrame, k: Int = DefaultWinnowK,
       w: Int = DefaultWinnowW, rolling: Boolean = false): DataFrame =
-    docFreq(docs.select(col("doc_id"),
+    docFreq(winnowFp(docs, k, w, rolling))
+
+  /** The exploded (doc_id, fp) winnow-fingerprint rows — ONE
+    * construction shared by the operator, [[winnowDocFreq]] and
+    * [[winnowBudgetedBound]]. */
+  private def winnowFp(
+      docs: DataFrame, k: Int, w: Int, rolling: Boolean): DataFrame =
+    spread(docs).select(col("doc_id"),
       explode(graft.functions.Winnow(
-        docs.sparkSession, col("text"), k, w, rolling)).as("fp")))
+        docs.sparkSession, col("text"), k, w, rolling)).as("fp"))
+
+  /** The winnow guard's tier-1b bound for a corpus, as [[winnowNearDup]]
+    * computes it ([[budgetedBound]] over the df histogram with the
+    * prefix-mass budget) — for probes that size the default cap's
+    * headroom. Pass the SAME dfCounts the tier-1a bound used. */
+  private[graft] def winnowBudgetedBound(
+      docs: DataFrame, dfCounts: DataFrame, threshold: Double,
+      k: Int = DefaultWinnowK, w: Int = DefaultWinnowW,
+      rolling: Boolean = false): Double =
+    budgetedBound(dfCounts,
+      prefixBudget(winnowFp(docs, k, w, rolling), threshold))
 
   /** Thrown INSTEAD of launching a candidate join whose output volume
     * would bury the shuffle: names the operator, the accounted volume,
@@ -112,10 +185,19 @@ object Dedup {
         "cap (or set it <= 0 to disable) only with shuffle capacity to " +
         "match.")
 
-  /** The configured candidate-pair ceiling; <= 0 means disabled. */
+  /** The configured candidate-pair ceiling; <= 0 means disabled. A
+    * malformed value fails by NAMING the conf key — a bare
+    * NumberFormatException surfacing from deep inside an operator is
+    * unattributable to the setting that caused it. */
   private[ext] def candidatePairCap(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption(MaxCandidatePairsConf)
-      .map(_.toLong).getOrElse(DefaultMaxCandidatePairs)
+    spark.conf.getOption(MaxCandidatePairsConf).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$MaxCandidatePairsConf must be a long (got '$v'); " +
+            "<= 0 disables the candidate-volume guard")
+      }
+    }.getOrElse(DefaultMaxCandidatePairs)
 
   /** Refuse-before-shuffle enforcement: throw [[CandidateVolumeExceeded]]
     * when the accounted volume exceeds the ceiling. The bucket
@@ -618,24 +700,9 @@ object Dedup {
     * single exact division — bit-identical across engines. */
   def winnowNearDup(
       docs: DataFrame, threshold: Double, k: Int = DefaultWinnowK,
-      w: Int = DefaultWinnowW, rolling: Boolean = false): DataFrame =
-    winnowNearDup(docs, threshold, k, w, rolling, guarded = true)
-
-  /** `guarded = false` skips the candidate-volume accounting action —
-    * ONLY for callers that already accounted an equivalent volume in
-    * the same pass ([[winnowRecallGate]]'s rolling leg: the identical
-    * selection algorithm over differently-hashed grams, so the portable
-    * leg's accounting bounds it to within hash noise). The guard action
-    * is one narrow sum, but it moves the sets cache round-trip onto the
-    * critical path (~1.5 s/call at x10) — paying it twice for one
-    * logical volume is waste, not safety. */
-  private[ext] def winnowNearDup(
-      docs: DataFrame, threshold: Double, k: Int, w: Int,
-      rolling: Boolean, guarded: Boolean): DataFrame = {
+      w: Int = DefaultWinnowW, rolling: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val fp = spread(docs).select(
-      col("doc_id"),
-      explode(graft.functions.Winnow(spark, col("text"), k, w, rolling)).as("fp"))
+    val fp = winnowFp(docs, k, w, rolling)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = docFreq(fp)
     // ONE doc_id aggregation builds everything per doc: the fingerprint
@@ -651,12 +718,16 @@ object Dedup {
         count(lit(1)).as("n"))
       // strip the sort keys before persisting, but first fold THIS doc's
       // candidate-volume contribution out of them: each prefix entry
-      // joins df(fp) inverted-index rows, so Σ df over the prefix slice
-      // is the doc's exact candidate count — one scalar per doc, making
-      // the guard below a narrow sum with no join and no extra shuffle
+      // joins df(fp) inverted-index rows, of which df-1 are OTHER
+      // documents (the entry always matches its own doc — counting
+      // those self-matches would make the metric grow with corpus size
+      // on a duplication-free corpus, see [[tier1Bound]]), so
+      // Σ (df-1) over the prefix slice is the doc's exact candidate
+      // count — one scalar per doc, making the guard below a narrow
+      // sum with no join and no extra shuffle
       .select(col("doc_id"),
         expr("transform(rf, s -> s.fp)").as("rare_first"),
-        expr(s"aggregate(slice(rf, 1, $prefixLen), 0L, (a, s) -> a + s.df)")
+        expr(s"aggregate(slice(rf, 1, $prefixLen), 0L, (a, s) -> a + s.df - 1)")
           .as("pvol"),
         col("seth"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -666,28 +737,34 @@ object Dedup {
       // refuse-before-shuffle: the stage that ENOSPC'd the x100 box in
       // round 16 dies HERE with the hot fingerprints named instead.
       // TWO TIERS, because the accounting action's cost is all in WHERE
-      // it runs: tier 1 bounds the volume by Σ df² — since a fingerprint
-      // has at most df prefix entries, Σ np·df <= Σ df² — computed from
-      // the df aggregate alone (no collect_list arrays, so the sets
-      // cache round-trip stays pipelined inside the main job; measured
+      // it runs: tier 1 bounds the volume by Σ df·(df-1) — since a
+      // fingerprint has at most df prefix entries, each matching df-1
+      // OTHER docs, Σ np·(df-1) <= Σ df·(df-1) — computed from the df
+      // aggregate alone (no collect_list arrays, so the sets cache
+      // round-trip stays pipelined inside the main job; measured
       // +3.4 s/call at x10 when the exact sum ran as its own job, ~0
-      // for this bound). bound <= cap PROVES the corpus safe for free
-      // (sf0.1: 6.0e7); a tripped bound pays tier 2, the exact Σ pvol,
-      // and the CAP IS ENFORCED ON THE EXACT VOLUME ONLY — a loose
-      // bound (x10: 6.7e8 vs 1.57e7 exact) costs seconds of
+      // for this bound). Self-match exclusion makes the bound measure
+      // DUPLICATION, not size: zero on a fully-unique corpus of any
+      // scale. bound <= cap PROVES the corpus safe for free (sf0.1:
+      // 5.4e7); a tripped bound pays tier 1b (the budgeted bound — two
+      // more narrow jobs, tight within the free family, see
+      // [[budgetedBound]]) and then tier 2, the exact Σ pvol, and the
+      // CAP IS ENFORCED ON THE EXACT VOLUME ONLY — a loose bound
+      // (x10: 6.1e8 / 4.4e8 vs 1.3e6 exact) costs seconds of
       // accounting, never a spurious abort, so the default cap stays
       // at the volume that is actually dangerous instead of being
       // inflated to whatever the bound reads on a legitimate corpus.
       val cap = candidatePairCap(docs.sparkSession)
-      if (guarded && cap > 0) {
-        if (tier1Bound(df) > cap.toDouble) {
+      if (cap > 0) {
+        if (tier1Bound(df) > cap.toDouble &&
+            budgetedBound(df, prefixBudget(fp, threshold)) > cap.toDouble) {
           val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
           enforceCandidateCap("winnowNearDup", total, cap,
             sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
                 .as("fp"))
               .groupBy("fp").agg(count(lit(1)).as("np"))
               .join(df, Seq("fp"))
-              .select(col("fp"), (col("np") * col("df")).as("p"))
+              .select(col("fp"), (col("np") * (col("df") - 1)).as("p"))
               .orderBy(col("p").desc).limit(5).collect()
               .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
         }
@@ -736,11 +813,14 @@ object Dedup {
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the rolling leg runs the IDENTICAL selection algorithm over
-    // differently-hashed grams — the portable leg's candidate-volume
-    // accounting (which ran and passed just above) bounds it to within
-    // hash noise, so re-paying the guard action here is waste
+    // differently-hashed grams, but its document frequencies live in a
+    // different hash universe whose degenerate collisions the portable
+    // leg's accounting cannot predict — so it carries its own guard
+    // (the formerly-unguarded bypass is gone: with the budgeted tier-1
+    // bound clearing legitimate corpora for free, the double-payment
+    // argument for skipping it no longer holds).
     val fast = winnowNearDup(docs, threshold, k = DefaultWinnowK,
-      w = DefaultWinnowW, rolling = true, guarded = false)
+      w = DefaultWinnowW, rolling = true)
       .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
     val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))

@@ -596,8 +596,16 @@ object Multimodal {
               i += 1
             }
             val ts = sums.sum; val tc = payload.length.toLong
+            // the cross-multiplied compare is exact in Long only below
+            // ~1.9e8 payload bytes (sums<=16384*len/64 and ts<=16384*len,
+            // so each product is <=256*len^2); BigInt keeps the bits
+            // exact at ANY payload size for 64 multiplies per doc —
+            // negligible next to the byte scan. The DuckDB oracle
+            // replays the same compare in BIGINT and would error past
+            // that bound, but oracle corpora sit far below it.
             val afp = (0 until 64).foldLeft(0L) { (acc, j) =>
-              if (sums(j) * tc > ts * cnts(j)) acc | (1L << j) else acc
+              if (BigInt(sums(j)) * tc > BigInt(ts) * cnts(j)) acc | (1L << j)
+              else acc
             }
             Some(Row(id, afp, false))
         }
@@ -1157,6 +1165,7 @@ object Multimodal {
       var width = 0
       var height = 0
       var sawMvhd = false
+      var sawMoov = false
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
       // nest a second mvhd inside a trak, and a depth-only match would
@@ -1178,7 +1187,15 @@ object Multimodal {
           val dataLen = size - hdr
           typ match {
             case "moov" if parent == "" =>
-              if (!walk(pos + hdr, pos + size, depth + 1, "moov")) return false
+              // ONE movie box per file (ISO 14496-12 §8.2.1): walking a
+              // second top-level moov would let a hostile duplicate
+              // overwrite the first's timescale/duration and double-count
+              // its traks — same rule as the nested-mvhd binding, so
+              // later moov boxes are skipped like any unknown box
+              if (!sawMoov) {
+                sawMoov = true
+                if (!walk(pos + hdr, pos + size, depth + 1, "moov")) return false
+              }
             case "trak" if parent == "moov" =>
               nTracks += 1
               if (!walk(pos + hdr, pos + size, depth + 1, "trak")) return false

@@ -377,14 +377,89 @@ object PipelineOps {
 
   private def containmentCore(
       index: ContainmentIndex, aSets0: DataFrame, threshold: Double): DataFrame = {
-    val aSets = aSets0.select(
-      col("doc_id"),
-      col("seth").as("ha"),
-      col("n_sh"),
-      // the prefix is threshold-dependent, so it stays a query-time slice
-      // of the (already rarest-first) set array
-      expr("slice(set, 1, " +
-        s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1)").as("prefix"))
+    // the probe side (a batch scored against a frozen index) is NOT
+    // persisted by its builder, and this plan reads it three times
+    // (guard accounting, candidate generation, verification) — persist
+    // it here; the self-join side (aSets0 eq index.sets) is already
+    // cached, so its slim projection recomputes cheaply and caching it
+    // twice would only duplicate memory
+    val self = aSets0 eq index.sets
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val aSets1 = {
+      val s = aSets0.select(
+        col("doc_id"),
+        col("seth").as("ha"),
+        col("n_sh"),
+        // the prefix is threshold-dependent, so it stays a query-time
+        // slice of the (already rarest-first) set array
+        expr("slice(set, 1, " +
+          s"cast(ceil(${1.0 - threshold} * n_sh) as int) + 1)").as("prefix"))
+      if (self) s else s.persist(lvl)
+    }
+    try {
+      val out = containmentGuarded(index, aSets1, self, threshold)
+      // the probe path materializes before its cache is released below
+      // (and before the finally runs on a guard abort); the self path
+      // stays lazy — its callers cut at their own boundary and its
+      // inputs are the index's own persisted frames
+      if (self) out else Lineage.cut(out)
+    } finally {
+      if (!self) { aSets1.unpersist(); () }
+    }
+  }
+
+  /** The containment guard's free self-join bound
+    * ([[Dedup.budgetedBound]] over the shingle-df histogram with the
+    * prefix-mass budget Σ prefixLen) — both inputs are aggregates over
+    * frames the index already persists. Exposed for the probe that
+    * sizes the default cap's headroom; ONE definition with the guard in
+    * [[containmentGuarded]]. */
+  private[graft] def containmentBudgetedBound(
+      index: ContainmentIndex, threshold: Double): Double = {
+    val budget = index.sets
+      .agg(coalesce(sum(expr("cast(ceil(" +
+        s"${1.0 - threshold} * n_sh) as int) + 1").cast("double")),
+        lit(0.0))).head.getDouble(0)
+    Dedup.budgetedBound(index.df.select(col("df")), budget)
+  }
+
+  private def containmentGuarded(
+      index: ContainmentIndex, aSets: DataFrame, self: Boolean,
+      threshold: Double): DataFrame = {
+    // refuse-before-shuffle: candidate volume is Σ over PREFIX shingles
+    // of np·(df-1) on the self-join path (np = prefix entries carrying
+    // the shingle; each always matches its OWN posting too, and
+    // counting self-matches would make the metric grow with corpus
+    // size on a duplication-free corpus — see [[Dedup.tier1Bound]]) or
+    // np·df on the probe path (a batch doc is not in the index, so
+    // every posting is a real candidate). On the self-join path
+    // np <= df, so the free budgeted bound applies
+    // ([[Dedup.budgetedBound]]: hottest-first fill of the Σ prefixLen
+    // budget — both inputs are scalar aggregates over frames the index
+    // already persists; measured x10: 9.0e6, under the cap, zero
+    // accounting jobs); only a tripped bound pays the exact
+    // accounting, and only exact > cap aborts with the hot shingles
+    // named. A probe batch's np is NOT bounded by the index df, so the
+    // probe path accounts exactly — one narrow aggregation over the
+    // (persisted) batch prefix, cheap at batch scale.
+    val cap = Dedup.candidatePairCap(aSets.sparkSession)
+    if (cap > 0) {
+      val tripped = !self ||
+        containmentBudgetedBound(index, threshold) > cap.toDouble
+      if (tripped) {
+        val fanout = if (self) col("df") - 1 else col("df")
+        val perShingle = aSets
+          .select(explode(col("prefix")).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("np"))
+          .join(index.df, Seq("shingle"))
+          .select(col("shingle"), (col("np") * fanout).as("p"))
+        val total = perShingle.agg(coalesce(sum("p"), lit(0L)))
+          .head.getLong(0)
+        Dedup.enforceCandidateCap("containmentPairs", total, cap,
+          perShingle.orderBy(col("p").desc).limit(5).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      }
+    }
     // candidate generation: prefix shingles against the full inverted
     // index (recall 1 by the pigeonhole bound); candidate volume is
     // Σ over PREFIX shingles of df — hot shingles never enter a prefix
@@ -409,7 +484,7 @@ object PipelineOps {
         // kernel into the index's (outer) session would leave it
         // unresolvable here
         (graft.functions.SortedIntersect(
-          aSets0.sparkSession, col("ha"), col("hb")).cast("double") /
+          aSets.sparkSession, col("ha"), col("hb")).cast("double") /
           col("na")).as("containment"))
       .where(col("containment") >= threshold)
   }

@@ -296,50 +296,74 @@ object Similarity {
         graft.functions.VectorExpressions.packSigns(
           spark, col("__proj")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = sigs
-      .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
-    val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-    val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-    val candidates = l.join(r, Seq("band", "bval"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    // HAMMING PREFILTER: candidates carry only the two h-bit signatures
-    // (h/64 longs each — e.g. 24 longs vs 128 doubles + norm), and a
-    // popcount gate discards nearly every random collision before any
-    // vector is shipped. The gate is h·acos(t)/π + 3√h: the signature
-    // hamming of a TRUE pair at cosine exactly t concentrates at
-    // h·acos(t)/π with sd ≤ √h/2, so the margin is ≥ 6σ — a drop
-    // probability < 1e-9 per pair, deterministic per corpus (seeded
-    // hyperplanes), re-verified vs brute force by tools/SrpCheck
-    // (pair-exact at sf0.01/sf0.1; 2559/2560 at x10, the one miss a
-    // BAND-recall boundary pair — see the CONTRACT paragraph above — not
-    // a hamming drop). Exact cosine then touches only
-    // survivors (~true pairs), so the expensive verification join runs
-    // on thousands of rows, not millions.
-    val hamMax = srpHamMax(h, threshold, hamSigma)
-    val survivors = candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .where(graft.functions.VectorExpressions.hamming(
-        spark, col("sa"), col("sb")) <= hamMax)
-      .select("doc_a", "doc_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candIds = survivors.select(col("doc_a").as("doc_id"))
-      .union(survivors.select(col("doc_b").as("doc_id"))).distinct()
-    val vv = prepped.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val out = survivors
-      .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
-      .join(vv.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
-    val cut = Lineage.cut(out)
-    prepped.unpersist()
-    sigs.unpersist()
-    survivors.unpersist()
-    cut
+    // corpus-scale cached blocks must not outlive a guard abort (the
+    // minhashNearDup rule): unpersist in finally, not after the cut
+    var survivors: DataFrame = null
+    try {
+      val bandRows = sigs
+        .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
+      // refuse-before-shuffle accounting (the minhashNearDup recipe):
+      // Σ c·(c-1)/2 over per-(band, bval) bucket counts — ONE aggregation
+      // over the band rows, which re-read the cached signatures, so a
+      // degenerate embedding corpus (mass-identical vectors collapsing
+      // every band bucket) aborts with the hot buckets named instead of
+      // burying the candidate self-join. Covers semanticDedup too (it
+      // generates pairs exclusively through here). The top-bucket job is
+      // by-name — paid only on the abort path.
+      val cap = Dedup.candidatePairCap(spark)
+      if (cap > 0) {
+        val perBucket = bandRows.groupBy("band", "bval")
+          .agg(count(lit(1)).as("c"))
+          .select(concat_ws("/", col("band"), col("bval")).as("k"),
+            shiftright(col("c") * (col("c") - 1), 1).as("p"))
+        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        Dedup.enforceCandidateCap("srpNearDup", total, cap,
+          perBucket.orderBy(col("p").desc).limit(5).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq)
+      }
+      val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+      val candidates = l.join(r, Seq("band", "bval"))
+        .where(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      // HAMMING PREFILTER: candidates carry only the two h-bit signatures
+      // (h/64 longs each — e.g. 24 longs vs 128 doubles + norm), and a
+      // popcount gate discards nearly every random collision before any
+      // vector is shipped. The gate is h·acos(t)/π + 3√h: the signature
+      // hamming of a TRUE pair at cosine exactly t concentrates at
+      // h·acos(t)/π with sd ≤ √h/2, so the margin is ≥ 6σ — a drop
+      // probability < 1e-9 per pair, deterministic per corpus (seeded
+      // hyperplanes), re-verified vs brute force by tools/SrpCheck
+      // (pair-exact at sf0.01/sf0.1; 2559/2560 at x10, the one miss a
+      // BAND-recall boundary pair — see the CONTRACT paragraph above — not
+      // a hamming drop). Exact cosine then touches only
+      // survivors (~true pairs), so the expensive verification join runs
+      // on thousands of rows, not millions.
+      val hamMax = srpHamMax(h, threshold, hamSigma)
+      survivors = candidates
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .where(graft.functions.VectorExpressions.hamming(
+          spark, col("sa"), col("sb")) <= hamMax)
+        .select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candIds = survivors.select(col("doc_a").as("doc_id"))
+        .union(survivors.select(col("doc_b").as("doc_id"))).distinct()
+      val vv = prepped.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      val out = survivors
+        .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+        .join(vv.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .where(col("cos") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("sim"))
+      Lineage.cut(out)
+    } finally {
+      prepped.unpersist()
+      sigs.unpersist()
+      if (survivors != null) survivors.unpersist()
+    }
   }
 
   /** Semantic deduplication (the SemDeDup pattern, Abbas et al. 2023):

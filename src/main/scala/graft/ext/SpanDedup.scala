@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   *      exchange);
   *   3. island-merge is one window over (doc_id, pos) — the only
   *      doc-keyed shuffle, bounded by the marked-position count;
-  *   4. span removal re-joins spans to token positions per doc_id (spans
-  *      per doc are few; the anti join's equi key is doc_id with the
-  *      range predicate as a residual filter).
+  *   4. span removal is a per-doc projection: the doc's sorted span
+  *      array (one tiny aggregation, broadcast-joined 1:1) meets its
+  *      token array in an O(tokens + spans) merge-walk kernel
+  *      ([[graft.functions.SpanRemoveJoin]]) — no token-level shuffle,
+  *      and no per-doc quadratic residual.
   * With `hashGrams = true` (default) a 64-bit collision can falsely mark
   * a position: expected colliding PAIRS ~ n_grams^2 / 2^65 — ~0 below
   * 10^9 grams and a ~5e-7 fraction of marked positions at 100 TB scale
@@ -76,28 +78,36 @@ object SpanDedup {
     * span-REMOVED text (pins exact span boundaries). One row per doc of
     * `docs`, including documents with no span. */
   private def statsWithCleanFp(docs: DataFrame, spans: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      TextOps.tokens(col("text")).as("toks"))
-    val tokpos = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
-    val kept = tokpos.as("tp").join(spans.as("sp"),
-      col("tp.doc_id") === col("sp.doc_id") &&
-        col("tp.pos") >= col("sp.span_start") &&
-        col("tp.pos") <= col("sp.span_end"),
-      "left_anti")
-    val clean = kept.groupBy("doc_id")
-      .agg(expr("array_join(transform(sort_array(collect_list(struct(pos, tok))), " +
-        "s -> s.tok), ' ')").as("clean_text"))
-    val stats = spans.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"))
-      .join(stats, Seq("doc_id"), "left")
-      .join(clean, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("total_tokens"),
+    // span stats AND the position-sorted span array come from ONE
+    // aggregation of the (tiny, already materialized) span rows; the
+    // aggregated side broadcasts into the doc join
+    val spanArr = spans.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"),
+        sort_array(collect_list(struct(
+          col("span_start").cast("int").as("s"),
+          col("span_end").cast("int").as("e")))).as("sp"))
+    // ONE projection per document: tokenize once, strip spans with the
+    // O(tokens + spans) merge walk ([[graft.functions.SpanRemoveJoin]]).
+    // The former tokpos explode + doc_id-keyed range anti join +
+    // collect_list re-assembly reshuffled every kept token row AND
+    // evaluated tokens x spans residual comparisons inside each doc's
+    // task — the one super-linear stage this operator had (a degenerate
+    // corpus makes spans_d ~ tokens_d / w). With it gone, every
+    // span-dedup stage is output-linear: gram semi-join <= gram rows,
+    // island window <= marked rows, this projection = one row per doc —
+    // which is why the operator needs no candidate-volume guard.
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("total_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_fp"))
+        md5(when(col("sp").isNull, array_join(col("toks"), " "))
+          .otherwise(graft.functions.SpanRemove(
+            docs.sparkSession, col("toks"), col("sp")))).as("clean_fp"))
   }
 
   /** Maximal duplicated token spans: (doc_id, span_start, span_end)

@@ -1,17 +1,24 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, PipelineOps, Similarity}
 
 /** Ops probe for the candidate-volume guard (SURVEY.md §2.9 graceful
-  * degradation): runs the winnow and minhash pair generators at each
-  * given corpus dir with the ceiling forced to 1, so every run aborts in
-  * the guard and PRINTS the exact accounted candidate volume plus the
-  * hottest buckets — the numbers that size
+  * degradation): runs every guarded pair generator at each given corpus
+  * dir with the ceiling forced to 1, so every run aborts in the guard
+  * and PRINTS the exact accounted candidate volume plus the hottest
+  * buckets — the numbers that size
   * [[Dedup.DefaultMaxCandidatePairs]]'s headroom at each scale, and the
   * first thing to run against a corpus suspected of degenerate
-  * duplication density. usage: DedupGuardProbe <sfDir...> */
+  * duplication density. Also prints the free tier-1 bounds (Σ df² and
+  * the budgeted hottest-first bound) for the winnow and containment
+  * guards: whether a corpus skips the exact tier-2 accounting at the
+  * default cap is decided by THESE numbers — same helpers as the guards
+  * themselves (shared formula + shared winnow defaults), so the
+  * printout cannot diverge from what the operators compute.
+  * usage: DedupGuardProbe <sfDir...> */
 object DedupGuardProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -21,16 +28,26 @@ object DedupGuardProbe {
     spark.conf.set(Dedup.MaxCandidatePairsConf, "1")
     args.foreach { dir =>
       val docs = graft.sources.Tables.load(spark, dir, "documents")
-      // tier-1 bound for the winnow guard (Σ df² >= Σ np·df): whether a
-      // corpus pays the exact tier-2 accounting at the default cap is
-      // decided by THIS number — print it per corpus. Same helpers as
-      // the guard itself (shared formula + shared winnow defaults), so
-      // this printout cannot diverge from what winnowNearDup computes.
-      val bound = Dedup.tier1Bound(Dedup.winnowDocFreq(docs))
-      println(f"[guardprobe] $dir winnow tier-1 bound (sum df^2) = $bound%.0f")
+      val wdf = Dedup.winnowDocFreq(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(f"[guardprobe] $dir winnow tier-1 bound (sum df(df-1)) = " +
+        f"${Dedup.tier1Bound(wdf)}%.0f")
+      println(f"[guardprobe] $dir winnow tier-1b budgeted bound = " +
+        f"${Dedup.winnowBudgetedBound(docs, wdf, 0.7)}%.0f")
+      wdf.unpersist()
+      val cIdx = PipelineOps.buildContainmentIndex(docs)
+      println(f"[guardprobe] $dir containment tier-1 budgeted bound = " +
+        f"${PipelineOps.containmentBudgetedBound(cIdx, 0.8)}%.0f")
+      cIdx.release()
+      val vecs = docs.select(col("doc_id"),
+        graft.functions.FeatureHash(spark, col("text"), 128).as("v"))
       for ((op, run) <- Seq[(String, () => Unit)](
         "winnowNearDup" -> (() => Dedup.winnowNearDup(docs, 0.7).count(): Unit),
-        "minhashNearDup" -> (() => Dedup.minhashNearDup(docs, 0.7).count(): Unit))) {
+        "minhashNearDup" -> (() => Dedup.minhashNearDup(docs, 0.7).count(): Unit),
+        "srpNearDup" -> (() =>
+          Similarity.srpNearDup(vecs, 0.6, 128).count(): Unit),
+        "containmentPairs" -> (() =>
+          PipelineOps.containmentPairs(docs, 0.8).count(): Unit))) {
         try {
           run()
           println(s"[guardprobe] $dir $op: UNEXPECTED completion at cap=1")

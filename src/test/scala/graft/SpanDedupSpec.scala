@@ -125,6 +125,35 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     built.release(); rebuilt.release()
   }
 
+  test("SpanRemove kernel: merge walk == per-position exists() reference " +
+      "on edge cases (empty, all covered, adjacent, past-end spans)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq.empty[String], Seq.empty[(Int, Int)]),
+      (Seq("a"), Seq((0, 0))),
+      (Seq("a"), Seq.empty[(Int, Int)]),
+      ("a b c d e f".split(" ").toSeq, Seq((0, 1), (3, 4))),
+      ("a b c d e f".split(" ").toSeq, Seq((0, 5))),
+      // span_end = max pos + (w-1) can point past the last token
+      ("a b c d e f".split(" ").toSeq, Seq((4, 9))),
+      ("a b c d e f g h".split(" ").toSeq, Seq((1, 2), (4, 4), (6, 7))))
+    val df = rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+      .toDF("id", "toks", "sp0")
+      .withColumn("sp",
+        expr("transform(sp0, x -> struct(x._1 as s, x._2 as e))"))
+    val out = df.select(col("id"),
+      graft.functions.SpanRemove(spark, col("toks"), col("sp")).as("got"),
+      expr("""CASE WHEN size(toks) = 0 THEN '' ELSE array_join(
+        transform(
+          filter(sequence(0, size(toks) - 1),
+            i -> NOT exists(sp, x -> i >= x.s AND i <= x.e)),
+          i -> element_at(toks, i + 1)), ' ') END""").as("want"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"case ${r.getLong(0)}")
+    }
+  }
+
   test("hashed gram keys agree with exact string keys on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hashed = SpanDedup.spanDedup(d, w = 8, hashGrams = true)
