@@ -1103,6 +1103,12 @@ object Multimodal {
     else if (p.length >= 4 && p(0) == 0x89.toByte && at(1, "PNG")) "png"
     else if (p.length >= 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
     else if (at(0, "BM")) "bmp"
+    // MPEG audio: an ID3v2 tag, or a bare frame sync (11 set bits —
+    // second byte 0xE0..0xFF; no overlap with jpeg's FF D8, and 0xFF
+    // cannot open valid UTF-8 text). The SQL mirror tests the second
+    // hex nibble-pair's first char in ('E','F').
+    else if (at(0, "ID3")) "mp3"
+    else if (p.length >= 2 && p(0) == 0xff.toByte && (p(1) & 0xe0) == 0xe0) "mp3"
     else "none"
   }
 
@@ -1115,11 +1121,16 @@ object Multimodal {
 
   /** Parsed MP4/MOV header metadata: presentation duration in ms (from
     * `mvhd` timescale/duration, integer-exact), number of `trak` boxes,
-    * and the largest track's declared display dimensions (from `tkhd`'s
+    * the largest track's declared display dimensions (from `tkhd`'s
     * 16.16 fixed-point width/height — audio tracks declare 0x0, so the
-    * max picks the video track). */
+    * max picks the video track), and the sample-table totals (from
+    * `stbl`'s `stts`/`stsz` leaves): declared sample (frame) count and
+    * total sample bytes summed across tracks. `nSamples`/`sampleBytes`
+    * are -1 when the file carries no sample table at all (header-only
+    * fragments) — callers surface that as NULL, never as 0. */
   final case class Mp4Meta(
-      durationMs: Long, nTracks: Int, width: Int, height: Int)
+      durationMs: Long, nTracks: Int, width: Int, height: Int,
+      nSamples: Long, sampleBytes: Long)
 
   /** Big-endian u32 at `off` (ISO BMFF sizes/fields), as Long — a
     * hostile size field can exceed Int.MaxValue and must not wrap
@@ -1148,6 +1159,18 @@ object Multimodal {
     * instead of wrapping silently; a zero/missing timescale or a
     * missing mvhd aborts (every real file has one).
     *
+    * Sample-table stats extend the same walk one level deeper
+    * (`trak/mdia/minf/stbl`): `stts` entries are `[u32 sample_count]
+    * [u32 sample_delta]` pairs whose counts sum to the track's declared
+    * frame total, and `stsz` carries either a constant `sample_size`
+    * (bytes = size × count, multiplyExact) or one u32 per sample which
+    * the walk sums — both pure header arithmetic over boxes that are
+    * kilobytes even for hour-long movies. Every entry count is
+    * bounds-checked against its box BEFORE the loop (a hostile
+    * entry_count of 2^32-1 over a 16-byte box aborts, it does not scan
+    * the payload), and all accumulation is addExact/multiplyExact so
+    * absurd declared values abort to None instead of wrapping.
+    *
     * Hostile-input rules, same as [[decodeAviFrames]]: every size field
     * is bounds-checked against its parent before any read (lying or
     * truncated headers abort to None), nesting is capped at
@@ -1166,6 +1189,8 @@ object Multimodal {
       var height = 0
       var sawMvhd = false
       var sawMoov = false
+      var nSamples = -1L
+      var sampleBytes = -1L
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
       // nest a second mvhd inside a trak, and a depth-only match would
@@ -1199,6 +1224,49 @@ object Multimodal {
             case "trak" if parent == "moov" =>
               nTracks += 1
               if (!walk(pos + hdr, pos + size, depth + 1, "trak")) return false
+            // the sample-table spine: exactly the spec nesting, nothing
+            // else — an stts smuggled outside trak/mdia/minf/stbl is
+            // skipped like any unknown box (same parent-binding rule
+            // that blocks the nested-mvhd overwrite)
+            case "mdia" if parent == "trak" =>
+              if (!walk(pos + hdr, pos + size, depth + 1, "mdia")) return false
+            case "minf" if parent == "mdia" =>
+              if (!walk(pos + hdr, pos + size, depth + 1, "minf")) return false
+            case "stbl" if parent == "minf" =>
+              if (!walk(pos + hdr, pos + size, depth + 1, "stbl")) return false
+            case "stts" if parent == "stbl" =>
+              // fullbox (version 0 only per spec) + u32 entry_count +
+              // entry_count × (u32 sample_count, u32 sample_delta)
+              if (dataLen < 8 || (payload(ds) & 0xff) != 0) return false
+              val entries = beU32(payload, ds + 4)
+              if (entries > (dataLen - 8) / 8) return false
+              var acc = 0L
+              var i = 0L
+              while (i < entries) {
+                acc = Math.addExact(acc, beU32(payload, (ds + 8 + i * 8).toInt))
+                i += 1
+              }
+              nSamples = Math.addExact(if (nSamples < 0) 0L else nSamples, acc)
+            case "stsz" if parent == "stbl" =>
+              // fullbox + u32 sample_size + u32 sample_count, then one
+              // u32 per sample only when sample_size == 0 (variable)
+              if (dataLen < 12 || (payload(ds) & 0xff) != 0) return false
+              val fixed = beU32(payload, ds + 4)
+              val count = beU32(payload, ds + 8)
+              val acc =
+                if (fixed != 0L) Math.multiplyExact(fixed, count)
+                else {
+                  if (count > (dataLen - 12) / 4) return false
+                  var a = 0L
+                  var i = 0L
+                  while (i < count) {
+                    a = Math.addExact(a, beU32(payload, (ds + 12 + i * 4).toInt))
+                    i += 1
+                  }
+                  a
+                }
+              sampleBytes = Math.addExact(
+                if (sampleBytes < 0) 0L else sampleBytes, acc)
             case "mvhd" if parent == "moov" =>
               if (dataLen < 4) return false
               val version = payload(ds) & 0xff
@@ -1234,8 +1302,181 @@ object Multimodal {
       if (!walk(0, payload.length.toLong, 0, "")) return None
       if (!sawMvhd || timescale <= 0) return None
       val durMs = Math.multiplyExact(duration, 1000L) / timescale
-      Some(Mp4Meta(durMs, nTracks, width, height))
+      Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes))
     } catch { case _: Exception => None }
+  }
+
+  /** Parsed MPEG-audio (MP3) stream metadata from a frame-header walk:
+    * frame count, the stream's constant sample rate, integer-exact
+    * duration in ms (total samples × 1000 / rate), mean bitrate in bps
+    * (total frame bits × rate / total samples — exact integer
+    * arithmetic, no float), and whether the declared per-frame bitrate
+    * varies (VBR). */
+  final case class Mp3Meta(
+      nFrames: Long, sampleRate: Int, durationMs: Long,
+      bitrateBps: Long, vbr: Boolean)
+
+  // MPEG audio bitrate tables, kbps, indexed 1..14 (index 0 = "free"
+  // format whose frames cannot be sized from the header alone — refused;
+  // index 15 is invalid per spec). Public constants from ISO 11172-3 /
+  // 13818-3, same tables every decoder ships.
+  private val Mp3BitrateKbps: Map[(Int, Int), Array[Int]] = {
+    val v1l1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val v1l2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val v2l1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val v2l23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    // keys: (versionBits, layer) with layer 1/2/3; MPEG2 (2) and
+    // MPEG2.5 (0) share tables
+    Map((3, 1) -> v1l1, (3, 2) -> v1l2, (3, 3) -> v1l3,
+      (2, 1) -> v2l1, (2, 2) -> v2l23, (2, 3) -> v2l23,
+      (0, 1) -> v2l1, (0, 2) -> v2l23, (0, 3) -> v2l23)
+  }
+
+  private val Mp3SampleRate: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000)) // MPEG2.5
+
+  /** REAL audio METADATA from MPEG-audio (MP3) streams — a frame-header
+    * walk, zero decode: each frame opens with a 4-byte header (11 sync
+    * bits, version, layer, bitrate index, sample-rate index, padding
+    * bit) that fully determines the frame's byte length and sample
+    * count, so duration and mean bitrate are pure header arithmetic
+    * over the whole stream, exactly like the ISO BMFF walk
+    * ([[decodeMp4Meta]]). A leading ID3v2 tag is skipped by its
+    * synchsafe declared size; a trailing 128-byte ID3v1 `TAG` block is
+    * tolerated at exactly end-of-stream.
+    *
+    * Hostile-input rules, same as every walk here: reserved
+    * version/layer bits, bitrate index 0 ("free" — unsizable) or 15,
+    * reserved sample-rate index, a frame length past end-of-payload, a
+    * mid-stream sample-rate change, and non-synchsafe ID3 sizes all
+    * abort to None without a throw; a trailing fragment smaller than
+    * one header (4 bytes) is ignored, the RIFF-walk lenience. All
+    * accumulation is exact integer math. */
+  def decodeMp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    if (sniffContainer(payload) != "mp3") return None
+    try {
+      var pos = 0
+      // ID3v2: "ID3" + 2 version bytes + flags + 4 synchsafe size bytes
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+          payload(2) == '3') {
+        var size = 0L
+        var i = 0
+        while (i < 4) {
+          val b = payload(6 + i) & 0xff
+          if (b >= 0x80) return None // synchsafe bytes keep the top bit clear
+          size = (size << 7) | b
+          i += 1
+        }
+        val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+        val skip = 10L + size + footer
+        if (skip > payload.length) return None
+        pos = skip.toInt
+      }
+      var nFrames = 0L
+      var sampleRate = 0
+      var totalSamples = 0L
+      var totalBytes = 0L
+      var firstKbps = -1
+      var vbr = false
+      while (pos + 4 <= payload.length) {
+        // exactly-placed trailing ID3v1 tag: 128 bytes of "TAG"
+        if (payload.length - pos == 128 && payload(pos) == 'T' &&
+            payload(pos + 1) == 'A' && payload(pos + 2) == 'G' &&
+            nFrames > 0) {
+          pos = payload.length
+        } else {
+          val b1 = payload(pos) & 0xff
+          val b2 = payload(pos + 1) & 0xff
+          val b3 = payload(pos + 2) & 0xff
+          if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+          val verBits = (b2 >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+          val layerBits = (b2 >> 1) & 3 // 1=Layer III, 2=II, 3=I, 0=reserved
+          if (verBits == 1 || layerBits == 0) return None
+          val layer = 4 - layerBits // 1/2/3
+          val brIdx = (b3 >> 4) & 0xf
+          val srIdx = (b3 >> 2) & 3
+          if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+          val kbps = Mp3BitrateKbps((verBits, layer))(brIdx)
+          val sr = Mp3SampleRate(verBits)(srIdx)
+          if (sampleRate == 0) sampleRate = sr
+          else if (sr != sampleRate) return None // real streams are constant-rate
+          val padding = (b3 >> 1) & 1
+          // samples per frame: Layer I 384; Layer II 1152; Layer III
+          // 1152 (MPEG1) / 576 (MPEG2/2.5)
+          val spf =
+            if (layer == 1) 384
+            else if (layer == 2) 1152
+            else if (verBits == 3) 1152 else 576
+          // frame length, floor division per spec: Layer I counts in
+          // 4-byte slots, II/III in bytes (spf/8 × bps / rate)
+          val frameLen =
+            if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
+            else spf / 8 * kbps * 1000 / sr + padding
+          if (frameLen < 4 || pos + frameLen > payload.length) return None
+          if (firstKbps < 0) firstKbps = kbps
+          else if (kbps != firstKbps) vbr = true
+          nFrames += 1
+          totalSamples = Math.addExact(totalSamples, spf.toLong)
+          totalBytes = Math.addExact(totalBytes, frameLen.toLong)
+          pos += frameLen
+        }
+      }
+      if (nFrames == 0L || sampleRate <= 0) return None
+      val durMs = Math.multiplyExact(totalSamples, 1000L) / sampleRate
+      val bps = Math.multiplyExact(totalBytes, 8L * sampleRate) / totalSamples
+      Some(Mp3Meta(nFrames, sampleRate, durMs, bps, vbr))
+    } catch { case _: Exception => None }
+  }
+
+  private val audioMetaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("bitrate_bps", LongType, nullable = true),
+    StructField("vbr", BooleanType, nullable = true)))
+
+  /** Per-payload audio-container metadata — the audio sibling of
+    * [[containerMeta]], same partition-parallel plumbing: the
+    * `container` column is the shared magic sniff (oracle-replayed from
+    * hex(payload)); payloads that parse as MPEG audio carry REAL
+    * frame-walk facts ([[decodeMp3Meta]]) and payloads that decode as
+    * PCM WAV carry the real header facts (frame count, duration from
+    * rate, declared PCM bitrate = rate × frame size × 8; vbr false —
+    * PCM is constant-rate by construction). Everything else carries
+    * nulls. On this corpus prose never parses (0xFF cannot open UTF-8
+    * text and an 'ID3'-prefixed document still needs a valid frame sync
+    * after the declared tag; a 'RIFF…WAVE' prefix without a real fmt/
+    * data chunk fails the PCM reader), so the oracle's NULLs are exact
+    * — same argument as q_mm_video_meta's, verified by prefix census
+    * across sf0.001–0.1 and x10. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val kind = sniffContainer(payload)
+        decodeMp3Meta(payload) match {
+          case Some(m) =>
+            Row(id, kind, m.durationMs, m.nFrames, m.bitrateBps, m.vbr)
+          case None =>
+            decodeWavPcm(payload) match {
+              case Some(pcm) if pcm.sampleRate > 0 =>
+                Row(id, kind,
+                  pcm.nFrames.toLong * 1000L / pcm.sampleRate,
+                  pcm.nFrames.toLong,
+                  pcm.sampleRate.toLong * pcm.frameSize * 8L,
+                  false)
+              case _ => Row(id, kind, null, null, null, null)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioMetaSchema)
   }
 
   private val containerMetaSchema = StructType(Seq(
@@ -1244,7 +1485,10 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("n_tracks", LongType, nullable = true),
     StructField("width", LongType, nullable = true),
-    StructField("height", LongType, nullable = true)))
+    StructField("height", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("sample_bytes", LongType, nullable = true),
+    StructField("bitrate_bps", LongType, nullable = true)))
 
   /** Per-payload container metadata: the magic-number `container` column
     * ([[sniffContainer]] — oracle-replayed from hex(payload)) plus REAL
@@ -1263,9 +1507,18 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val kind = sniffContainer(payload)
         decodeMp4Meta(payload) match {
-          case Some(m) => Row(id, kind, m.durationMs, m.nTracks.toLong,
-            m.width.toLong, m.height.toLong)
-          case None => Row(id, kind, null, null, null, null)
+          case Some(m) =>
+            // -1 = no sample table present → NULL, not 0; mean declared
+            // bitrate needs both total bytes and a positive duration
+            val ns = if (m.nSamples >= 0) java.lang.Long.valueOf(m.nSamples) else null
+            val sb = if (m.sampleBytes >= 0) java.lang.Long.valueOf(m.sampleBytes) else null
+            val br =
+              if (m.sampleBytes >= 0 && m.durationMs > 0)
+                java.lang.Long.valueOf(m.sampleBytes * 8L * 1000L / m.durationMs)
+              else null
+            Row(id, kind, m.durationMs, m.nTracks.toLong,
+              m.width.toLong, m.height.toLong, ns, sb, br)
+          case None => Row(id, kind, null, null, null, null, null, null, null)
         }
       }
     }

@@ -121,6 +121,30 @@ object Text {
                     AS st
                 FROM d${i - 1})"""
 
+  /** The container-sniff CASE chain over hex(payload) — the SQL mirror
+    * of `Multimodal.sniffContainer`, shared verbatim by the
+    * q_mm_video_meta and q_mm_audio_meta oracles so the two cannot
+    * drift. Same prefixes, same precedence: ftyp@4, RIFF families, GIF,
+    * PNG, JPEG, BMP, then MPEG audio (an ID3v2 tag, or a bare frame
+    * sync FF Ex/Fx — no overlap with jpeg's FF D8). */
+  private val sniffCaseSql = """
+               CASE
+                 WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+                 WHEN substr(hx, 1, 8) = '52494646'
+                      AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+                 WHEN substr(hx, 1, 12) = '474946383761'
+                      OR substr(hx, 1, 12) = '474946383961' THEN 'gif'
+                 WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+                 WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+                 WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+                 WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+                 WHEN substr(hx, 1, 2) = 'FF'
+                      AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
+                 ELSE 'none'
+               END AS container"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup ------------------------------------------------------
@@ -696,28 +720,42 @@ object Text {
     // contain a parseable moov/mvhd, so the oracle's NULLs are exact.
     QueryDef(
       "q_mm_video_meta",
-      Some("""
+      Some(s"""
         WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
-        SELECT doc_id,
-               CASE
-                 WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
-                 WHEN substr(hx, 1, 8) = '52494646'
-                      AND substr(hx, 17, 8) = '41564920' THEN 'avi'
-                 WHEN substr(hx, 1, 8) = '52494646'
-                      AND substr(hx, 17, 8) = '57415645' THEN 'wav'
-                 WHEN substr(hx, 1, 12) = '474946383761'
-                      OR substr(hx, 1, 12) = '474946383961' THEN 'gif'
-                 WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
-                 WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
-                 WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
-                 ELSE 'none'
-               END AS container,
+        SELECT doc_id,$sniffCaseSql,
                CAST(NULL AS BIGINT) AS duration_ms,
                CAST(NULL AS BIGINT) AS n_tracks,
                CAST(NULL AS BIGINT) AS width,
-               CAST(NULL AS BIGINT) AS height
+               CAST(NULL AS BIGINT) AS height,
+               CAST(NULL AS BIGINT) AS n_samples,
+               CAST(NULL AS BIGINT) AS sample_bytes,
+               CAST(NULL AS BIGINT) AS bitrate_bps
         FROM b"""),
       (s, dir) => Multimodal.containerMeta(
+        Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
+
+    // ---- audio container metadata (REAL MP3 frame-header walk) ------------
+    // The audio sibling of q_mm_video_meta: same shared sniff CASE
+    // (oracle-replayed from hex(payload) — the mp3 rows fire for 'ID3'
+    // prefixes and bare FF Ex/Fx frame syncs), real MPEG-audio
+    // frame-walk facts (frame count, duration, mean bitrate, VBR flag)
+    // for payloads that parse, real PCM header facts for WAVs. On this
+    // corpus no payload parses (0xFF cannot open UTF-8 prose; an 'ID3'
+    // text prefix still needs a valid frame sync after the declared
+    // synchsafe tag length), so the oracle's NULLs are exact — the real
+    // path is spec-pinned in MultimodalMp3Spec on byte-assembled
+    // frames, the q_mm_audio pattern.
+    QueryDef(
+      "q_mm_audio_meta",
+      Some(s"""
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        SELECT doc_id,$sniffCaseSql,
+               CAST(NULL AS BIGINT) AS duration_ms,
+               CAST(NULL AS BIGINT) AS n_frames,
+               CAST(NULL AS BIGINT) AS bitrate_bps,
+               CAST(NULL AS BOOLEAN) AS vbr
+        FROM b"""),
+      (s, dir) => Multimodal.audioMeta(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
 
     // ---- winnowing fingerprints (MOSS), md5-portable, full oracle ---------

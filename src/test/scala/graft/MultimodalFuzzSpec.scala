@@ -67,6 +67,7 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeGifFrames(payload)
     Multimodal.decodeAviFrames(payload)
     Multimodal.decodeMp4Meta(payload)
+    Multimodal.decodeMp3Meta(payload)
     Multimodal.sniffContainer(payload)
     Multimodal.decodeStub(payload)
     ()
@@ -76,7 +77,14 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     g.apply(Gen.Parameters.default, Seed(seed)).get
 
   test("random and mutated bytes never throw from any decoder") {
-    val bases = Seq(png(5, 4), bmp(6, 3), gif(4, 4), wav(64))
+    // a small real MP3 stream (3 CBR MPEG1 Layer-III frames) joins the
+    // mutation bases so the frame walk sees corrupted headers too
+    val mp3 = Array.concat(Seq.fill(3) {
+      val f = Array.fill[Byte](417)(0x11)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
+      f
+    }: _*)
+    val bases = Seq(png(5, 4), bmp(6, 3), gif(4, 4), wav(64), mp3)
     val genRandom = Gen.choose(0, 512).flatMap(n =>
       Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte)))
     (1L to 40L).foreach { s =>

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Multimodal
+
+/** Pins the REAL MPEG-audio metadata path: MP3 frames assembled here
+  * byte by byte per the public header layout (11 sync bits, version /
+  * layer / bitrate-index / sample-rate-index / padding fields, the ISO
+  * 11172-3 bitrate and sample-rate tables, Layer-specific frame sizing)
+  * must come back from [[Multimodal.decodeMp3Meta]] with exact integer
+  * durations and mean bitrates, and hostile streams — free-format or
+  * invalid bitrate indices, reserved version/layer/sample-rate bits,
+  * truncated frames, mid-stream rate changes, lying ID3 sizes — must be
+  * refused without a throw. [[Multimodal.audioMeta]] must route parsed
+  * MP3s and PCM WAVs into the real columns and everything else to NULL.
+  */
+class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
+
+  /** One frame: 4-byte header + junk body out to the length the header
+    * declares. b1/b2 are the second and third header bytes (the first
+    * is always 0xFF sync, the fourth carries channel mode the walk
+    * ignores). */
+  private def frame(b1: Int, b2: Int, frameLen: Int): Array[Byte] = {
+    val a = Array.fill[Byte](frameLen)(0x11)
+    a(0) = 0xff.toByte; a(1) = b1.toByte; a(2) = b2.toByte; a(3) = 0x00
+    a
+  }
+
+  // MPEG1 Layer III, 44100 Hz: b1 = sync|ver3|layer1|noCRC = FB;
+  // 128 kbps = brIdx 9 -> b2 90 (417 bytes), padded 92 (418),
+  // 160 kbps = brIdx 10 -> b2 A0 (522 bytes)
+  private def v1l3_128(pad: Boolean = false): Array[Byte] =
+    if (pad) frame(0xfb, 0x92, 418) else frame(0xfb, 0x90, 417)
+  private def v1l3_160: Array[Byte] = frame(0xfb, 0xa0, 522)
+
+  /** ID3v2 header + `tagBytes` of tag body (+ footer when flagged). */
+  private def id3v2(tagBytes: Int, footer: Boolean = false): Array[Byte] =
+    Array[Byte]('I', 'D', '3', 3, 0, if (footer) 0x10 else 0,
+      ((tagBytes >> 21) & 0x7f).toByte, ((tagBytes >> 14) & 0x7f).toByte,
+      ((tagBytes >> 7) & 0x7f).toByte, (tagBytes & 0x7f).toByte) ++
+      Array.fill[Byte](tagBytes + (if (footer) 10 else 0))(0x22)
+
+  test("decodeMp3Meta: CBR MPEG1 Layer III — exact frame count, duration, " +
+      "mean bitrate") {
+    val mp3 = Array.concat(Seq.fill(10)(v1l3_128()): _*)
+    val m = Multimodal.decodeMp3Meta(mp3).get
+    assert(m.nFrames === 10L)
+    assert(m.sampleRate === 44100)
+    // 10 x 1152 samples -> 11520000/44100 ms; 4170 bytes -> mean bps =
+    // 4170*8*44100/11520, both floor-exact
+    assert(m.durationMs === 261L)
+    assert(m.bitrateBps === 127706L)
+    assert(!m.vbr)
+  }
+
+  test("decodeMp3Meta: padding bit lengthens the frame by one byte; " +
+      "mixed bitrates flag VBR") {
+    val padded = Array.concat(v1l3_128(), v1l3_128(pad = true), v1l3_128())
+    val mPad = Multimodal.decodeMp3Meta(padded).get
+    assert(mPad.nFrames === 3L && !mPad.vbr)
+    val vbr = Array.concat(v1l3_128(), v1l3_160, v1l3_128())
+    val mVbr = Multimodal.decodeMp3Meta(vbr).get
+    assert(mVbr.nFrames === 3L && mVbr.vbr)
+    // 1356 bytes, 3456 samples: 1356*8*44100/3456 (exact)
+    assert(mVbr.bitrateBps === 138425L)
+  }
+
+  test("decodeMp3Meta: MPEG2 Layer III (576 samples/frame) and MPEG1 " +
+      "Layer I (384, 4-byte slots) size and time by their own tables") {
+    // MPEG2 L3: ver bits 2, 64 kbps (brIdx 8), 24000 Hz (srIdx 1) ->
+    // 72*64000/24000 = 192 bytes, 576 samples per frame
+    val v2 = Array.concat(Seq.fill(5)(frame(0xf3, 0x84, 192)): _*)
+    val m2 = Multimodal.decodeMp3Meta(v2).get
+    assert(m2.nFrames === 5L && m2.sampleRate === 24000)
+    assert(m2.durationMs === 2880L * 1000 / 24000)
+    assert(m2.bitrateBps === 960L * 8 * 24000 / 2880)
+    // MPEG1 L1: layer bits 3, 32 kbps (brIdx 1), 32000 Hz (srIdx 2) ->
+    // (12*32000/32000)*4 = 48 bytes, 384 samples per frame
+    val l1 = Array.concat(Seq.fill(4)(frame(0xff, 0x18, 48)): _*)
+    val m1 = Multimodal.decodeMp3Meta(l1).get
+    assert(m1.nFrames === 4L && m1.sampleRate === 32000)
+    assert(m1.durationMs === 1536L * 1000 / 32000)
+  }
+
+  test("decodeMp3Meta: ID3v2 tags skip by synchsafe size (footer " +
+      "included); a trailing ID3v1 block is tolerated at exactly EOF") {
+    val frames = Array.concat(Seq.fill(3)(v1l3_128()): _*)
+    assert(Multimodal.decodeMp3Meta(id3v2(200) ++ frames).get.nFrames === 3L)
+    assert(Multimodal.decodeMp3Meta(
+      id3v2(200, footer = true) ++ frames).get.nFrames === 3L)
+    val id3v1 = fccTag()
+    assert(Multimodal.decodeMp3Meta(frames ++ id3v1).get.nFrames === 3L)
+    // sub-header trailing fragments are ignored, the RIFF-walk lenience
+    assert(Multimodal.decodeMp3Meta(
+      frames ++ Array[Byte](1, 2, 3)).get.nFrames === 3L)
+    // but an ID3v1 block NOT at exactly EOF is a broken stream
+    assert(Multimodal.decodeMp3Meta(
+      frames ++ id3v1 ++ Array[Byte](0)).isEmpty)
+  }
+
+  private def fccTag(): Array[Byte] = {
+    val t = Array.fill[Byte](128)(0x20)
+    t(0) = 'T'; t(1) = 'A'; t(2) = 'G'
+    t
+  }
+
+  test("decodeMp3Meta: hostile streams are refused without a throw") {
+    // free-format (brIdx 0) cannot be sized from the header
+    assert(Multimodal.decodeMp3Meta(frame(0xfb, 0x00, 417)).isEmpty)
+    // invalid bitrate index 15, reserved sample-rate index 3
+    assert(Multimodal.decodeMp3Meta(frame(0xfb, 0xf0, 417)).isEmpty)
+    assert(Multimodal.decodeMp3Meta(frame(0xfb, 0x9c, 417)).isEmpty)
+    // reserved version (bits 01) and reserved layer (bits 00)
+    assert(Multimodal.decodeMp3Meta(frame(0xeb, 0x90, 417)).isEmpty)
+    assert(Multimodal.decodeMp3Meta(frame(0xf9, 0x90, 417)).isEmpty)
+    // truncated final frame
+    assert(Multimodal.decodeMp3Meta(
+      (v1l3_128() ++ v1l3_128()).dropRight(10)).isEmpty)
+    // mid-stream sample-rate change (44100 -> 48000, brIdx 9: 417/383)
+    assert(Multimodal.decodeMp3Meta(
+      v1l3_128() ++ frame(0xfb, 0x94, 384)).isEmpty)
+    // ID3 with a non-synchsafe size byte, and ID3 with no frames at all
+    val badSize = id3v2(10)
+    badSize(6) = 0x80.toByte
+    assert(Multimodal.decodeMp3Meta(badSize ++ v1l3_128()).isEmpty)
+    assert(Multimodal.decodeMp3Meta(
+      "ID3 but just prose after it".getBytes("UTF-8")).isEmpty)
+    // a WAV payload never enters the walk (sniff routes it away)
+    assert(Multimodal.decodeMp3Meta(wav(64)).isEmpty)
+  }
+
+  private def wav(nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = Array.tabulate[Byte](nFrames * 2)(i => (i * 7).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioMeta: parsed MP3s carry frame-walk facts, PCM WAVs carry " +
+      "header facts, everything else carries nulls with its family") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array.concat(Seq.fill(10)(v1l3_128()): _*)),
+      (2L, wav(800)),
+      (3L, "just prose".getBytes("UTF-8")),
+      (4L, "ID3 but prose".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = Multimodal.audioMeta(media.repartition(2)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) === "mp3")
+    assert(rows(1L).getLong(2) === 261L && rows(1L).getLong(3) === 10L)
+    assert(rows(1L).getLong(4) === 127706L && !rows(1L).getBoolean(5))
+    // WAV: 800 frames at 8000 Hz mono 16-bit -> 100 ms, PCM 128000 bps
+    assert(rows(2L).getString(1) === "wav")
+    assert(rows(2L).getLong(2) === 100L && rows(2L).getLong(3) === 800L)
+    assert(rows(2L).getLong(4) === 128000L && !rows(2L).getBoolean(5))
+    assert(rows(3L).getString(1) === "none")
+    assert((2 to 5).forall(rows(3L).isNullAt))
+    // sniffs mp3 (ID3 magic) but the walk refuses: family kept, nulls
+    assert(rows(4L).getString(1) === "mp3")
+    assert((2 to 5).forall(rows(4L).isNullAt))
+  }
+}

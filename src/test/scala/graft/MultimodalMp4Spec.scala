@@ -54,11 +54,34 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
 
   private val ftyp = box("ftyp", fcc("isom") ++ be32(512) ++ fcc("isomiso2"))
 
-  // timescale 600, duration 3000 -> 5000 ms; video 640x360 + audio 0x0
+  /** stts: fullbox v0 + entry_count + (sample_count, sample_delta) pairs. */
+  private def stts(entries: (Long, Long)*): Array[Byte] =
+    box("stts", Array[Byte](0, 0, 0, 0) ++ be32(entries.length.toLong) ++
+      entries.flatMap { case (c, d) => be32(c) ++ be32(d) }.toArray)
+
+  /** stsz with a constant sample_size (no per-sample table follows). */
+  private def stszFixed(size: Long, count: Long): Array[Byte] =
+    box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(size) ++ be32(count))
+
+  /** stsz with sample_size 0 and one u32 per sample. */
+  private def stszVar(sizes: Long*): Array[Byte] =
+    box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+      be32(sizes.length.toLong) ++ sizes.flatMap(be32(_)).toArray)
+
+  /** The spec nesting a sample table lives under: trak/mdia/minf/stbl. */
+  private def mediaChain(stblLeaves: Array[Byte]): Array[Byte] =
+    box("mdia", box("minf", box("stbl", stblLeaves)))
+
+  // timescale 600, duration 3000 -> 5000 ms; video 640x360 (3 samples
+  // via per-sample stsz = 6000 bytes) + audio 0x0 (4 samples via
+  // fixed-size stsz = 400 bytes)
   private lazy val moovV0: Array[Byte] =
     box("moov", mvhdV0(600, 3000) ++
-      box("trak", tkhdV0(640, 360)) ++
-      box("trak", tkhdV0(0, 0)))
+      box("trak", tkhdV0(640, 360) ++
+        mediaChain(stts((2L, 512L), (1L, 256L)) ++
+          stszVar(1000L, 2000L, 3000L))) ++
+      box("trak", tkhdV0(0, 0) ++
+        mediaChain(stts((4L, 441L)) ++ stszFixed(100L, 4L))))
   private lazy val mp4V0: Array[Byte] =
     ftyp ++ moovV0 ++ box("mdat", Array.fill[Byte](32)(0x55))
 
@@ -67,6 +90,40 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(m.durationMs === 5000L)
     assert(m.nTracks === 2)
     assert(m.width === 640 && m.height === 360)
+    // sample tables summed across both traks: (2+1) + 4 samples,
+    // (1000+2000+3000) variable + 100x4 fixed bytes
+    assert(m.nSamples === 7L)
+    assert(m.sampleBytes === 6400L)
+  }
+
+  test("decodeMp4Meta: a file with no sample table reports -1, not 0") {
+    val bare = ftyp ++ box("moov", mvhdV0(600, 3000) ++ box("trak", tkhdV0(320, 240)))
+    val m = Multimodal.decodeMp4Meta(bare).get
+    assert(m.nSamples === -1L && m.sampleBytes === -1L)
+  }
+
+  test("decodeMp4Meta: hostile sample tables are refused without a scan " +
+      "or a wrap") {
+    def mp4With(stbl: Array[Byte]): Array[Byte] =
+      ftyp ++ box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(64, 64) ++ mediaChain(stbl)))
+    // entry_count lying past the box: must abort BEFORE looping
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stts", Array[Byte](0, 0, 0, 0) ++ be32(0xffffffffL)))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stsz", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0xffffffffL)))).isEmpty)
+    // fixed-size stsz whose size x count overflows Long: multiplyExact aborts
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      stszFixed(0xffffffffL, 0xffffffffL))).isEmpty)
+    // nonzero version bytes are refused (spec defines only version 0)
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stts", Array[Byte](1, 0, 0, 0) ++ be32(0)))).isEmpty)
+    // an stts smuggled outside the stbl spine is ignored, not summed
+    val smuggled = ftyp ++ box("moov", mvhdV0(600, 3000) ++
+      box("trak", tkhdV0(64, 64) ++ stts((99L, 1L)) ++
+        mediaChain(stts((2L, 1L)) ++ stszFixed(10L, 2L))))
+    val m = Multimodal.decodeMp4Meta(smuggled).get
+    assert(m.nSamples === 2L && m.sampleBytes === 20L)
   }
 
   test("decodeMp4Meta: v1 mvhd/tkhd (64-bit times) parse at their own offsets") {
@@ -171,6 +228,14 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.sniffContainer(
       Array(0xff.toByte, 0xd8.toByte)) === "jpeg")
     assert(Multimodal.sniffContainer(fcc("BMxx")) === "bmp")
+    assert(Multimodal.sniffContainer(fcc("ID3") ++ Array[Byte](4, 0, 0)) === "mp3")
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0xfb.toByte, 0x90.toByte)) === "mp3")
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0xe2.toByte)) === "mp3")
+    // FF with the sync bits NOT all set is no container at all
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0x7f.toByte)) === "none")
     assert(Multimodal.sniffContainer("plain text".getBytes) === "none")
     assert(Multimodal.sniffContainer(Array.emptyByteArray) === "none")
     // precedence: ftyp at 4 wins even when byte 0 collides with another
@@ -190,9 +255,19 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(rows(1L).getString(1) === "mp4")
     assert(rows(1L).getLong(2) === 5000L && rows(1L).getLong(3) === 2L)
     assert(rows(1L).getLong(4) === 640L && rows(1L).getLong(5) === 360L)
+    // sample-table columns: 7 samples, 6400 bytes, 6400*8*1000/5000 bps
+    assert(rows(1L).getLong(6) === 7L)
+    assert(rows(1L).getLong(7) === 6400L)
+    assert(rows(1L).getLong(8) === 10240L)
     assert(rows(2L).getString(1) === "mp4")
     assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
     assert(rows(3L).getString(1) === "none")
-    assert((2 to 5).forall(rows(3L).isNullAt))
+    assert((2 to 8).forall(rows(3L).isNullAt))
+    // a parsed MP4 without any stbl carries NULL sample columns, not 0
+    val bare = ftyp ++ box("moov", mvhdV0(600, 3000) ++ box("trak", tkhdV0(320, 240)))
+    val r = Multimodal.containerMeta(Seq((9L, bare)).toDF("doc_id", "payload"))
+      .collect().head
+    assert(r.getLong(2) === 5000L)
+    assert((6 to 8).forall(r.isNullAt))
   }
 }
