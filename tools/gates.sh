@@ -75,7 +75,8 @@ run graft.tools.AsOfScaleGate "$SF01" "$X10"
 # /dev/null, leaving a failing run with no diagnostics).
 SRP_OUT=$(mktemp -d /tmp/graft_srp_gate.XXXXXX)
 SRP_LOG=$(mktemp /tmp/graft_srp_gate_log.XXXXXX)
-trap 'rm -rf "$SRP_OUT" "$SRP_LOG"' EXIT  # cleaned on failing paths too (set -e)
+X10_OUT=$(mktemp -d /tmp/graft_x10_sweep.XXXXXX)
+trap 'rm -rf "$SRP_OUT" "$SRP_LOG" "$X10_OUT"' EXIT  # cleaned on failing paths too (set -e)
 SPARK_GRAFT_QUERIES=q_hash_embed_neardup,q_semdedup \
   sbt -batch "runMain graft.Verify $SF001 $SRP_OUT" >"$SRP_LOG" 2>&1 \
   || { echo "gates.sh: Verify for srp_brute_check failed; last output:" >&2
@@ -90,3 +91,15 @@ SPARK_GRAFT_QUERIES=q_hash_embed_neardup \
   || { echo "gates.sh: x10 Verify for srp_brute_check failed; last output:" >&2
        tail -20 "$SRP_LOG" >&2; exit 1; }
 python3 tools/srp_brute_check.py "$X10" "$SRP_OUT" --sample 50
+# Full x10 oracle sweep from a FRESH Verify dump (round-17 item 7):
+# previously the sweep required a hand-run dump at x10, so "gates on
+# this sha" could silently omit it. Folding the dump in makes the
+# battery self-contained — one invocation re-stamps every gate AND the
+# full registry's x10 parity. ~15 min: a full Verify at x10 plus one
+# DuckDB replay per oracle (600 s budget each, like round 15+).
+echo "[sweep] dumping full registry at x10 for the oracle sweep..."
+SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+  sbt -batch "runMain graft.Verify $X10 $X10_OUT" >"$SRP_LOG" 2>&1 \
+  || { echo "gates.sh: full x10 Verify for the oracle sweep failed; last output:" >&2
+       tail -20 "$SRP_LOG" >&2; exit 1; }
+python3 tools/sweep_x10.py "$X10" "$X10_OUT" 600
