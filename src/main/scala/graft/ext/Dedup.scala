@@ -75,10 +75,24 @@ object Dedup {
     * comment above is calibrated from the probe's printout, so the two
     * sites must never diverge. */
   private[graft] def tier1Bound(dfCounts: DataFrame): Double =
-    dfCounts
-      .agg(coalesce(sum(col("df").cast("double") * (col("df") - 1)),
-        lit(0.0)))
-      .head.getDouble(0)
+    tier1FromHist(dfHistogram(dfCounts))
+
+  /** The (df value, count) histogram of a document-frequency aggregate,
+    * collected once: a few hundred driver rows (distinct df VALUES, not
+    * fingerprints) that feed BOTH free bounds. One Spark job where the
+    * former tier-1 + tier-1b chain ran three (the tier-1 sum, the
+    * budgeted bound's own histogram, and [[winnowNearDup]]'s second df
+    * shuffle for it) — measured +2-3 s/leg at x10, pure overhead since
+    * every number below is derivable from this one aggregate. */
+  private[graft] def dfHistogram(dfCounts: DataFrame): Array[(Long, Long)] =
+    dfCounts.groupBy("df").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+
+  /** Σ df·(df-1) from the collected histogram (tier-1, driver-side). */
+  private[graft] def tier1FromHist(hist: Array[(Long, Long)]): Double =
+    hist.foldLeft(0.0) { case (a, (v, cnt)) =>
+      a + v.toDouble * (v - 1) * cnt
+    }
 
   /** Second free bound for Σ np·(df-1) given the prefix-mass budget
     * P = Σ_doc prefixLen_doc: the true np(f) (how many docs carry f in
@@ -98,9 +112,14 @@ object Dedup {
     * the exact accounting can know that; the x10 winnow rows therefore
     * keep paying the tier-2 job as priced insurance). The histogram is a tiny aggregate (distinct df
     * values, not fingerprints) collected to the driver. */
-  private[graft] def budgetedBound(dfCounts: DataFrame, budget: Double): Double = {
-    val hist = dfCounts.groupBy("df").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+  private[graft] def budgetedBound(dfCounts: DataFrame, budget: Double): Double =
+    budgetedBoundFromHist(dfHistogram(dfCounts), budget)
+
+  /** The v-descending greedy fill from an already-collected histogram —
+    * shares [[dfHistogram]]'s single job with [[tier1FromHist]] inside
+    * the operator guards. */
+  private[graft] def budgetedBoundFromHist(
+      hist: Array[(Long, Long)], budget: Double): Double = {
     var remaining = budget
     var bound = 0.0
     hist.foreach { case (v, cnt) =>
@@ -704,7 +723,18 @@ object Dedup {
     val spark = docs.sparkSession
     val fp = winnowFp(docs, k, w, rolling)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = candidatePairCap(spark)
+    // with the guard on, the df aggregate is consumed twice — the
+    // histogram job first, then the sets join — and it is the widest
+    // shuffle this side of the candidate join (measured +2.4 s/leg at
+    // x10 when recomputed); persist so the guard's consumer pays the
+    // shuffle once and the join reads cache. Guard off = single
+    // consumer = no cache (the join pipelines it as before).
     val df = docFreq(fp)
+    if (cap > 0) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ()
+    }
     // ONE doc_id aggregation builds everything per doc: the fingerprint
     // array in rarest-first (global df asc, fp asc) order for prefix
     // slicing, the numerically sorted array for two-pointer
@@ -754,10 +784,15 @@ object Dedup {
       // accounting, never a spurious abort, so the default cap stays
       // at the volume that is actually dangerous instead of being
       // inflated to whatever the bound reads on a legitimate corpus.
-      val cap = candidatePairCap(docs.sparkSession)
       if (cap > 0) {
-        if (tier1Bound(df) > cap.toDouble &&
-            budgetedBound(df, prefixBudget(fp, threshold)) > cap.toDouble) {
+        // ONE df-histogram job feeds both free bounds driver-side (the
+        // former chain ran tier 1, the budget and the budgeted bound's
+        // histogram as three separate shuffled aggregations); the
+        // prefix-mass budget is only computed once tier 1 has tripped
+        val hist = dfHistogram(df)
+        if (tier1FromHist(hist) > cap.toDouble &&
+            budgetedBoundFromHist(hist,
+              prefixBudget(fp, threshold)) > cap.toDouble) {
           val total = sets.agg(coalesce(sum("pvol"), lit(0L))).head.getLong(0)
           enforceCandidateCap("winnowNearDup", total, cap,
             sets.select(explode(expr(s"slice(rare_first, 1, $prefixLen)"))
@@ -794,6 +829,7 @@ object Dedup {
     } finally {
       fp.unpersist()
       sets.unpersist()
+      if (cap > 0) { df.unpersist(); () }
     }
   }
 
