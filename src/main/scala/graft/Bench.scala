@@ -336,11 +336,6 @@ object Bench {
       s""""calib_cpu_sec":${j(calibCpuSec)},""" +
       s""""calib_shuffle_sec":${j(calibShuffleSec)}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$host}""")
-    // Repeat a compact total as the LAST line: the full line above is the
-    // per-query record, but log-capture that keeps only a bounded tail
-    // (the driver's BENCH_r*.json `tail` field truncated it in r11) must
-    // still see a machine-readable total (and the host-load fields).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$host}""")
     // Third bounded line: the driver's BENCH_r*.json `tail` capture
     // truncates the giant per-query line from the START, hiding the
     // alphabetical front half (63 of 114 rows in r13). Print the top-20
@@ -388,6 +383,13 @@ object Bench {
       s""""over_1p5x_ref":$outJson,""" +
       s""""outliers_total":${outliersAll.size},""" +
       s""""ref_rows":${refQueries.size},"sf":"$sfDir"}""")
+    // Compact total as the very LAST line: the driver's BENCH_r*.json
+    // keeps only the final 2000 chars of output, and in r18 the
+    // "slowest" line above (1.9k chars at 117 queries) pushed the
+    // total's VALUE out of that tail, leaving the stamp unrecoverable
+    // without campaign forensics. Printing the summary last makes the
+    // stamp self-contained regardless of how wide the other lines grow.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir",$host}""")
     spark.stop()
   }
 }

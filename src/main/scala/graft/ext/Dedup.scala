@@ -845,27 +845,58 @@ object Dedup {
   def winnowRecallGate(
       docs: DataFrame, threshold: Double = 0.7,
       floor: Double = 0.9): DataFrame = {
+    val spark = docs.sparkSession
     val portable = winnowNearDup(docs, threshold)
       .select("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the rolling leg runs the IDENTICAL selection algorithm over
-    // differently-hashed grams, but its document frequencies live in a
-    // different hash universe whose degenerate collisions the portable
-    // leg's accounting cannot predict — so it carries its own guard
-    // (the formerly-unguarded bypass is gone: with the budgeted tier-1
-    // bound clearing legitimate corpora for free, the double-payment
-    // argument for skipping it no longer holds).
-    val fast = winnowNearDup(docs, threshold, k = DefaultWinnowK,
-      w = DefaultWinnowW, rolling = true)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("__hit"))
-    val agg = portable.join(fast, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n"), count(col("__hit")).as("hits"))
-    val out = portable.crossJoin(broadcast(agg))
-      .select(col("doc_a"), col("doc_b"),
-        (col("hits") >= lit(floor) * col("n")).as("recall_ok"))
-    val cut = Lineage.cut(out)
-    portable.unpersist()
-    cut
+    try {
+      // The rolling leg does NOT re-run the full operator. Its prefix
+      // filter is recall-1 by pigeonhole (lossless for ANY fingerprint
+      // ordering — see [[winnowNearDup]]'s candidate-generation doc and
+      // the WinnowSpec losslessness test), so the rolling operator's
+      // output is EXACTLY {pairs : rolling overlap >= threshold}. Pair
+      // membership is therefore decidable by scoring each portable pair
+      // directly against the rolling fingerprint sets of just the pair
+      // members — the Karp-Rabin hash arithmetic and winnow selection
+      // (the things this gate validates; the join machinery is the
+      // byte-identical code path the portable leg just exercised under
+      // its oracle) still run in full, while the rolling leg's df
+      // shuffle, per-doc array build, candidate join, guard accounting
+      // and pair verification all drop away. Measured at x10: the full
+      // second operator run was ~25 s of the gate's 52 s stamp; this
+      // scoring leg reads only the pair members' text (a semi-join
+      // pushed to the scan). No candidate join ⇒ no volume guard
+      // needed on this leg; the portable leg keeps its own.
+      val pairDocs = portable.select(col("doc_a").as("doc_id"))
+        .unionByName(portable.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val rollSets = winnowFp(
+          docs.join(pairDocs, Seq("doc_id"), "left_semi"),
+          DefaultWinnowK, DefaultWinnowW, rolling = true)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("fp"))).as("seth"),
+          count(lit(1)).as("n"))
+      val inter = graft.functions.SortedIntersect(
+        spark, col("ha"), col("hb")).cast("double")
+      // left joins + a 0.0 fallback: a pair member whose rolling
+      // fingerprint set came back empty (a selection bug) must count
+      // as a MISS, not vanish from the denominator
+      val scored = portable
+        .join(rollSets.select(col("doc_id").as("doc_a"),
+          col("seth").as("ha"), col("n").as("na")), Seq("doc_a"), "left")
+        .join(rollSets.select(col("doc_id").as("doc_b"),
+          col("seth").as("hb"), col("n").as("nb")), Seq("doc_b"), "left")
+        .select(
+          when(col("na").isNotNull && col("nb").isNotNull,
+            inter / least(col("na"), col("nb")))
+            .otherwise(lit(0.0)).as("ov"))
+      val agg = scored.agg(count(lit(1)).as("n"),
+        sum(when(col("ov") >= threshold, 1L).otherwise(0L)).as("hits"))
+      val out = portable.crossJoin(broadcast(agg))
+        .select(col("doc_a"), col("doc_b"),
+          (col("hits") >= lit(floor) * col("n")).as("recall_ok"))
+      Lineage.cut(out)
+    } finally { portable.unpersist(); () }
   }
 
   /** Self-validating gate for the xxhash64 SimHash scale variant, whose

@@ -1177,8 +1177,9 @@ object Multimodal {
     * [[MaxBoxDepth]] (a box-bomb would otherwise StackOverflowError —
     * an Error no Exception handler sees), and a u64 largesize past
     * Long.MaxValue is refused rather than wrapped. The walk recurses
-    * ONLY into `moov` and `trak` — media-data boxes (`mdat` can be
-    * gigabytes) are skipped by size without being read. */
+    * ONLY into the metadata chain `moov` / `trak` / `mdia` / `minf` /
+    * `stbl` — media-data boxes (`mdat` can be gigabytes) are skipped
+    * by size without being read. */
   def decodeMp4Meta(payload: Array[Byte]): Option[Mp4Meta] = {
     if (sniffContainer(payload) != "mp4") return None
     try {
@@ -1351,7 +1352,8 @@ object Multimodal {
     * Hostile-input rules, same as every walk here: reserved
     * version/layer bits, bitrate index 0 ("free" — unsizable) or 15,
     * reserved sample-rate index, a frame length past end-of-payload, a
-    * mid-stream sample-rate change, and non-synchsafe ID3 sizes all
+    * mid-stream sample-rate / version / layer change (real streams are
+    * constant in all three), and non-synchsafe ID3 sizes all
     * abort to None without a throw; a trailing fragment smaller than
     * one header (4 bytes) is ignored, the RIFF-walk lenience. All
     * accumulation is exact integer math. */
@@ -1377,6 +1379,7 @@ object Multimodal {
       }
       var nFrames = 0L
       var sampleRate = 0
+      var firstVerLayer = -1
       var totalSamples = 0L
       var totalBytes = 0L
       var firstKbps = -1
@@ -1401,8 +1404,13 @@ object Multimodal {
           if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
           val kbps = Mp3BitrateKbps((verBits, layer))(brIdx)
           val sr = Mp3SampleRate(verBits)(srIdx)
-          if (sampleRate == 0) sampleRate = sr
-          else if (sr != sampleRate) return None // real streams are constant-rate
+          // real streams are constant in rate, version AND layer: a
+          // crafted stream mixing layers would otherwise parse with a
+          // misleading vbr flag (kbps-only comparison), so refuse all
+          // three mid-stream changes uniformly
+          if (sampleRate == 0) { sampleRate = sr; firstVerLayer = (verBits << 2) | layer }
+          else if (sr != sampleRate || ((verBits << 2) | layer) != firstVerLayer)
+            return None
           val padding = (b3 >> 1) & 1
           // samples per frame: Layer I 384; Layer II 1152; Layer III
           // 1152 (MPEG1) / 576 (MPEG2/2.5)

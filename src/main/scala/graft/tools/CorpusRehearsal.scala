@@ -16,9 +16,10 @@ import graft.ext.{Dedup, DedupIndex, MixOps, PipelineOps, SpanDedup}
   *     {hygiene_drop, neardup_flag, kept}; counts sum to the arrival
   *     count and no doc_id appears twice;
   *  2. batching-invariance of the frozen stages — the streamed hygiene
-  *     survivor set (evidence columns included) and the streamed span
-  *     stats of kept docs equal a single batch run of the same
-  *     functions over the same inputs (the per-stage parity the
+  *     survivor set (doc_id set; the disposition rows don't carry the
+  *     hygiene evidence columns) and the streamed span stats of kept
+  *     docs (full columns: total/dup tokens + clean_fp) equal a single
+  *     batch run of the same functions over the same inputs (the per-stage parity the
   *     q_stream_pipeline / q_stream_span_dedup oracles pin, re-checked
   *     here on the chained composition);
   *  3. first-copy-wins for the growing index — no flagged doc was
