@@ -29,8 +29,18 @@ object Extra {
     * sf0.01/sf0.1/x10 — same division of labor as q_dup_clusters /
     * tools/ClusterExactCheck. Defines srp_pairs(doc_a, doc_b, cos);
     * composes after Text.shinglesCte (t/sh). Plane budget: range(4096)
-    * covers h = bits*bands beyond x100 (2934). */
-  private val srpReplayCtes = """
+    * covers h = bits*bands beyond x100 (2934).
+    *
+    * Parameterized for the index-probe split (q_stream_semdedup):
+    * `sizeFilter` restricts the count that SIZES the signature to the
+    * index-corpus side ([[graft.ext.SrpIndex.build]] auto-sizes from
+    * the CORPUS count and probes reuse the stored parameters), and
+    * `candPred` selects which (a, b) doc pairs the banding may emit
+    * (self-join default; batch x corpus for the probe split). Defaults
+    * reproduce the original self-join text. */
+  private def srpReplayCtes(
+      sizeFilter: String = "TRUE",
+      candPred: String = "a.doc_id < b.doc_id"): String = s"""
     f AS (SELECT doc_id,
             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 128 AS dim,
             (CAST(('0x' || substr(md5(shingle), 9, 1)) AS INT) & 1) * 2 - 1 AS sgn
@@ -51,7 +61,8 @@ object Extra {
                  CAST(CEIL(32.0 * POWER(0.85, 8 - bits)) AS INT) AS bands
                FROM (SELECT GREATEST(8,
                        CAST(CEIL(LN(n / 2.0) / LN(2.0)) AS INT)) AS bits
-                     FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM nr2))),
+                     FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM nr2
+                           WHERE $sizeFilter))),
     -- the CASE errors LOUDLY (and names the budget) if a future corpus
     -- sizes bits*bands past the range(4096) plane budget — without it
     -- the signature would silently truncate and sweep mismatches would
@@ -79,7 +90,7 @@ object Extra {
               GROUP BY doc_id, band),
     cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bitsb a JOIN bitsb b
-               ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+               ON a.band = b.band AND a.bval = b.bval AND ($candPred)),
     -- hamming prefilter on the full h-bit signature (packSigns replay):
     -- BIT xor + bit_count keeps the per-pair cost flat at x10 volumes
     sigbit AS MATERIALIZED (SELECT doc_id, CAST(string_agg(
@@ -193,7 +204,7 @@ object Extra {
       "q_hash_embed_neardup",
       Some(s"""
         WITH ${Text.shinglesCte},
-        $srpReplayCtes
+        ${srpReplayCtes()}
         SELECT doc_a, doc_b, round(cos, 6) AS sim
         FROM srp_pairs WHERE cos >= 0.6"""),
       (s, dir) => {
@@ -214,7 +225,7 @@ object Extra {
       "q_semdedup",
       Some(s"""
         WITH ${Text.shinglesCte},
-        $srpReplayCtes,
+        ${srpReplayCtes()},
         pr AS (SELECT doc_a AS a, doc_b AS b FROM srp_pairs WHERE cos >= 0.6),
         e AS (SELECT a, b FROM pr
               UNION ALL SELECT b, a FROM pr
@@ -228,6 +239,41 @@ object Extra {
         val vecs = docs.select(col("doc_id"),
           graft.functions.FeatureHash(s, col("text"), 128).as("v"))
         Similarity.semanticDedup(vecs, threshold = 0.6, dim = 128)
+      }),
+
+    // ---- streaming semantic dedup vs the persisted SRP index --------------
+    // The paraphrase-dup crawl shape: arriving (odd-id) docs are hashed
+    // to embeddings and probe a persisted SRP band index built from the
+    // even-id corpus, per microbatch — the embedding analog of
+    // q_stream_dedup_against, and the last on-ingest form the dedup
+    // matrix lacked. Stream ∪ batches == the batch probe side and the
+    // index is static, so the result is batching-invariant and the
+    // oracle replays the whole stream as ONE batch: srpReplayCtes with
+    // the signature SIZED on the corpus count (SrpIndex.build auto-sizes
+    // from the corpus; probes reuse the stored parameters) and
+    // candidates restricted to batch x corpus pairs.
+    QueryDef(
+      "q_stream_semdedup",
+      Some(s"""
+        WITH ${Text.shinglesCte},
+        ${srpReplayCtes(
+          sizeFilter = "doc_id % 2 = 0",
+          candPred = "a.doc_id % 2 = 1 AND b.doc_id % 2 = 0")}
+        SELECT doc_a AS doc_id, doc_b AS dup_of, round(cos, 6) AS sim
+        FROM srp_pairs WHERE cos >= 0.6"""),
+      (s, dir) => {
+        Tables.prepare(s)
+        val docs = Tables.load(s, dir, "documents")
+        val path = s.conf.get("spark.sql.warehouse.dir") + "/graft_srp_index_s"
+        val idx = graft.ext.SrpIndex.build(
+          docs.where(col("doc_id") % 2 === 0).select(col("doc_id"),
+            graft.functions.FeatureHash(s, col("text"), 128).as("v")),
+          path, dim = 128)
+        val stream = Tables.documentsStream(s, dir)
+          .where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            graft.functions.FeatureHash(s, col("text"), 128).as("v"))
+        graft.ext.SrpIndex.semanticDedupOnIngest(stream, idx, 0.6)
       }),
 
     // ---- window-function family (lag/lead/rank/running max) ---------------

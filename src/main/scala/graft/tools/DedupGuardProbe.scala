@@ -46,6 +46,26 @@ object DedupGuardProbe {
         "minhashNearDup" -> (() => Dedup.minhashNearDup(docs, 0.7).count(): Unit),
         "srpNearDup" -> (() =>
           Similarity.srpNearDup(vecs, 0.6, 128).count(): Unit),
+        "srpSearchAgainst" -> (() => {
+          // the on-ingest probe path (q_stream_semdedup): build the
+          // even-id index UNGUARDED (builds generate no pairs), then
+          // probe with the odd half under the cap
+          val path = java.nio.file.Files
+            .createTempDirectory("guardprobe_srpidx").toString
+          try {
+            spark.conf.unset(Dedup.MaxCandidatePairsConf)
+            val idx = graft.ext.SrpIndex.build(
+              vecs.where(col("doc_id") % 2 === 0), path, dim = 128)
+            spark.conf.set(Dedup.MaxCandidatePairsConf, "1")
+            graft.ext.SrpIndex.searchAgainst(
+              idx, vecs.where(col("doc_id") % 2 === 1), 0.6).count()
+            ()
+          } finally {
+            spark.conf.set(Dedup.MaxCandidatePairsConf, "1")
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(path))
+          }
+        }),
         "containmentPairs" -> (() =>
           PipelineOps.containmentPairs(docs, 0.8).count(): Unit))) {
         try {
