@@ -1125,12 +1125,17 @@ object Multimodal {
     * 16.16 fixed-point width/height — audio tracks declare 0x0, so the
     * max picks the video track), and the sample-table totals (from
     * `stbl`'s `stts`/`stsz` leaves): declared sample (frame) count and
-    * total sample bytes summed across tracks. `nSamples`/`sampleBytes`
-    * are -1 when the file carries no sample table at all (header-only
+    * total sample bytes summed across tracks, plus the chunk layout
+    * (from `stsc`/`stco`/`co64`): total declared chunk count and the
+    * span of declared chunk offsets (max − min — a lower bound on the
+    * media-data extent, since the last chunk's bytes lie past its
+    * offset). `nSamples`/`sampleBytes`/`nChunks`/`chunkSpanBytes` are
+    * -1 when the file carries no such table at all (header-only
     * fragments) — callers surface that as NULL, never as 0. */
   final case class Mp4Meta(
       durationMs: Long, nTracks: Int, width: Int, height: Int,
-      nSamples: Long, sampleBytes: Long)
+      nSamples: Long, sampleBytes: Long,
+      nChunks: Long = -1L, chunkSpanBytes: Long = -1L)
 
   /** Big-endian u32 at `off` (ISO BMFF sizes/fields), as Long — a
     * hostile size field can exceed Int.MaxValue and must not wrap
@@ -1192,6 +1197,9 @@ object Multimodal {
       var sawMoov = false
       var nSamples = -1L
       var sampleBytes = -1L
+      var nChunks = -1L
+      var chunkOffMin = Long.MaxValue
+      var chunkOffMax = -1L
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
       // nest a second mvhd inside a trak, and a depth-only match would
@@ -1268,6 +1276,47 @@ object Multimodal {
                 }
               sampleBytes = Math.addExact(
                 if (sampleBytes < 0) 0L else sampleBytes, acc)
+            case "stsc" if parent == "stbl" =>
+              // fullbox v0 + u32 entry_count + entry_count × (u32
+              // first_chunk, u32 samples_per_chunk, u32 sdi). Carries no
+              // totals of its own (chunk counts come from stco/co64) but
+              // its spec invariant — first_chunk strictly increasing,
+              // starting >= 1 — is validated so a lying chunk map
+              // refuses instead of silently coexisting with real stats
+              if (dataLen < 8 || (payload(ds) & 0xff) != 0) return false
+              val entries = beU32(payload, ds + 4)
+              if (entries > (dataLen - 8) / 12) return false
+              var prev = 0L
+              var i = 0L
+              while (i < entries) {
+                val fc = beU32(payload, (ds + 8 + i * 12).toInt)
+                if (fc <= prev) return false
+                prev = fc
+                i += 1
+              }
+            case "stco" | "co64" if parent == "stbl" =>
+              // fullbox v0 + u32 entry_count + one u32 (stco) or u64
+              // (co64) chunk offset per entry. Offsets index THIS file,
+              // so one declared past end-of-payload is truncation or a
+              // lie — refused, the chunk-offset analog of the frame-
+              // length check in the MP3 walk
+              val wide = typ == "co64"
+              val entSz = if (wide) 8 else 4
+              if (dataLen < 8 || (payload(ds) & 0xff) != 0) return false
+              val entries = beU32(payload, ds + 4)
+              if (entries > (dataLen - 8) / entSz) return false
+              var i = 0L
+              while (i < entries) {
+                val off =
+                  if (wide) beU64(payload, (ds + 8 + i * 8).toInt)
+                  else beU32(payload, (ds + 8 + i * 4).toInt)
+                if (off < 0 || off >= payload.length) return false
+                if (off < chunkOffMin) chunkOffMin = off
+                if (off > chunkOffMax) chunkOffMax = off
+                i += 1
+              }
+              nChunks = Math.addExact(
+                if (nChunks < 0) 0L else nChunks, entries)
             case "mvhd" if parent == "moov" =>
               if (dataLen < 4) return false
               val version = payload(ds) & 0xff
@@ -1303,7 +1352,9 @@ object Multimodal {
       if (!walk(0, payload.length.toLong, 0, "")) return None
       if (!sawMvhd || timescale <= 0) return None
       val durMs = Math.multiplyExact(duration, 1000L) / timescale
-      Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes))
+      val span = if (nChunks > 0) chunkOffMax - chunkOffMin else -1L
+      Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes,
+        nChunks, span))
     } catch { case _: Exception => None }
   }
 
@@ -1312,10 +1363,12 @@ object Multimodal {
     * duration in ms (total samples × 1000 / rate), mean bitrate in bps
     * (total frame bits × rate / total samples — exact integer
     * arithmetic, no float), and whether the declared per-frame bitrate
-    * varies (VBR). */
+    * varies (VBR). All audio-frame figures EXCLUDE a recognized
+    * Xing/Info metadata frame; `xingFrames` carries that header's
+    * declared frame count (-1 when absent), validated against the walk. */
   final case class Mp3Meta(
       nFrames: Long, sampleRate: Int, durationMs: Long,
-      bitrateBps: Long, vbr: Boolean)
+      bitrateBps: Long, vbr: Boolean, xingFrames: Long = -1L)
 
   // MPEG audio bitrate tables, kbps, indexed 1..14 (index 0 = "free"
   // format whose frames cannot be sized from the header alone — refused;
@@ -1384,6 +1437,9 @@ object Multimodal {
       var totalBytes = 0L
       var firstKbps = -1
       var vbr = false
+      var sawFrame = false // first PHYSICAL frame may be a Xing header
+      var xingIsVbr = false
+      var xingFrames = -1L
       while (pos + 4 <= payload.length) {
         // exactly-placed trailing ID3v1 tag: 128 bytes of "TAG"
         if (payload.length - pos == 128 && payload(pos) == 'T' &&
@@ -1424,18 +1480,65 @@ object Multimodal {
             if (layer == 1) (12 * kbps * 1000 / sr + padding) * 4
             else spf / 8 * kbps * 1000 / sr + padding
           if (frameLen < 4 || pos + frameLen > payload.length) return None
-          if (firstKbps < 0) firstKbps = kbps
-          else if (kbps != firstKbps) vbr = true
-          nFrames += 1
-          totalSamples = Math.addExact(totalSamples, spf.toLong)
-          totalBytes = Math.addExact(totalBytes, frameLen.toLong)
+          // Xing/Info VBR header (public LAME/Fraunhofer layout): a
+          // Layer-III FIRST frame may carry a metadata block right after
+          // the side info — tag 'Xing' (VBR) or 'Info' (CBR), 4 BE flag
+          // bytes, then optional BE u32 frame count (flag 1), u32 byte
+          // count (2), 100-byte TOC (4), u32 quality (8). Such a frame
+          // holds no audio, so it is EXCLUDED from the frame/sample/byte
+          // accounting (duration and mean bitrate stay exact over the
+          // audio frames), its declared frame count must match the
+          // walked audio-frame count (a truncated or lying VBR stream is
+          // refused, the constant-rate rule), and 'Xing' marks the
+          // stream VBR even when the frames the walk sees happen to
+          // share one bitrate index. Declared fields are bounds-checked
+          // against the FRAME before any read — a flag set past the
+          // frame's end is a lying header, refused.
+          var metaFrame = false
+          if (!sawFrame && layer == 3) {
+            val chan = (payload(pos + 3) >> 6) & 3
+            val sideInfo =
+              if (verBits == 3) { if (chan == 3) 17 else 32 }
+              else { if (chan == 3) 9 else 17 }
+            val crc = if ((b2 & 1) == 0) 2 else 0
+            val off = pos + 4 + crc + sideInfo
+            if (off + 8 <= pos + frameLen) {
+              val tag = new String(payload, off, 4, "ISO-8859-1")
+              if (tag == "Xing" || tag == "Info") {
+                def be32(p: Int): Long =
+                  ((payload(p) & 0xffL) << 24) | ((payload(p + 1) & 0xffL) << 16) |
+                    ((payload(p + 2) & 0xffL) << 8) | (payload(p + 3) & 0xffL)
+                val flags = be32(off + 4)
+                val need = 8 + (if ((flags & 1) != 0) 4 else 0) +
+                  (if ((flags & 2) != 0) 4 else 0) +
+                  (if ((flags & 4) != 0) 100 else 0) +
+                  (if ((flags & 8) != 0) 4 else 0)
+                if (off + need > pos + frameLen) return None
+                if ((flags & 1) != 0) xingFrames = be32(off + 8)
+                xingIsVbr = tag == "Xing"
+                metaFrame = true
+              }
+            }
+          }
+          sawFrame = true
+          if (!metaFrame) {
+            if (firstKbps < 0) firstKbps = kbps
+            else if (kbps != firstKbps) vbr = true
+            nFrames += 1
+            totalSamples = Math.addExact(totalSamples, spf.toLong)
+            totalBytes = Math.addExact(totalBytes, frameLen.toLong)
+          }
           pos += frameLen
         }
       }
       if (nFrames == 0L || sampleRate <= 0) return None
+      // a present frame-count field must agree with the walked audio
+      // frames — disagreement means truncation or a lying header
+      if (xingFrames >= 0 && xingFrames != nFrames) return None
       val durMs = Math.multiplyExact(totalSamples, 1000L) / sampleRate
       val bps = Math.multiplyExact(totalBytes, 8L * sampleRate) / totalSamples
-      Some(Mp3Meta(nFrames, sampleRate, durMs, bps, vbr))
+      Some(Mp3Meta(nFrames, sampleRate, durMs, bps, vbr || xingIsVbr,
+        xingFrames))
     } catch { case _: Exception => None }
   }
 
@@ -1445,7 +1548,8 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = true),
     StructField("n_frames", LongType, nullable = true),
     StructField("bitrate_bps", LongType, nullable = true),
-    StructField("vbr", BooleanType, nullable = true)))
+    StructField("vbr", BooleanType, nullable = true),
+    StructField("xing_frames", LongType, nullable = true)))
 
   /** Per-payload audio-container metadata — the audio sibling of
     * [[containerMeta]], same partition-parallel plumbing: the
@@ -1470,7 +1574,9 @@ object Multimodal {
         val kind = sniffContainer(payload)
         decodeMp3Meta(payload) match {
           case Some(m) =>
-            Row(id, kind, m.durationMs, m.nFrames, m.bitrateBps, m.vbr)
+            val xf = if (m.xingFrames >= 0) java.lang.Long.valueOf(m.xingFrames)
+              else null
+            Row(id, kind, m.durationMs, m.nFrames, m.bitrateBps, m.vbr, xf)
           case None =>
             decodeWavPcm(payload) match {
               case Some(pcm) if pcm.sampleRate > 0 =>
@@ -1478,8 +1584,8 @@ object Multimodal {
                   pcm.nFrames.toLong * 1000L / pcm.sampleRate,
                   pcm.nFrames.toLong,
                   pcm.sampleRate.toLong * pcm.frameSize * 8L,
-                  false)
-              case _ => Row(id, kind, null, null, null, null)
+                  false, null)
+              case _ => Row(id, kind, null, null, null, null, null)
             }
         }
       }
@@ -1496,7 +1602,9 @@ object Multimodal {
     StructField("height", LongType, nullable = true),
     StructField("n_samples", LongType, nullable = true),
     StructField("sample_bytes", LongType, nullable = true),
-    StructField("bitrate_bps", LongType, nullable = true)))
+    StructField("bitrate_bps", LongType, nullable = true),
+    StructField("n_chunks", LongType, nullable = true),
+    StructField("chunk_span_bytes", LongType, nullable = true)))
 
   /** Per-payload container metadata: the magic-number `container` column
     * ([[sniffContainer]] — oracle-replayed from hex(payload)) plus REAL
@@ -1524,9 +1632,13 @@ object Multimodal {
               if (m.sampleBytes >= 0 && m.durationMs > 0)
                 java.lang.Long.valueOf(m.sampleBytes * 8L * 1000L / m.durationMs)
               else null
+            val nc = if (m.nChunks >= 0) java.lang.Long.valueOf(m.nChunks) else null
+            val cs = if (m.chunkSpanBytes >= 0)
+              java.lang.Long.valueOf(m.chunkSpanBytes) else null
             Row(id, kind, m.durationMs, m.nTracks.toLong,
-              m.width.toLong, m.height.toLong, ns, sb, br)
-          case None => Row(id, kind, null, null, null, null, null, null, null)
+              m.width.toLong, m.height.toLong, ns, sb, br, nc, cs)
+          case None =>
+            Row(id, kind, null, null, null, null, null, null, null, null, null)
         }
       }
     }

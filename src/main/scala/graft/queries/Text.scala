@@ -729,7 +729,9 @@ object Text {
                CAST(NULL AS BIGINT) AS height,
                CAST(NULL AS BIGINT) AS n_samples,
                CAST(NULL AS BIGINT) AS sample_bytes,
-               CAST(NULL AS BIGINT) AS bitrate_bps
+               CAST(NULL AS BIGINT) AS bitrate_bps,
+               CAST(NULL AS BIGINT) AS n_chunks,
+               CAST(NULL AS BIGINT) AS chunk_span_bytes
         FROM b"""),
       (s, dir) => Multimodal.containerMeta(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),
@@ -753,7 +755,8 @@ object Text {
                CAST(NULL AS BIGINT) AS duration_ms,
                CAST(NULL AS BIGINT) AS n_frames,
                CAST(NULL AS BIGINT) AS bitrate_bps,
-               CAST(NULL AS BOOLEAN) AS vbr
+               CAST(NULL AS BOOLEAN) AS vbr,
+               CAST(NULL AS BIGINT) AS xing_frames
         FROM b"""),
       (s, dir) => Multimodal.audioMeta(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),

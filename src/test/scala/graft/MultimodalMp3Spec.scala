@@ -83,6 +83,64 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
     assert(m1.durationMs === 1536L * 1000 / 32000)
   }
 
+  test("decodeMp3Meta: MPEG1 Layer II (1152 samples, byte slots, v1l2 " +
+      "table) sizes and times by its own table") {
+    // MPEG1 L2: layer bits 2 -> b1 FD; 192 kbps = v1l2 idx 10 -> b2 A0,
+    // 44100 Hz -> 144*192000/44100 = 626 bytes, 1152 samples per frame
+    val l2 = Array.concat(Seq.fill(4)(frame(0xfd, 0xa0, 626)): _*)
+    val m = Multimodal.decodeMp3Meta(l2).get
+    assert(m.nFrames === 4L && m.sampleRate === 44100)
+    assert(m.durationMs === 4608L * 1000 / 44100)
+    assert(m.bitrateBps === 2504L * 8 * 44100 / 4608)
+    assert(!m.vbr && m.xingFrames === -1L)
+  }
+
+  /** A first frame carrying a Xing/Info block: MPEG1 L3 stereo, no CRC
+    * -> the block sits at 4 + 32 bytes; flags declare frames (+bytes). */
+  private def xingFrame(tag: String, declaredFrames: Int,
+      flags: Int = 0x3): Array[Byte] = {
+    val f = v1l3_128()
+    tag.getBytes("ISO-8859-1").copyToArray(f, 36)
+    f(40) = ((flags >> 24) & 0xff).toByte; f(41) = ((flags >> 16) & 0xff).toByte
+    f(42) = ((flags >> 8) & 0xff).toByte; f(43) = (flags & 0xff).toByte
+    f(44) = ((declaredFrames >> 24) & 0xff).toByte
+    f(45) = ((declaredFrames >> 16) & 0xff).toByte
+    f(46) = ((declaredFrames >> 8) & 0xff).toByte
+    f(47) = (declaredFrames & 0xff).toByte
+    // byte-count field (flag 2) left zero — the walk doesn't read it
+    f
+  }
+
+  test("decodeMp3Meta: a Xing first frame is metadata — excluded from " +
+      "the audio accounting, its count validated, VBR marked") {
+    // Xing + 3 audio frames that happen to share one bitrate: the walk
+    // alone would read CBR, the Xing tag says VBR
+    val vbrStream = Array.concat(
+      xingFrame("Xing", 3), v1l3_128(), v1l3_128(), v1l3_128())
+    val m = Multimodal.decodeMp3Meta(vbrStream).get
+    assert(m.nFrames === 3L && m.xingFrames === 3L && m.vbr)
+    // duration/bitrate over the AUDIO frames only (3 x 1152 / 3 x 417)
+    assert(m.durationMs === 3456L * 1000 / 44100)
+    assert(m.bitrateBps === 1251L * 8 * 44100 / 3456)
+    // Info = CBR encoder stamp: recognized, not VBR
+    val cbr = Multimodal.decodeMp3Meta(Array.concat(
+      xingFrame("Info", 2), v1l3_128(), v1l3_128())).get
+    assert(cbr.nFrames === 2L && cbr.xingFrames === 2L && !cbr.vbr)
+    // declared frame count disagreeing with the walk = truncated/lying
+    assert(Multimodal.decodeMp3Meta(Array.concat(
+      xingFrame("Xing", 5), v1l3_128(), v1l3_128())).isEmpty)
+    // flags declaring a TOC that cannot fit inside the frame = lying
+    // header: MPEG1 L3 32 kbps @ 48000 is a 96-byte frame, 36 + 8 + 4 +
+    // 100 bytes of declared fields overflow it
+    val tiny = frame(0xfb, 0x14, 96)
+    "Xing".getBytes("ISO-8859-1").copyToArray(tiny, 36)
+    tiny(43) = 0x5 // frames + TOC
+    // follow-up audio frame at the SAME 48000 Hz so the only refusal
+    // cause is the overflowing declared fields
+    assert(Multimodal.decodeMp3Meta(
+      tiny ++ frame(0xfb, 0x94, 384)).isEmpty)
+  }
+
   test("decodeMp3Meta: ID3v2 tags skip by synchsafe size (footer " +
       "included); a trailing ID3v1 block is tolerated at exactly EOF") {
     val frames = Array.concat(Seq.fill(3)(v1l3_128()): _*)
@@ -120,6 +178,10 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
     // mid-stream sample-rate change (44100 -> 48000, brIdx 9: 417/383)
     assert(Multimodal.decodeMp3Meta(
       v1l3_128() ++ frame(0xfb, 0x94, 384)).isEmpty)
+    // mid-stream LAYER change at the same 44100 rate (L3 -> L2): a
+    // crafted mixed-layer stream must refuse, not mislabel vbr
+    assert(Multimodal.decodeMp3Meta(
+      v1l3_128() ++ frame(0xfd, 0xa0, 626)).isEmpty)
     // ID3 with a non-synchsafe size byte, and ID3 with no frames at all
     val badSize = id3v2(10)
     badSize(6) = 0x80.toByte
@@ -148,20 +210,29 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
       (1L, Array.concat(Seq.fill(10)(v1l3_128()): _*)),
       (2L, wav(800)),
       (3L, "just prose".getBytes("UTF-8")),
-      (4L, "ID3 but prose".getBytes("UTF-8"))).toDF("doc_id", "payload")
+      (4L, "ID3 but prose".getBytes("UTF-8")),
+      (5L, Array.concat(xingFrame("Xing", 2), v1l3_128(), v1l3_160)))
+      .toDF("doc_id", "payload")
     val rows = Multimodal.audioMeta(media.repartition(2)).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(rows(1L).getString(1) === "mp3")
     assert(rows(1L).getLong(2) === 261L && rows(1L).getLong(3) === 10L)
     assert(rows(1L).getLong(4) === 127706L && !rows(1L).getBoolean(5))
+    assert(rows(1L).isNullAt(6), "no Xing header -> xing_frames null")
     // WAV: 800 frames at 8000 Hz mono 16-bit -> 100 ms, PCM 128000 bps
     assert(rows(2L).getString(1) === "wav")
     assert(rows(2L).getLong(2) === 100L && rows(2L).getLong(3) === 800L)
     assert(rows(2L).getLong(4) === 128000L && !rows(2L).getBoolean(5))
+    assert(rows(2L).isNullAt(6))
     assert(rows(3L).getString(1) === "none")
-    assert((2 to 5).forall(rows(3L).isNullAt))
+    assert((2 to 6).forall(rows(3L).isNullAt))
     // sniffs mp3 (ID3 magic) but the walk refuses: family kept, nulls
     assert(rows(4L).getString(1) === "mp3")
-    assert((2 to 5).forall(rows(4L).isNullAt))
+    assert((2 to 6).forall(rows(4L).isNullAt))
+    // Xing-stamped VBR stream: declared count surfaces, meta frame
+    // excluded from the audio figures
+    assert(rows(5L).getString(1) === "mp3")
+    assert(rows(5L).getLong(3) === 2L && rows(5L).getBoolean(5))
+    assert(rows(5L).getLong(6) === 2L)
   }
 }

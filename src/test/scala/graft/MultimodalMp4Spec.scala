@@ -72,6 +72,21 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
   private def mediaChain(stblLeaves: Array[Byte]): Array[Byte] =
     box("mdia", box("minf", box("stbl", stblLeaves)))
 
+  private def stco(offsets: Long*): Array[Byte] =
+    box("stco", Array[Byte](0, 0, 0, 0) ++ be32(offsets.length.toLong) ++
+      offsets.flatMap(be32(_)).toArray)
+
+  private def co64(offsets: Long*): Array[Byte] =
+    box("co64", Array[Byte](0, 0, 0, 0) ++ be32(offsets.length.toLong) ++
+      offsets.flatMap(be64).toArray)
+
+  /** stsc entries as (first_chunk, samples_per_chunk); sdi fixed 1. */
+  private def stsc(entries: (Long, Long)*): Array[Byte] =
+    box("stsc", Array[Byte](0, 0, 0, 0) ++ be32(entries.length.toLong) ++
+      entries.flatMap { case (fc, spc) =>
+        be32(fc) ++ be32(spc) ++ be32(1L)
+      }.toArray)
+
   // timescale 600, duration 3000 -> 5000 ms; video 640x360 (3 samples
   // via per-sample stsz = 6000 bytes) + audio 0x0 (4 samples via
   // fixed-size stsz = 400 bytes)
@@ -124,6 +139,46 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
         mediaChain(stts((2L, 1L)) ++ stszFixed(10L, 2L))))
     val m = Multimodal.decodeMp4Meta(smuggled).get
     assert(m.nSamples === 2L && m.sampleBytes === 20L)
+  }
+
+  test("decodeMp4Meta: stsc/stco/co64 chunk layout — total chunk count, " +
+      "offset span; hostile chunk tables refused") {
+    def mp4WithChunks(t1: Array[Byte], t2: Array[Byte]): Array[Byte] = {
+      val body = ftyp ++ box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(64, 64) ++ mediaChain(t1)) ++
+        box("trak", tkhdV0(0, 0) ++ mediaChain(t2)))
+      // mdat padding so every declared chunk offset lands inside the file
+      body ++ box("mdat", Array.fill[Byte](600)(0x55))
+    }
+    val m = Multimodal.decodeMp4Meta(mp4WithChunks(
+      stsc((1L, 2L), (3L, 1L)) ++ stco(40L, 140L, 300L),
+      co64(500L))).get
+    assert(m.nChunks === 4L)
+    assert(m.chunkSpanBytes === 500L - 40L)
+    // no chunk tables at all -> -1 (NULL), never 0
+    val bare = Multimodal.decodeMp4Meta(mp4V0).get
+    assert(bare.nChunks === -1L && bare.chunkSpanBytes === -1L)
+    // stsc first_chunk not strictly increasing = lying chunk map
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      stsc((1L, 2L), (1L, 1L)) ++ stco(40L), stco(60L))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      stsc((0L, 2L)) ++ stco(40L), stco(60L))).isEmpty)
+    // a chunk offset at/past end-of-payload = truncation or a lie
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      stco(1000000L), stco(60L))).isEmpty)
+    // entry_count lying past the box aborts BEFORE looping; nonzero
+    // version refused (spec defines only version 0)
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      box("stco", Array[Byte](0, 0, 0, 0) ++ be32(0xffffffffL)),
+      stco(60L))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      box("co64", Array[Byte](0, 0, 0, 0) ++ be32(0xffffffffL)),
+      stco(60L))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      box("stsc", Array[Byte](0, 0, 0, 0) ++ be32(0xffffffffL)),
+      stco(60L))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4WithChunks(
+      box("stco", Array[Byte](1, 0, 0, 0) ++ be32(0)), stco(60L))).isEmpty)
   }
 
   test("decodeMp4Meta: v1 mvhd/tkhd (64-bit times) parse at their own offsets") {
@@ -259,15 +314,17 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(rows(1L).getLong(6) === 7L)
     assert(rows(1L).getLong(7) === 6400L)
     assert(rows(1L).getLong(8) === 10240L)
+    // mp4V0 declares samples but no chunk tables: chunk columns NULL
+    assert(rows(1L).isNullAt(9) && rows(1L).isNullAt(10))
     assert(rows(2L).getString(1) === "mp4")
     assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
     assert(rows(3L).getString(1) === "none")
-    assert((2 to 8).forall(rows(3L).isNullAt))
+    assert((2 to 10).forall(rows(3L).isNullAt))
     // a parsed MP4 without any stbl carries NULL sample columns, not 0
     val bare = ftyp ++ box("moov", mvhdV0(600, 3000) ++ box("trak", tkhdV0(320, 240)))
     val r = Multimodal.containerMeta(Seq((9L, bare)).toDF("doc_id", "payload"))
       .collect().head
     assert(r.getLong(2) === 5000L)
-    assert((6 to 8).forall(r.isNullAt))
+    assert((6 to 10).forall(r.isNullAt))
   }
 }
