@@ -1103,6 +1103,7 @@ object Multimodal {
     else if (p.length >= 4 && p(0) == 0x89.toByte && at(1, "PNG")) "png"
     else if (p.length >= 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
     else if (at(0, "BM")) "bmp"
+    else if (at(0, "fLaC")) "flac"
     // MPEG audio: an ID3v2 tag, or a bare frame sync (11 set bits —
     // second byte 0xE0..0xFF; no overlap with jpeg's FF D8, and 0xFF
     // cannot open valid UTF-8 text). The SQL mirror tests the second
@@ -1542,6 +1543,80 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Parsed FLAC STREAMINFO facts: total samples (0 = unknown per
+    * spec), the stream's sample rate, channels, bits per sample,
+    * integer-exact duration in ms, and the declared min/max frame sizes
+    * (0 = unknown). `audioStart` is the byte offset where the metadata
+    * blocks end and audio frames begin — [[audioMeta]] derives the mean
+    * bitrate from the audio-byte extent it delimits. */
+  final case class FlacMeta(
+      totalSamples: Long, sampleRate: Int, channels: Int, bitsPerSample: Int,
+      durationMs: Long, minFrame: Long, maxFrame: Long, audioStart: Int)
+
+  /** REAL FLAC metadata with zero decode — the third application of the
+    * header-walk recipe (RIFF → ISO BMFF → MPEG frames → this): a
+    * `fLaC` magic, then metadata blocks of (1-byte last-flag+type,
+    * u24-BE length); STREAMINFO (type 0) is REQUIRED FIRST by the
+    * public spec and carries u16 min/max block size, u24 min/max frame
+    * size, then a packed 64-bit field: 20-bit sample rate, 3-bit
+    * channels-1, 5-bit bps-1, 36-bit total samples. Duration is exact
+    * integer arithmetic (samples × 1000 / rate).
+    *
+    * Hostile-input rules, same as every walk here: a STREAMINFO that is
+    * not first, a wrong STREAMINFO length, a zero sample rate (invalid
+    * per spec), or any block length past end-of-payload aborts to None
+    * without a throw. The walk is linear (no recursion — FLAC blocks
+    * do not nest) and each step advances ≥ 4 bytes, so it terminates
+    * on any input. */
+  def decodeFlacMeta(payload: Array[Byte]): Option[FlacMeta] = {
+    if (sniffContainer(payload) != "flac") return None
+    try {
+      var pos = 4
+      var last = false
+      var first = true
+      var meta: FlacMeta = null
+      while (!last) {
+        if (pos + 4 > payload.length) return None
+        val hdr = payload(pos) & 0xff
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7f
+        val len = ((payload(pos + 1) & 0xff) << 16) |
+          ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+        if (pos + 4 + len > payload.length) return None
+        if (first) {
+          if (typ != 0 || len != 34) return None // STREAMINFO must open
+          val ds = pos + 4
+          def u16(o: Int) = ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+          def u24(o: Int) = ((payload(o) & 0xff) << 16) |
+            ((payload(o + 1) & 0xff) << 8) | (payload(o + 2) & 0xff)
+          val minFrame = u24(ds + 4).toLong
+          val maxFrame = u24(ds + 7).toLong
+          val b10 = payload(ds + 10) & 0xff
+          val b11 = payload(ds + 11) & 0xff
+          val b12 = payload(ds + 12) & 0xff
+          val b13 = payload(ds + 13) & 0xff
+          val rate = (b10 << 12) | (b11 << 4) | (b12 >> 4)
+          if (rate == 0) return None // invalid per spec
+          val channels = ((b12 >> 1) & 7) + 1
+          val bps = (((b12 & 1) << 4) | (b13 >> 4)) + 1
+          var samples = (b13 & 0xf).toLong
+          var i = 0
+          while (i < 4) {
+            samples = (samples << 8) | (payload(ds + 14 + i) & 0xff)
+            i += 1
+          }
+          if (u16(ds) > u16(ds + 2)) return None // min block > max: lying
+          val durMs = Math.multiplyExact(samples, 1000L) / rate
+          meta = FlacMeta(samples, rate, channels, bps, durMs,
+            minFrame, maxFrame, 0)
+          first = false
+        }
+        pos += 4 + len
+      }
+      if (meta == null) None else Some(meta.copy(audioStart = pos))
+    } catch { case _: Exception => None }
+  }
+
   private val audioMetaSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("container", StringType, nullable = false),
@@ -1555,11 +1630,15 @@ object Multimodal {
     * [[containerMeta]], same partition-parallel plumbing: the
     * `container` column is the shared magic sniff (oracle-replayed from
     * hex(payload)); payloads that parse as MPEG audio carry REAL
-    * frame-walk facts ([[decodeMp3Meta]]) and payloads that decode as
+    * frame-walk facts ([[decodeMp3Meta]]), payloads that decode as
     * PCM WAV carry the real header facts (frame count, duration from
     * rate, declared PCM bitrate = rate × frame size × 8; vbr false —
-    * PCM is constant-rate by construction). Everything else carries
-    * nulls. On this corpus prose never parses (0xFF cannot open UTF-8
+    * PCM is constant-rate by construction), and payloads that parse as
+    * FLAC carry STREAMINFO facts ([[decodeFlacMeta]]: duration from the
+    * declared total samples, mean bitrate over the audio-byte extent
+    * the metadata walk delimits, vbr unless the declared frame sizes
+    * pin one width; frame count NULL — STREAMINFO does not declare it).
+    * Everything else carries nulls. On this corpus prose never parses (0xFF cannot open UTF-8
     * text and an 'ID3'-prefixed document still needs a valid frame sync
     * after the declared tag; a 'RIFF…WAVE' prefix without a real fmt/
     * data chunk fails the PCM reader), so the oracle's NULLs are exact
@@ -1585,7 +1664,25 @@ object Multimodal {
                   pcm.nFrames.toLong,
                   pcm.sampleRate.toLong * pcm.frameSize * 8L,
                   false, null)
-              case _ => Row(id, kind, null, null, null, null, null)
+              case _ =>
+                decodeFlacMeta(payload) match {
+                  case Some(f) if f.totalSamples > 0 =>
+                    // frame count isn't declared by STREAMINFO → NULL;
+                    // mean bitrate from the audio-byte extent the
+                    // metadata walk delimits (exact integer); vbr
+                    // unless the declared frame sizes pin one width
+                    val audioBytes = (payload.length - f.audioStart).toLong
+                    val bps =
+                      if (audioBytes > 0)
+                        java.lang.Long.valueOf(Math.multiplyExact(
+                          audioBytes, 8L * f.sampleRate) / f.totalSamples)
+                      else null
+                    Row(id, kind, f.durationMs, null, bps,
+                      !(f.minFrame > 0 && f.minFrame == f.maxFrame), null)
+                  case Some(_) => // total samples 0 = unknown per spec
+                    Row(id, kind, null, null, null, null, null)
+                  case None => Row(id, kind, null, null, null, null, null)
+                }
             }
         }
       }

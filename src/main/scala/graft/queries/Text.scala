@@ -125,8 +125,8 @@ object Text {
     * of `Multimodal.sniffContainer`, shared verbatim by the
     * q_mm_video_meta and q_mm_audio_meta oracles so the two cannot
     * drift. Same prefixes, same precedence: ftyp@4, RIFF families, GIF,
-    * PNG, JPEG, BMP, then MPEG audio (an ID3v2 tag, or a bare frame
-    * sync FF Ex/Fx — no overlap with jpeg's FF D8). */
+    * PNG, JPEG, BMP, FLAC, then MPEG audio (an ID3v2 tag, or a bare
+    * frame sync FF Ex/Fx — no overlap with jpeg's FF D8). */
   private val sniffCaseSql = """
                CASE
                  WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
@@ -139,6 +139,7 @@ object Text {
                  WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
                  WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
                  WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+                 WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
                  WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
                  WHEN substr(hx, 1, 2) = 'FF'
                       AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'

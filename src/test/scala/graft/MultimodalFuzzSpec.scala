@@ -68,6 +68,7 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeAviFrames(payload)
     Multimodal.decodeMp4Meta(payload)
     Multimodal.decodeMp3Meta(payload)
+    Multimodal.decodeFlacMeta(payload)
     Multimodal.sniffContainer(payload)
     Multimodal.decodeStub(payload)
     ()
