@@ -171,7 +171,9 @@ object DedupIndex {
     compactTree(s"$path/bands", "bp", "bkey", maxFilesPerPartition) +
       compactTree(s"$path/sets", "dp", "doc_id", maxFilesPerPartition)
 
-  private def compactTree(
+  /** Shared with [[SrpIndex.compact]] — ONE definition of the
+    * oversized-partition rewrite for every partitioned index layout. */
+  private[ext] def compactTree(
       root: String, partCol: String, sortCol: String, maxFiles: Int): Int = {
     val spark = SparkSession.active
     val rootP = new org.apache.hadoop.fs.Path(root)

@@ -271,4 +271,72 @@ object SrpIndex {
     graft.streaming.StreamingOps.runBatchesToParquet(
       streamVecs, "stream_semdedup",
       batch => searchAgainst(index, batch, threshold))
+
+  /** Append a new batch of (doc_id, v) INTO the index (they become
+    * corpus members for subsequent probes): project with the STORED
+    * parameters and append into the same partition layout — one file
+    * per touched partition per call, no rebuild, searches see the new
+    * rows at their next file listing ([[DedupIndex.append]]'s
+    * contract). Callers typically [[searchAgainst]] the batch first,
+    * then append the survivors. */
+  def append(delta: DataFrame, index: Loaded): Unit = {
+    val sigs = signatures(
+      delta, index.dim, index.bits, index.bands, index.seed).persist(Lvl)
+    try {
+      bandRows(sigs)
+        .withColumn("bp", pmod(col("bkey"), lit(16)).cast("int"))
+        .repartition(col("bp")).sortWithinPartitions("bkey")
+        .write.mode("append").partitionBy("bp").parquet(s"${index.path}/bands")
+      sigs.select("doc_id", "sig", "v", "nrm")
+        .withColumn("dp", pmod(col("doc_id"), lit(16)).cast("int"))
+        .repartition(col("dp")).sortWithinPartitions("doc_id")
+        .write.mode("append").partitionBy("dp").parquet(s"${index.path}/sigs")
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Rewrite every partition directory (bands AND sigs) whose parquet
+    * file count exceeds `maxFilesPerPartition` down to one sorted file
+    * per owning task — the maintenance pass for long-running [[append]]
+    * ingest, same machinery as [[DedupIndex.compact]]
+    * ([[DedupIndex.compactTree]], one definition). Restores the
+    * build-time sort so row-group min/max stats stay tight. */
+  def compact(path: String, maxFilesPerPartition: Int = 8): Int =
+    DedupIndex.compactTree(s"$path/bands", "bp", "bkey",
+      maxFilesPerPartition) +
+      DedupIndex.compactTree(s"$path/sigs", "dp", "doc_id",
+        maxFilesPerPartition)
+
+  /** The full semantic crawl-dedup loop — [[DedupIndex.dedupAndIngest]]
+    * re-expressed for embeddings: per arriving microbatch, (1) probe
+    * the index for embedding near-dups of the batch, (2) APPEND the
+    * batch's non-duplicate vectors so they become corpus members for
+    * every subsequent batch (cross-batch paraphrase dups caught), (3)
+    * compact once file counts pass `maxFilesPerPartition`. Intra-batch
+    * dups — invisible to the pre-batch index — resolve by a batch-local
+    * [[Similarity.srpNearDup]] pass AT THE INDEX'S OWN (bits, bands)
+    * (same hash universe and hamming gate as the probe, so intra- and
+    * cross-batch pairs face one selectivity), keeping the smaller id.
+    * Emits the flagged (doc_id, dup_of, sim) rows; result depends on
+    * arrival order by construction (first copy seen wins). */
+  def dedupAndIngest(
+      streamVecs: DataFrame, index: Loaded, threshold: Double,
+      maxFilesPerPartition: Int = 8): DataFrame =
+    graft.streaming.StreamingOps.runBatchesToParquet(
+      streamVecs, "stream_semdedup_ingest",
+      batch => {
+        val vsCorpus = searchAgainst(index, batch, threshold)
+        val intra = Similarity.srpNearDup(batch, threshold, index.dim,
+            bits = index.bits, bands = index.bands, seed = index.seed)
+          .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+            col("sim"))
+        val dups = Lineage.cut(vsCorpus.unionByName(intra)
+          .groupBy("doc_id")
+          .agg(min(struct(col("dup_of"), col("sim"))).as("m"))
+          .select(col("doc_id"), col("m.dup_of").as("dup_of"),
+            col("m.sim").as("sim")))
+        val fresh = batch.join(dups.select("doc_id"), Seq("doc_id"), "left_anti")
+        append(fresh, index)
+        compact(index.path, maxFilesPerPartition)
+        dups
+      })
 }
