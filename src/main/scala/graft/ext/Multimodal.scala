@@ -1104,6 +1104,7 @@ object Multimodal {
     else if (p.length >= 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
     else if (at(0, "BM")) "bmp"
     else if (at(0, "fLaC")) "flac"
+    else if (at(0, "OggS")) "ogg"
     // MPEG audio: an ID3v2 tag, or a bare frame sync (11 set bits —
     // second byte 0xE0..0xFF; no overlap with jpeg's FF D8, and 0xFF
     // cannot open valid UTF-8 text). The SQL mirror tests the second
@@ -1617,6 +1618,113 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Parsed Ogg stream facts for the FIRST beginning-of-stream logical
+    * bitstream whose opening packet is a recognized audio
+    * identification header: codec ("vorbis" | "opus"), the declared
+    * rate/channels, the granule-derived total samples and exact
+    * duration, the logical stream's payload byte count (its own pages'
+    * segments, other multiplexed serials excluded), and whether the
+    * declared bitrate bounds leave it variable. */
+  final case class OggMeta(
+      codec: String, sampleRate: Int, channels: Int, totalSamples: Long,
+      durationMs: Long, streamBytes: Long, vbr: Boolean)
+
+  /** REAL Ogg metadata with zero decode — the page-walk member of the
+    * header-walk family (RIFF / ISO BMFF / MPEG frames / FLAC blocks):
+    * each page is "OggS" + version(0) + header-type flags + s64-LE
+    * granule position + serial + sequence + crc + a 1-byte segment
+    * count and segment table that fully size the page, so the walk is
+    * linear and never reads codec payload beyond the FIRST packet's
+    * identification header. The first BOS (flag 0x02) page whose
+    * opening bytes are 0x01+"vorbis" (rate LE-u32 at packet offset 12,
+    * channels u8 at 11, declared max/nominal/min bitrates at 16/20/24 —
+    * max==min>0 pins CBR, anything else is VBR) or `OpusHead` (channels
+    * u8 at 9, pre-skip LE-u16 at 10; Opus granules tick at 48 kHz and
+    * the pre-skip samples are decoder warm-up, subtracted) identifies
+    * the stream; duration comes from that serial's LAST finished-packet
+    * granule (pages with granule -1 finish no packet and carry no time).
+    *
+    * Hostile-input rules, as everywhere: version != 0, a truncated page
+    * header/segment table/payload, a granule that moves BACKWARD
+    * mid-stream (real serials are monotone), and an unrecognized or
+    * absent identification packet refuse to None without a throw; all
+    * accumulation is exact. Multiplexed files: the other serials' pages
+    * are walked for bounds but contribute nothing. */
+  def decodeOggMeta(payload: Array[Byte]): Option[OggMeta] = {
+    if (sniffContainer(payload) != "ogg") return None
+    try {
+      def leU32(o: Int): Long = (payload(o) & 0xffL) |
+        ((payload(o + 1) & 0xffL) << 8) | ((payload(o + 2) & 0xffL) << 16) |
+        ((payload(o + 3) & 0xffL) << 24)
+      def leU64(o: Int): Long = leU32(o) | (leU32(o + 4) << 32)
+      var pos = 0
+      var serial = -1L
+      var codec: String = null
+      var rate = 0
+      var channels = 0
+      var preSkip = 0
+      var vbr = true
+      var lastGranule = -1L
+      var streamBytes = 0L
+      while (pos + 27 <= payload.length) {
+        if (!(payload(pos) == 'O' && payload(pos + 1) == 'g' &&
+            payload(pos + 2) == 'g' && payload(pos + 3) == 'S')) return None
+        if ((payload(pos + 4) & 0xff) != 0) return None // version 0 only
+        val flags = payload(pos + 5) & 0xff
+        val granule = leU64(pos + 6)
+        val pageSerial = leU32(pos + 14)
+        val nSegs = payload(pos + 26) & 0xff
+        if (pos + 27 + nSegs > payload.length) return None
+        var bodyLen = 0
+        var i = 0
+        while (i < nSegs) {
+          bodyLen += payload(pos + 27 + i) & 0xff
+          i += 1
+        }
+        val body = pos + 27 + nSegs
+        if (body + bodyLen > payload.length) return None
+        if (codec == null && (flags & 0x02) != 0) {
+          // first BOS page: try to identify its opening packet
+          def pktAt(off: Int, s: String): Boolean =
+            bodyLen >= off + s.length &&
+              s.indices.forall(j =>
+                payload(body + off + j) == s.charAt(j).toByte)
+          if (bodyLen >= 1 && payload(body) == 0x01 &&
+              pktAt(1, "vorbis") && bodyLen >= 28) {
+            serial = pageSerial
+            codec = "vorbis"
+            channels = payload(body + 11) & 0xff
+            rate = leU32(body + 12).toInt
+            if (rate <= 0 || channels <= 0) return None
+            val brMax = leU32(body + 16).toInt
+            val brMin = leU32(body + 24).toInt
+            vbr = !(brMax > 0 && brMax == brMin)
+          } else if (pktAt(0, "OpusHead") && bodyLen >= 19) {
+            serial = pageSerial
+            codec = "opus"
+            channels = payload(body + 9) & 0xff
+            preSkip = (payload(body + 10) & 0xff) |
+              ((payload(body + 11) & 0xff) << 8)
+            rate = 48000 // Opus granules tick at 48 kHz regardless of input
+            if (channels <= 0) return None
+          }
+        }
+        if (codec != null && pageSerial == serial) {
+          streamBytes = Math.addExact(streamBytes, bodyLen.toLong)
+          if (granule != -1L) {
+            if (granule < lastGranule) return None // real serials are monotone
+            lastGranule = granule
+          }
+        }
+        pos = body + bodyLen
+      }
+      if (codec == null || lastGranule < 0) return None
+      val samples = math.max(0L, lastGranule - preSkip)
+      val durMs = Math.multiplyExact(samples, 1000L) / rate
+      Some(OggMeta(codec, rate, channels, samples, durMs, streamBytes, vbr))
+    } catch { case _: Exception => None }
+  }
+
   private val audioMetaSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("container", StringType, nullable = false),
@@ -1637,8 +1745,12 @@ object Multimodal {
     * FLAC carry STREAMINFO facts ([[decodeFlacMeta]]: duration from the
     * declared total samples, mean bitrate over the audio-byte extent
     * the metadata walk delimits, vbr unless the declared frame sizes
-    * pin one width; frame count NULL — STREAMINFO does not declare it).
-    * Everything else carries nulls. On this corpus prose never parses (0xFF cannot open UTF-8
+    * pin one width; frame count NULL — STREAMINFO does not declare it),
+    * and payloads that parse as Ogg Vorbis/Opus carry page-walk facts
+    * ([[decodeOggMeta]]: granule-derived duration, mean bitrate over
+    * the logical stream's own payload bytes, the identification
+    * header's bitrate-bound VBR verdict). Everything else carries
+    * nulls. On this corpus prose never parses (0xFF cannot open UTF-8
     * text and an 'ID3'-prefixed document still needs a valid frame sync
     * after the declared tag; a 'RIFF…WAVE' prefix without a real fmt/
     * data chunk fails the PCM reader), so the oracle's NULLs are exact
@@ -1681,7 +1793,18 @@ object Multimodal {
                       !(f.minFrame > 0 && f.minFrame == f.maxFrame), null)
                   case Some(_) => // total samples 0 = unknown per spec
                     Row(id, kind, null, null, null, null, null)
-                  case None => Row(id, kind, null, null, null, null, null)
+                  case None =>
+                    decodeOggMeta(payload) match {
+                      case Some(o) if o.totalSamples > 0 =>
+                        // no frame notion in a page stream → NULL; mean
+                        // bitrate over the logical stream's own payload
+                        // bytes (multiplexed serials excluded)
+                        Row(id, kind, o.durationMs, null,
+                          Math.multiplyExact(o.streamBytes,
+                            8L * o.sampleRate) / o.totalSamples,
+                          o.vbr, null)
+                      case _ => Row(id, kind, null, null, null, null, null)
+                    }
                 }
             }
         }

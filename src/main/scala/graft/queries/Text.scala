@@ -140,6 +140,7 @@ object Text {
                  WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
                  WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
                  WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
+                 WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
                  WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
                  WHEN substr(hx, 1, 2) = 'FF'
                       AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'

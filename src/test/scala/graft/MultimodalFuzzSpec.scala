@@ -69,6 +69,7 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeMp4Meta(payload)
     Multimodal.decodeMp3Meta(payload)
     Multimodal.decodeFlacMeta(payload)
+    Multimodal.decodeOggMeta(payload)
     Multimodal.sniffContainer(payload)
     Multimodal.decodeStub(payload)
     ()

@@ -284,6 +284,7 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
       Array(0xff.toByte, 0xd8.toByte)) === "jpeg")
     assert(Multimodal.sniffContainer(fcc("BMxx")) === "bmp")
     assert(Multimodal.sniffContainer(fcc("fLaC") ++ Array[Byte](0)) === "flac")
+    assert(Multimodal.sniffContainer(fcc("OggS") ++ Array[Byte](0)) === "ogg")
     assert(Multimodal.sniffContainer(fcc("ID3") ++ Array[Byte](4, 0, 0)) === "mp3")
     assert(Multimodal.sniffContainer(
       Array(0xff.toByte, 0xfb.toByte, 0x90.toByte)) === "mp3")
