@@ -1131,13 +1131,18 @@ object Multimodal {
     * (from `stsc`/`stco`/`co64`): total declared chunk count and the
     * span of declared chunk offsets (max − min — a lower bound on the
     * media-data extent, since the last chunk's bytes lie past its
-    * offset). `nSamples`/`sampleBytes`/`nChunks`/`chunkSpanBytes` are
-    * -1 when the file carries no such table at all (header-only
-    * fragments) — callers surface that as NULL, never as 0. */
+    * offset). `codecs` lists the distinct sample-description fourccs
+    * (`stsd` entries — avc1/hev1/mp4a/... — the codec IDENTITY, which
+    * is the routing fact a decode stage needs, readable with zero codec
+    * knowledge) in file order. `nSamples`/`sampleBytes`/`nChunks`/
+    * `chunkSpanBytes` are -1 (and `codecs` empty) when the file carries
+    * no such table at all (header-only fragments) — callers surface
+    * that as NULL, never as 0. */
   final case class Mp4Meta(
       durationMs: Long, nTracks: Int, width: Int, height: Int,
       nSamples: Long, sampleBytes: Long,
-      nChunks: Long = -1L, chunkSpanBytes: Long = -1L)
+      nChunks: Long = -1L, chunkSpanBytes: Long = -1L,
+      codecs: Seq[String] = Nil)
 
   /** Big-endian u32 at `off` (ISO BMFF sizes/fields), as Long — a
     * hostile size field can exceed Int.MaxValue and must not wrap
@@ -1202,6 +1207,7 @@ object Multimodal {
       var nChunks = -1L
       var chunkOffMin = Long.MaxValue
       var chunkOffMax = -1L
+      val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
       // nest a second mvhd inside a trak, and a depth-only match would
@@ -1278,6 +1284,30 @@ object Multimodal {
                 }
               sampleBytes = Math.addExact(
                 if (sampleBytes < 0) 0L else sampleBytes, acc)
+            case "stsd" if parent == "stbl" =>
+              // fullbox v0 + u32 entry_count + sample-description
+              // entries of (u32 size, 4cc codec format, ...). The
+              // fourcc IS the codec identity (avc1/hev1/mp4a/...) — the
+              // routing fact a decode stage needs, readable with zero
+              // codec knowledge. Entry sizes are validated against the
+              // box while walking; a fourcc with non-printable bytes is
+              // a lying table, refused like any hostile header
+              if (dataLen < 8 || (payload(ds) & 0xff) != 0) return false
+              val entries = beU32(payload, ds + 4)
+              if (entries > (dataLen - 8) / 8) return false
+              var p = ds + 8L
+              val boxEnd = ds + dataLen
+              var i = 0L
+              while (i < entries) {
+                if (p + 8 > boxEnd) return false
+                val esz = beU32(payload, p.toInt)
+                if (esz < 8 || esz > boxEnd - p) return false
+                val cc = fourcc(payload, p.toInt + 4)
+                if (!cc.forall(c => c >= 0x20 && c <= 0x7e)) return false
+                codecs += cc
+                p += esz
+                i += 1
+              }
             case "stsc" if parent == "stbl" =>
               // fullbox v0 + u32 entry_count + entry_count × (u32
               // first_chunk, u32 samples_per_chunk, u32 sdi). Carries no
@@ -1356,7 +1386,7 @@ object Multimodal {
       val durMs = Math.multiplyExact(duration, 1000L) / timescale
       val span = if (nChunks > 0) chunkOffMax - chunkOffMin else -1L
       Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes,
-        nChunks, span))
+        nChunks, span, codecs.toSeq))
     } catch { case _: Exception => None }
   }
 
@@ -1824,7 +1854,8 @@ object Multimodal {
     StructField("sample_bytes", LongType, nullable = true),
     StructField("bitrate_bps", LongType, nullable = true),
     StructField("n_chunks", LongType, nullable = true),
-    StructField("chunk_span_bytes", LongType, nullable = true)))
+    StructField("chunk_span_bytes", LongType, nullable = true),
+    StructField("codecs", StringType, nullable = true)))
 
   /** Per-payload container metadata: the magic-number `container` column
     * ([[sniffContainer]] — oracle-replayed from hex(payload)) plus REAL
@@ -1855,10 +1886,12 @@ object Multimodal {
             val nc = if (m.nChunks >= 0) java.lang.Long.valueOf(m.nChunks) else null
             val cs = if (m.chunkSpanBytes >= 0)
               java.lang.Long.valueOf(m.chunkSpanBytes) else null
+            val cd = if (m.codecs.nonEmpty) m.codecs.mkString(",") else null
             Row(id, kind, m.durationMs, m.nTracks.toLong,
-              m.width.toLong, m.height.toLong, ns, sb, br, nc, cs)
+              m.width.toLong, m.height.toLong, ns, sb, br, nc, cs, cd)
           case None =>
-            Row(id, kind, null, null, null, null, null, null, null, null, null)
+            Row(id, kind, null, null, null, null, null, null, null, null,
+              null, null)
         }
       }
     }

@@ -733,7 +733,8 @@ object Text {
                CAST(NULL AS BIGINT) AS sample_bytes,
                CAST(NULL AS BIGINT) AS bitrate_bps,
                CAST(NULL AS BIGINT) AS n_chunks,
-               CAST(NULL AS BIGINT) AS chunk_span_bytes
+               CAST(NULL AS BIGINT) AS chunk_span_bytes,
+               CAST(NULL AS VARCHAR) AS codecs
         FROM b"""),
       (s, dir) => Multimodal.containerMeta(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),

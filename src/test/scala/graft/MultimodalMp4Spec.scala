@@ -87,6 +87,12 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
         be32(fc) ++ be32(spc) ++ be32(1L)
       }.toArray)
 
+  /** stsd with one minimal (size + fourcc + pad) entry per codec. */
+  private def stsd(codecs: String*): Array[Byte] =
+    box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(codecs.length.toLong) ++
+      codecs.flatMap(c => be32(16) ++ fcc(c) ++ Array.fill[Byte](8)(0))
+        .toArray)
+
   // timescale 600, duration 3000 -> 5000 ms; video 640x360 (3 samples
   // via per-sample stsz = 6000 bytes) + audio 0x0 (4 samples via
   // fixed-size stsz = 400 bytes)
@@ -179,6 +185,35 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
       stco(60L))).isEmpty)
     assert(Multimodal.decodeMp4Meta(mp4WithChunks(
       box("stco", Array[Byte](1, 0, 0, 0) ++ be32(0)), stco(60L))).isEmpty)
+  }
+
+  test("decodeMp4Meta: stsd codec fourccs surface in file order; lying " +
+      "entry tables refused") {
+    def mp4With(t1: Array[Byte], t2: Array[Byte]): Array[Byte] =
+      ftyp ++ box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(64, 64) ++ mediaChain(t1)) ++
+        box("trak", tkhdV0(0, 0) ++ mediaChain(t2)))
+    val m = Multimodal.decodeMp4Meta(
+      mp4With(stsd("avc1"), stsd("mp4a", "Opus"))).get
+    assert(m.codecs === Seq("avc1", "mp4a", "Opus"))
+    // no stsd anywhere -> empty (containerMeta surfaces NULL)
+    assert(Multimodal.decodeMp4Meta(mp4V0).get.codecs === Nil)
+    // entry size lying past the box
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(9999) ++
+        fcc("avc1")), stsd("mp4a"))).isEmpty)
+    // entry_count lying past the box aborts BEFORE looping
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(0xffffffffL)),
+      stsd("mp4a"))).isEmpty)
+    // a fourcc with non-printable bytes is a lying table
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ be32(16) ++
+        Array[Byte](1, 2, 3, 4) ++ Array.fill[Byte](8)(0)),
+      stsd("mp4a"))).isEmpty)
+    // nonzero version refused
+    assert(Multimodal.decodeMp4Meta(mp4With(
+      box("stsd", Array[Byte](1, 0, 0, 0) ++ be32(0)), stsd("mp4a"))).isEmpty)
   }
 
   test("decodeMp4Meta: v1 mvhd/tkhd (64-bit times) parse at their own offsets") {
@@ -316,17 +351,23 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(rows(1L).getLong(6) === 7L)
     assert(rows(1L).getLong(7) === 6400L)
     assert(rows(1L).getLong(8) === 10240L)
-    // mp4V0 declares samples but no chunk tables: chunk columns NULL
-    assert(rows(1L).isNullAt(9) && rows(1L).isNullAt(10))
+    // mp4V0 declares samples but no chunk/stsd tables: those columns NULL
+    assert(rows(1L).isNullAt(9) && rows(1L).isNullAt(10) && rows(1L).isNullAt(11))
     assert(rows(2L).getString(1) === "mp4")
     assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3))
     assert(rows(3L).getString(1) === "none")
-    assert((2 to 10).forall(rows(3L).isNullAt))
+    assert((2 to 11).forall(rows(3L).isNullAt))
     // a parsed MP4 without any stbl carries NULL sample columns, not 0
     val bare = ftyp ++ box("moov", mvhdV0(600, 3000) ++ box("trak", tkhdV0(320, 240)))
     val r = Multimodal.containerMeta(Seq((9L, bare)).toDF("doc_id", "payload"))
       .collect().head
     assert(r.getLong(2) === 5000L)
-    assert((6 to 10).forall(r.isNullAt))
+    assert((6 to 11).forall(r.isNullAt))
+    // an stsd-carrying file surfaces the comma-joined codec identities
+    val withCodecs = ftyp ++ box("moov", mvhdV0(600, 3000) ++
+      box("trak", tkhdV0(64, 64) ++ mediaChain(stsd("avc1", "mp4a"))))
+    val rc = Multimodal.containerMeta(
+      Seq((10L, withCodecs)).toDF("doc_id", "payload")).collect().head
+    assert(rc.getString(11) === "avc1,mp4a")
   }
 }
