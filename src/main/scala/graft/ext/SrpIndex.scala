@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    by doc_id. The hamming prefilter reads ONLY (doc_id, sig) —
   *    parquet column pruning keeps the 128-double vectors on disk until
   *    the few hamming survivors need exact cosine.
-  *  - `meta.json`: (dim, bits, bands, seed, n) so probes always project
+  *  - `meta.json`: (dim, bits, bands, seed) so probes always project
   *    against the index's own hyperplane family and band shape
   *    ([[Similarity.srpHyperplanes]] is prefix-stable and seeded, so the
   *    batch side reproduces the corpus banding exactly).
@@ -176,53 +176,90 @@ object SrpIndex {
     * driver collects that become partition-pruning `IN` predicates on
     * the index reads; past `maxInList` keys the probe falls back to one
     * full index scan joined against the batch (the giant-backfill
-    * regime). The candidate-volume guard accounts Σ |batch bucket| ×
-    * |corpus bucket| over shared band keys BEFORE the candidate join —
-    * one narrow aggregation over frames already in hand (the pruned
-    * corpus band read + the cached batch bands), so a degenerate batch
-    * (mass-identical embeddings collapsing a band bucket) refuses with
-    * the hot buckets named instead of burying the shuffle
-    * ([[Dedup.enforceCandidateCap]]; covers the streaming form too,
-    * which probes exclusively through here). Hamming prefilter then
-    * exact cosine run on signature/vector columns read for candidates
-    * only, in that order — vectors ship solely for hamming survivors. */
+    * regime), and the key distinct is SKIPPED outright when the batch's
+    * band-row count (known exactly: docs × bands) already rules the
+    * IN-list out. The guard and the candidate join share one corpus
+    * pass: each matched corpus band row is tagged with its bucket's
+    * batch COUNT (a long — linear in matched rows, safe to materialize
+    * pre-guard, unlike anything pair-shaped), the guard total
+    * Σ |batch bucket| × |corpus bucket| is one sum over that tagged
+    * frame, and the candidate join reuses it as its corpus side — a
+    * degenerate batch (mass-identical embeddings collapsing a band
+    * bucket) refuses with the hot buckets named before any pair row
+    * exists ([[Dedup.enforceCandidateCap]]; covers the streaming form
+    * too, which probes exclusively through here). The sigs-pruning id
+    * list reads off the tagged frame directly (a corpus doc is in some
+    * candidate pair iff it has a matched row), so the pair join, its
+    * distinct, the hamming prefilter and the exact-cosine verify all
+    * fuse into the caller's one terminal action. Signature and vector
+    * columns are read for candidates only, in that order — vectors ship
+    * solely for hamming survivors. */
   def searchAgainst(
       index: Loaded, batch: DataFrame, threshold: Double,
       maxInList: Int = 2048): DataFrame = {
     val spark = batch.sparkSession
+    val sc = spark.sparkContext
+    def phase[T](name: String)(body: => T): T = {
+      sc.setJobDescription(s"srpSearchAgainst:$name")
+      try body finally sc.setJobDescription(null)
+    }
     val h = index.bits * index.bands
     val bSigs = signatures(
       batch, index.dim, index.bits, index.bands, index.seed).persist(Lvl)
     val bBands = bandRows(bSigs).persist(Lvl)
-    var candidates: DataFrame = null
+    var matched: DataFrame = null
     try {
-      val probeKeys = bBands.select("bkey").distinct()
-        .limit(maxInList + 1).collect().map(_.getLong(0))
+      // every batch doc emits exactly `bands` band rows, so the batch's
+      // band-row count bounds what the probe-key distinct can return:
+      // past 32x the IN-list budget only a >=32x mass-duplicated batch
+      // could still fit, so skip the distinct job outright (such a batch
+      // loses partition pruning — nothing else; the volume guard below
+      // still governs it) instead of paying a shuffle just to learn
+      // "too many keys"
+      val nBandRows = phase("batchCount")(bSigs.count()) * index.bands
+      val tooManyKeys = nBandRows > 32L * (maxInList + 1)
+      val probeKeys =
+        if (tooManyKeys) Array.empty[Long]
+        else phase("probeKeys")(bBands.select("bkey").distinct()
+          .limit(maxInList + 1).collect().map(_.getLong(0)))
       val corpusBands0 = spark.read.parquet(s"${index.path}/bands")
       val corpusBands =
-        if (probeKeys.length <= maxInList) {
+        if (!tooManyKeys && probeKeys.length <= maxInList) {
           val bps = probeKeys.map(k => ((k % 16) + 16) % 16).distinct.toIndexedSeq
           corpusBands0.where(col("bp").isin(bps: _*) &&
             col("bkey").isin(probeKeys.toIndexedSeq: _*))
         } else corpusBands0
+      // fuse the guard with the candidate join's corpus leg: tag each
+      // matched corpus band row with its bucket's BATCH count (a long —
+      // linear in matched corpus rows, safe to materialize pre-guard,
+      // unlike anything pair-shaped), so the guard total is one sum over
+      // the tagged frame and the candidate join reuses it as its corpus
+      // side — the corpus band table is scanned and shuffled ONCE per
+      // probe instead of once for the guard and again for the join
+      val bCnt = bBands.groupBy("bkey").agg(count(lit(1)).as("bc"))
+      matched = corpusBands.select(col("doc_id").as("doc_b"), col("bkey"))
+        .join(bCnt, Seq("bkey"))
+        .persist(Lvl)
       val cap = Dedup.candidatePairCap(spark)
       if (cap > 0) {
-        val perBucket = bBands.groupBy("bkey").agg(count(lit(1)).as("bc"))
-          .join(corpusBands.groupBy("bkey").agg(count(lit(1)).as("cc")),
-            Seq("bkey"))
-          .select(col("bkey"), (col("bc") * col("cc")).as("p"))
-        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        val total = phase("guard")(
+          matched.agg(coalesce(sum("bc"), lit(0L))).head.getLong(0))
         Dedup.enforceCandidateCap("srpSearchAgainst", total, cap,
-          perBucket.orderBy(col("p").desc).limit(5).collect()
+          matched.groupBy("bkey").agg(sum("bc").as("p"))
+            .orderBy(col("p").desc).limit(5).collect()
             .map(r => r.getLong(0).toString -> r.getLong(1)).toSeq)
       }
-      candidates = bBands.select(col("doc_id").as("doc_a"), col("bkey"))
-        .join(corpusBands.select(col("doc_id").as("doc_b"), col("bkey")),
-          Seq("bkey"))
+      // a corpus doc appears in some candidate pair iff it has a row in
+      // `matched` (both mean "shares a band bucket with a batch doc"),
+      // so the sigs-pruning id list comes straight off the persisted
+      // matched frame — the pair join, its distinct, the hamming gate
+      // and the cosine verify then all fuse lazily into the caller's one
+      // terminal action instead of being materialized mid-probe
+      val candIds = phase("candIds")(matched.select("doc_b").distinct()
+        .limit(maxInList + 1).collect().map(_.getLong(0)))
+      val candidates = bBands.select(col("doc_id").as("doc_a"), col("bkey"))
+        .join(matched.select(col("doc_b"), col("bkey")), Seq("bkey"))
         .select("doc_a", "doc_b").distinct()
-        .persist(Lvl)
-      val candIds = candidates.select("doc_b").distinct()
-        .limit(maxInList + 1).collect().map(_.getLong(0))
       def prunedSigs(cols: Column*): DataFrame = {
         val base = spark.read.parquet(s"${index.path}/sigs")
         val pruned =
@@ -256,7 +293,7 @@ object SrpIndex {
     } finally {
       bSigs.unpersist()
       bBands.unpersist()
-      if (candidates != null) { candidates.unpersist(); () }
+      if (matched != null) { matched.unpersist(); () }
     }
   }
 
