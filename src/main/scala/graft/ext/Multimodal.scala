@@ -1207,6 +1207,7 @@ object Multimodal {
       var nChunks = -1L
       var chunkOffMin = Long.MaxValue
       var chunkOffMax = -1L
+      var chunkOffsetsBeyondPayload = false
       val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
@@ -1328,10 +1329,16 @@ object Multimodal {
               }
             case "stco" | "co64" if parent == "stbl" =>
               // fullbox v0 + u32 entry_count + one u32 (stco) or u64
-              // (co64) chunk offset per entry. Offsets index THIS file,
-              // so one declared past end-of-payload is truncation or a
-              // lie — refused, the chunk-offset analog of the frame-
-              // length check in the MP3 walk
+              // (co64) chunk offset per entry. Offsets index the FULL
+              // file, which this payload may only be a prefix of — a
+              // moov-first metadata fetch legitimately carries offsets
+              // into an mdat that was never downloaded. A negative
+              // offset (u64 wrap) is a lie in ANY file and refuses; an
+              // offset past end-of-payload instead degrades the
+              // chunk-layout stats to unknown (-1) while the walk — and
+              // every duration/track/sample fact — continues (r19
+              // ADVICE: refusing here regressed metadata-only payloads
+              // that parsed fully in round 18)
               val wide = typ == "co64"
               val entSz = if (wide) 8 else 4
               if (dataLen < 8 || (payload(ds) & 0xff) != 0) return false
@@ -1342,9 +1349,12 @@ object Multimodal {
                 val off =
                   if (wide) beU64(payload, (ds + 8 + i * 8).toInt)
                   else beU32(payload, (ds + 8 + i * 4).toInt)
-                if (off < 0 || off >= payload.length) return false
-                if (off < chunkOffMin) chunkOffMin = off
-                if (off > chunkOffMax) chunkOffMax = off
+                if (off < 0) return false
+                if (off >= payload.length) chunkOffsetsBeyondPayload = true
+                else {
+                  if (off < chunkOffMin) chunkOffMin = off
+                  if (off > chunkOffMax) chunkOffMax = off
+                }
                 i += 1
               }
               nChunks = Math.addExact(
@@ -1384,9 +1394,14 @@ object Multimodal {
       if (!walk(0, payload.length.toLong, 0, "")) return None
       if (!sawMvhd || timescale <= 0) return None
       val durMs = Math.multiplyExact(duration, 1000L) / timescale
-      val span = if (nChunks > 0) chunkOffMax - chunkOffMin else -1L
+      // any offset beyond the payload means the chunk layout describes
+      // bytes we do not have — both layout stats degrade to unknown
+      // rather than reporting a count whose span would be a fiction
+      val layoutKnown = nChunks > 0 && !chunkOffsetsBeyondPayload
+      val span = if (layoutKnown) chunkOffMax - chunkOffMin else -1L
       Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes,
-        nChunks, span, codecs.toSeq))
+        if (chunkOffsetsBeyondPayload) -1L else nChunks, span,
+        codecs.toSeq))
     } catch { case _: Exception => None }
   }
 
@@ -1565,8 +1580,12 @@ object Multimodal {
       }
       if (nFrames == 0L || sampleRate <= 0) return None
       // a present frame-count field must agree with the walked audio
-      // frames — disagreement means truncation or a lying header
-      if (xingFrames >= 0 && xingFrames != nFrames) return None
+      // frames — disagreement means truncation or a lying header. Real
+      // encoders disagree on whether the count includes the Xing frame
+      // itself (LAME excludes it; some muxers count every frame), so
+      // nFrames + 1 is also a valid declaration, not a lie (r19 ADVICE)
+      if (xingFrames >= 0 && xingFrames != nFrames &&
+        xingFrames != nFrames + 1) return None
       val durMs = Math.multiplyExact(totalSamples, 1000L) / sampleRate
       val bps = Math.multiplyExact(totalBytes, 8L * sampleRate) / totalSamples
       Some(Mp3Meta(nFrames, sampleRate, durMs, bps, vbr || xingIsVbr,

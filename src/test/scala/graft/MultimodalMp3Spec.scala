@@ -126,9 +126,17 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
     val cbr = Multimodal.decodeMp3Meta(Array.concat(
       xingFrame("Info", 2), v1l3_128(), v1l3_128())).get
     assert(cbr.nFrames === 2L && cbr.xingFrames === 2L && !cbr.vbr)
-    // declared frame count disagreeing with the walk = truncated/lying
+    // nFrames + 1 is the OTHER real-encoder convention (count includes
+    // the Xing frame itself) — accepted, not a lie (r19 ADVICE)
+    val incl = Multimodal.decodeMp3Meta(Array.concat(
+      xingFrame("Xing", 3), v1l3_128(), v1l3_128())).get
+    assert(incl.nFrames === 2L && incl.xingFrames === 3L && incl.vbr)
+    // declared frame count disagreeing with the walk beyond that
+    // off-by-one = truncated/lying
     assert(Multimodal.decodeMp3Meta(Array.concat(
       xingFrame("Xing", 5), v1l3_128(), v1l3_128())).isEmpty)
+    assert(Multimodal.decodeMp3Meta(Array.concat(
+      xingFrame("Xing", 1), v1l3_128(), v1l3_128())).isEmpty)
     // flags declaring a TOC that cannot fit inside the frame = lying
     // header: MPEG1 L3 32 kbps @ 48000 is a 96-byte frame, 36 + 8 + 4 +
     // 100 bytes of declared fields overflow it

@@ -169,9 +169,24 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
       stsc((1L, 2L), (1L, 1L)) ++ stco(40L), stco(60L))).isEmpty)
     assert(Multimodal.decodeMp4Meta(mp4WithChunks(
       stsc((0L, 2L)) ++ stco(40L), stco(60L))).isEmpty)
-    // a chunk offset at/past end-of-payload = truncation or a lie
+    // a chunk offset past end-of-payload is NOT a refusal: a moov-first
+    // metadata fetch legitimately references an undownloaded mdat. The
+    // layout stats degrade to unknown (-1) while every duration/track
+    // fact still parses (r19 ADVICE — refusing regressed round-18
+    // behavior for prefix-fetched headers)
+    val prefix = Multimodal.decodeMp4Meta(mp4WithChunks(
+      stco(1000000L), stco(60L))).get
+    assert(prefix.nChunks === -1L && prefix.chunkSpanBytes === -1L)
+    assert(prefix.durationMs === 5000L && prefix.nTracks === 2)
+    // metadata-only payload: moov alone, offsets all beyond the payload
+    val metaOnly = Multimodal.decodeMp4Meta(
+      ftyp ++ box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(64, 64) ++ mediaChain(stco(5000L, 9000L))))).get
+    assert(metaOnly.nChunks === -1L && metaOnly.chunkSpanBytes === -1L)
+    assert(metaOnly.durationMs === 5000L && metaOnly.nTracks === 1)
+    // a NEGATIVE co64 offset (u64 wrap) is a lie in any file — refused
     assert(Multimodal.decodeMp4Meta(mp4WithChunks(
-      stco(1000000L), stco(60L))).isEmpty)
+      co64(-1L), stco(60L))).isEmpty)
     // entry_count lying past the box aborts BEFORE looping; nonzero
     // version refused (spec defines only version 0)
     assert(Multimodal.decodeMp4Meta(mp4WithChunks(

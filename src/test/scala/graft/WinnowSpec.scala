@@ -79,6 +79,26 @@ class WinnowSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("rolling candidate path: volume guard trips on a degenerate " +
+      "corpus, completes it with the guard off (r19 ADVICE)") {
+    // winnowRecallGate no longer re-runs the rolling operator, so the
+    // rolling leg's candidate join + guard need their own end-to-end
+    // fixture: mass-identical docs collapse every fingerprint bucket
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, "the same exact sentence repeated for winnowing " * 4))
+      .toDF("doc_id", "text")
+    spark.conf.set(Dedup.MaxCandidatePairsConf, "1")
+    try {
+      val e = intercept[Dedup.CandidateVolumeExceeded](
+        Dedup.winnowNearDup(docs, 0.7, rolling = true).count())
+      assert(e.getMessage.contains("winnowNearDup"))
+    } finally spark.conf.unset(Dedup.MaxCandidatePairsConf)
+    // guard off: the degenerate corpus completes and every pair surfaces
+    assert(Dedup.winnowNearDup(docs, 0.7, rolling = true).count()
+      === 40L * 39 / 2)
+  }
+
   test("winnowRecallGate emits portable pairs with recall_ok true") {
     val docs = Tables.load(spark, sfDir, "documents")
     val expected = Dedup.winnowNearDup(docs, 0.7)
