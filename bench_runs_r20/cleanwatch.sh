@@ -15,8 +15,11 @@ R=/root/repo/bench_runs_r20
 CTRL=/tmp/graft_ctrl_r19
 NEW=/tmp/graft_new_r20   # pinned at the latest committed round-20 sha; the
                          # builder fast-forwards + rebuilds it at milestones
-MAXPROBES=${1:-70}
+HOURS=${1:-6}            # run until this many hours from launch (HELD
+                         # iterations don't burn coverage — the r20 fix
+                         # over the count-based first version)
 MAXPAIRS=${2:-2}
+DEADLINE=$(( $(date +%s) + HOURS * 3600 ))
 pairs=0
 
 proberead() {
@@ -31,7 +34,9 @@ run_one() { # sfdir name repo
   echo "leg $2 done $(date -u +%FT%TZ)" >> $R/progress.log
 }
 
-for i in $(seq 1 $MAXPROBES); do
+i=0
+while [ $(date +%s) -lt $DEADLINE ]; do
+  i=$((i+1))
   if [ -e $R/STOP ]; then echo "cleanwatch: STOP at probe $i" >> $R/progress.log; exit 0; fi
   if [ -e $R/HOLD ]; then
     echo "cleanwatch[$i] HELD (builder busy) $(date -u +%FT%TZ)" >> $R/progress.log
@@ -58,4 +63,4 @@ for i in $(seq 1 $MAXPROBES); do
   esac
   sleep 280
 done
-echo "cleanwatch: finished $MAXPROBES probes, $pairs pair sets $(date -u +%FT%TZ)" >> $R/progress.log
+echo "cleanwatch: deadline reached after $i probes, $pairs pair sets $(date -u +%FT%TZ)" >> $R/progress.log

@@ -1105,11 +1105,20 @@ object Multimodal {
     else if (at(0, "BM")) "bmp"
     else if (at(0, "fLaC")) "flac"
     else if (at(0, "OggS")) "ogg"
+    // EBML magic — the Matroska/WebM family (SQL mirror: hex prefix
+    // 1A45DFA3)
+    else if (p.length >= 4 && p(0) == 0x1a.toByte && p(1) == 0x45.toByte &&
+      p(2) == 0xdf.toByte && p(3) == 0xa3.toByte) "mkv"
     // MPEG audio: an ID3v2 tag, or a bare frame sync (11 set bits —
     // second byte 0xE0..0xFF; no overlap with jpeg's FF D8, and 0xFF
     // cannot open valid UTF-8 text). The SQL mirror tests the second
     // hex nibble-pair's first char in ('E','F').
     else if (at(0, "ID3")) "mp3"
+    // ADTS (raw AAC): frame sync with LAYER BITS 00 — second byte
+    // F0/F1/F8/F9. MPEG-audio (MP3) frames always have nonzero layer
+    // bits, so this carve-out precedes (and cannot overlap) the bare
+    // MP3 sync rule below. The SQL mirror tests the same four pairs.
+    else if (p.length >= 2 && p(0) == 0xff.toByte && (p(1) & 0xf6) == 0xf0) "aac"
     else if (p.length >= 2 && p(0) == 0xff.toByte && (p(1) & 0xe0) == 0xe0) "mp3"
     else "none"
   }
@@ -1142,7 +1151,7 @@ object Multimodal {
       durationMs: Long, nTracks: Int, width: Int, height: Int,
       nSamples: Long, sampleBytes: Long,
       nChunks: Long = -1L, chunkSpanBytes: Long = -1L,
-      codecs: Seq[String] = Nil)
+      codecs: Seq[String] = Nil, codecParams: Seq[String] = Nil)
 
   /** Big-endian u32 at `off` (ISO BMFF sizes/fields), as Long — a
     * hostile size field can exceed Int.MaxValue and must not wrap
@@ -1209,6 +1218,140 @@ object Multimodal {
       var chunkOffMax = -1L
       var chunkOffsetsBeyondPayload = false
       val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
+      val codecParams = scala.collection.mutable.LinkedHashSet.empty[String]
+      // decoder CONFIG one box deeper than the fourcc (r19 item 4,
+      // public ISO 14496-15 / 14496-1): avcC inside an avc1/avc3 visual
+      // entry carries profile / level / NAL length size; esds inside an
+      // mp4a audio entry carries the objectTypeIndication and — for AAC
+      // — the AudioSpecificConfig's object type, sampling rate and
+      // channel configuration. Pure header arithmetic, zero codecs;
+      // a present-but-lying config refuses the walk (the stsd rule),
+      // an ABSENT config just surfaces no parameters.
+      def parseAvcC(cc: String, ds: Int, len: Long): Boolean = {
+        // AVCDecoderConfigurationRecord: version(1)=1, profile(1),
+        // compat(1), level(1), 6 reserved bits + lengthSizeMinusOne(2)
+        if (len < 5) return false
+        if ((payload(ds) & 0xff) != 1) return false
+        val profile = payload(ds + 1) & 0xff
+        val level = payload(ds + 3) & 0xff
+        val nal = (payload(ds + 4) & 3) + 1
+        codecParams += s"$cc:profile=$profile;level=$level;nal=$nal"
+        true
+      }
+      // AAC sampling rates by samplingFrequencyIndex (ISO 14496-3
+      // table 1.18); 13/14 reserved, 15 = explicit 24-bit rate follows
+      val aacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+        24000, 22050, 16000, 12000, 11025, 8000, 7350)
+      def parseEsds(ds: Int, len: Long): Boolean = {
+        // fullbox v0, then an MPEG-4 descriptor stream. Expandable
+        // lengths are 1-4 bytes, high bit = continuation; every
+        // descriptor's declared extent is bounds-checked against the
+        // box before its fields are read.
+        if (len < 4 || (payload(ds) & 0xff) != 0) return false
+        val end = ds + len
+        var p = ds + 4L
+        def u8(): Int = { val v = payload(p.toInt) & 0xff; p += 1; v }
+        def expLen(): Long = {
+          var v = 0L
+          var i = 0
+          while (i < 4) {
+            if (p >= end) return -1L
+            val b = u8()
+            v = (v << 7) | (b & 0x7f)
+            if ((b & 0x80) == 0) return v
+            i += 1
+          }
+          -1L // a 5th continuation byte is not a legal expandable length
+        }
+        // ES_Descriptor (tag 0x03): ES_ID(2) + flags(1) + optionals
+        if (p >= end || u8() != 0x03) return false
+        if (expLen() < 0) return false
+        if (p + 3 > end) return false
+        p += 2
+        val esFlags = u8()
+        if ((esFlags & 0x80) != 0) { if (p + 2 > end) return false; p += 2 }
+        if ((esFlags & 0x40) != 0) {
+          if (p >= end) return false
+          val urlLen = u8(); if (p + urlLen > end) return false; p += urlLen
+        }
+        if ((esFlags & 0x20) != 0) { if (p + 2 > end) return false; p += 2 }
+        // DecoderConfigDescriptor (tag 0x04): OTI(1), streamType(1),
+        // bufferSizeDB(3), maxBitrate(4), avgBitrate(4)
+        if (p >= end || u8() != 0x04) return false
+        val dcLen = expLen()
+        if (dcLen < 13 || p + dcLen > end) return false
+        val dcEnd = p + dcLen
+        val oti = u8()
+        p += 12
+        // DecoderSpecificInfo (tag 0x05): for AAC (OTI 0x40 / 0x66-68)
+        // the AudioSpecificConfig: 5-bit audioObjectType (31 = escape,
+        // +6 bits), 4-bit samplingFrequencyIndex (15 = explicit 24-bit
+        // rate), 4-bit channelConfiguration
+        val isAac = oti == 0x40 || (oti >= 0x66 && oti <= 0x68)
+        if (isAac && p < dcEnd && (payload(p.toInt) & 0xff) == 0x05) {
+          p += 1
+          val dsLen = expLen()
+          if (dsLen < 2 || p + dsLen > dcEnd) return false
+          var bitPos = 0
+          def bits(n: Int): Int = {
+            // reads within the first 5 bytes of the config — enough for
+            // aot(5|11) + freq(4|28) + chan(4); callers bounds-check
+            var v = 0
+            var i = 0
+            while (i < n) {
+              val byteI = (bitPos + i) / 8
+              if (p + byteI >= p + dsLen || p + byteI >= dcEnd) return -1
+              val bit = (payload((p + byteI).toInt) >> (7 - (bitPos + i) % 8)) & 1
+              v = (v << 1) | bit
+              i += 1
+            }
+            bitPos += n
+            v
+          }
+          var aot = bits(5)
+          if (aot == 31) { val ext = bits(6); if (ext < 0) return false; aot = 32 + ext }
+          if (aot < 0) return false
+          val freqIdx = bits(4)
+          if (freqIdx < 0) return false
+          val rate =
+            if (freqIdx == 15) { val r = bits(24); if (r < 0) return false; r }
+            else if (freqIdx < aacRates.length) aacRates(freqIdx)
+            else return false // 13/14 reserved = lying config
+          val ch = bits(4)
+          if (ch < 0) return false
+          codecParams += s"mp4a:oti=$oti;aot=$aot;rate=$rate;ch=$ch"
+        } else codecParams += s"mp4a:oti=$oti"
+        true
+      }
+      // child boxes of a sample entry start after the entry's fixed
+      // body: 78 bytes for a VisualSampleEntry, 28 for a v0
+      // AudioSampleEntry (+16 for QuickTime v1; v2 layouts are left
+      // unparsed — absent params, not a refusal)
+      def entryChildren(cc: String, entOff: Long, entEnd: Long): Boolean = {
+        val bodyOff: Long = cc match {
+          case "avc1" | "avc3" => 86L
+          case "mp4a" =>
+            if (entOff + 18 > entEnd) return true
+            val ver = ((payload((entOff + 16).toInt) & 0xff) << 8) |
+              (payload((entOff + 17).toInt) & 0xff)
+            if (ver == 0) 36L else if (ver == 1) 52L else return true
+          case _ => return true
+        }
+        var p = entOff + bodyOff
+        if (p > entEnd) return true // fixed body truncated: no children
+        while (p + 8 <= entEnd) {
+          val sz = beU32(payload, p.toInt)
+          if (sz < 8 || sz > entEnd - p) return false
+          val typ4 = fourcc(payload, p.toInt + 4)
+          if (typ4 == "avcC" && (cc == "avc1" || cc == "avc3")) {
+            if (!parseAvcC(cc, p.toInt + 8, sz - 8)) return false
+          } else if (typ4 == "esds" && cc == "mp4a") {
+            if (!parseEsds(p.toInt + 8, sz - 8)) return false
+          }
+          p += sz
+        }
+        true
+      }
       // leaves bind to their spec parent (mvhd under moov, tkhd under
       // trak, trak under moov), not to bare depth: a hostile file can
       // nest a second mvhd inside a trak, and a depth-only match would
@@ -1306,6 +1449,7 @@ object Multimodal {
                 val cc = fourcc(payload, p.toInt + 4)
                 if (!cc.forall(c => c >= 0x20 && c <= 0x7e)) return false
                 codecs += cc
+                if (!entryChildren(cc, p, p + esz)) return false
                 p += esz
                 i += 1
               }
@@ -1401,7 +1545,187 @@ object Multimodal {
       val span = if (layoutKnown) chunkOffMax - chunkOffMin else -1L
       Some(Mp4Meta(durMs, nTracks, width, height, nSamples, sampleBytes,
         if (chunkOffsetsBeyondPayload) -1L else nChunks, span,
-        codecs.toSeq))
+        codecs.toSeq, codecParams.toSeq))
+    } catch { case _: Exception => None }
+  }
+
+  /** Parsed Matroska/WebM header facts: presentation duration in ms
+    * (Info.Duration × Info.TimestampScale, ns → ms; -1 when the file
+    * declares no Duration — live captures legitimately omit it), track
+    * count, the largest video track's pixel dimensions (0×0 when no
+    * Video element appears — audio-only files), the distinct CodecID
+    * strings in file order, and the EBML DocType. Duration is the ONE
+    * float in any walk here — the spec makes it an EBML float — so the
+    * ms value is the floor of exact double arithmetic on two declared
+    * numbers, not an accumulation. */
+  final case class MkvMeta(
+      durationMs: Long, nTracks: Int, width: Int, height: Int,
+      codecs: Seq[String], docType: String)
+
+  /** REAL video metadata from Matroska/WebM containers — the EBML walk
+    * (public RFC 8794 + the Matroska spec), completing the mainstream
+    * container family next to RIFF / ISO BMFF / MPEG frames / Ogg
+    * pages: every element is (vint id, vint size, payload), the walk
+    * descends ONLY into Segment / Info / Tracks / TrackEntry / Video
+    * and skips everything else — including Cluster, the media data —
+    * by declared size, zero codec work. Facts read: Info's
+    * TimestampScale (ns per tick, default 1e6) and Duration (float,
+    * ticks), one TrackEntry count, each entry's CodecID string, and
+    * Video's PixelWidth/PixelHeight.
+    *
+    * Hostile-input rules, same as every walk here: a vint whose first
+    * byte is 0 (longer than 8 bytes), an element size lying past its
+    * parent, an unknown size (all value bits set) anywhere but the
+    * Segment (where the spec allows it for streaming — clamped to
+    * end-of-payload), a DocType other than matroska/webm, a zero
+    * TimestampScale, a non-finite or negative Duration, an oversized
+    * (>8 byte) integer/float field, and nesting past [[MaxBoxDepth]]
+    * all abort to None without a throw. Every element advances the
+    * cursor by its full header+payload extent (>= 2 bytes), so the
+    * walk terminates. */
+  def decodeMkvMeta(payload: Array[Byte]): Option[MkvMeta] = {
+    if (sniffContainer(payload) != "mkv") return None
+    try {
+      // vint reader: returns (value, bytesConsumed); marker stripped
+      // for sizes, kept for IDs (Matroska class-IDs are conventionally
+      // the full marked bytes). -1 length = invalid.
+      def vintLen(b: Int): Int = {
+        var mask = 0x80
+        var n = 1
+        while (mask != 0 && (b & mask) == 0) { mask >>= 1; n += 1 }
+        if (mask == 0) -1 else n
+      }
+      def readId(pos: Int): (Long, Int) = {
+        if (pos >= payload.length) return (-1L, -1)
+        val b0 = payload(pos) & 0xff
+        val n = vintLen(b0)
+        if (n < 1 || n > 4 || pos + n > payload.length) return (-1L, -1)
+        var v = b0.toLong
+        var i = 1
+        while (i < n) { v = (v << 8) | (payload(pos + i) & 0xffL); i += 1 }
+        (v, n)
+      }
+      // size: marker stripped; returns (-2) for the all-ones "unknown"
+      def readSize(pos: Int): (Long, Int) = {
+        if (pos >= payload.length) return (-1L, -1)
+        val b0 = payload(pos) & 0xff
+        val n = vintLen(b0)
+        if (n < 1 || n > 8 || pos + n > payload.length) return (-1L, -1)
+        var v = (b0 & (0xff >> n)).toLong
+        var allOnes = (b0 & (0xff >> n)) == (0xff >> n)
+        var i = 1
+        while (i < n) {
+          val b = payload(pos + i) & 0xff
+          if (b != 0xff) allOnes = false
+          v = (v << 8) | b
+          i += 1
+        }
+        if (allOnes) (-2L, n) else (v, n)
+      }
+      def readUint(ds: Int, len: Long): Long = {
+        if (len < 0 || len > 8) return -1L
+        var v = 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (payload(ds + i) & 0xffL); i += 1 }
+        v
+      }
+      def readFloat(ds: Int, len: Long): Double =
+        if (len == 4) {
+          var v = 0L
+          var i = 0
+          while (i < 4) { v = (v << 8) | (payload(ds + i) & 0xffL); i += 1 }
+          java.lang.Float.intBitsToFloat(v.toInt).toDouble
+        }
+        else if (len == 8) {
+          var v = 0L
+          var i = 0
+          while (i < 8) { v = (v << 8) | (payload(ds + i) & 0xffL); i += 1 }
+          java.lang.Double.longBitsToDouble(v)
+        }
+        else if (len == 0) 0.0
+        else Double.NaN
+
+      var timestampScale = 1000000L // spec default: 1 ms per tick
+      var durationTicks = -1.0
+      var sawDuration = false
+      var nTracks = 0
+      var width = 0
+      var height = 0
+      var docType: String = null
+      val codecs = scala.collection.mutable.LinkedHashSet.empty[String]
+
+      // ids: EBML 0x1A45DFA3, DocType 0x4282, Segment 0x18538067,
+      // Info 0x1549A966, TimestampScale 0x2AD7B1, Duration 0x4489,
+      // Tracks 0x1654AE6B, TrackEntry 0xAE, CodecID 0x86, Video 0xE0,
+      // PixelWidth 0xB0, PixelHeight 0xBA
+      def walk(from: Long, until: Long, depth: Int, parent: Long): Boolean = {
+        if (depth > MaxBoxDepth) return false
+        var pos = from
+        while (pos + 2 <= until) {
+          val (id, idLen) = readId(pos.toInt)
+          if (idLen < 0) return false
+          val (sz0, szLen) = readSize((pos + idLen).toInt)
+          if (szLen < 0) return false
+          val ds = pos + idLen + szLen
+          // unknown size: legal ONLY for the Segment (streaming
+          // captures) — it extends to end-of-payload
+          val sz =
+            if (sz0 == -2L) {
+              if (id != 0x18538067L) return false
+              until - ds
+            } else sz0
+          if (sz < 0 || ds + sz > until) return false
+          id match {
+            case 0x18538067L if parent == 0L => // Segment
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case 0x1549A966L if parent == 0x18538067L => // Info
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case 0x1654AE6BL if parent == 0x18538067L => // Tracks
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case 0xAEL if parent == 0x1654AE6BL => // TrackEntry
+              nTracks += 1
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case 0xE0L if parent == 0xAEL => // Video
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case 0x4282L if parent == 0x1A45DFA3L => // DocType
+              docType = new String(payload, ds.toInt, sz.toInt, "ISO-8859-1")
+            case 0x2AD7B1L if parent == 0x1549A966L => // TimestampScale
+              timestampScale = readUint(ds.toInt, sz)
+              if (timestampScale <= 0) return false
+            case 0x4489L if parent == 0x1549A966L => // Duration (float)
+              durationTicks = readFloat(ds.toInt, sz)
+              if (java.lang.Double.isNaN(durationTicks) ||
+                java.lang.Double.isInfinite(durationTicks) ||
+                durationTicks < 0) return false
+              sawDuration = true
+            case 0x86L if parent == 0xAEL => // CodecID
+              val cid = new String(payload, ds.toInt, sz.toInt, "ISO-8859-1")
+              if (!cid.forall(c => c >= 0x20 && c <= 0x7e)) return false
+              codecs += cid
+            case 0xB0L if parent == 0xE0L => // PixelWidth
+              val w = readUint(ds.toInt, sz)
+              if (w < 0 || w > Int.MaxValue) return false
+              if (w > width) width = w.toInt
+            case 0xBAL if parent == 0xE0L => // PixelHeight
+              val h = readUint(ds.toInt, sz)
+              if (h < 0 || h > Int.MaxValue) return false
+              if (h > height) height = h.toInt
+            case 0x1A45DFA3L if parent == 0L => // EBML header
+              if (!walk(ds, ds + sz, depth + 1, id)) return false
+            case _ => () // skipped by size (Cluster, Cues, Void, ...)
+          }
+          pos = ds + sz
+        }
+        true
+      }
+      if (!walk(0, payload.length.toLong, 0, 0L)) return None
+      if (docType == null || (docType != "matroska" && docType != "webm"))
+        return None
+      val durMs =
+        if (!sawDuration) -1L
+        else (durationTicks * timestampScale / 1e6).toLong
+      Some(MkvMeta(durMs, nTracks, width, height, codecs.toSeq,
+        docType))
     } catch { case _: Exception => None }
   }
 
@@ -1590,6 +1914,92 @@ object Multimodal {
       val bps = Math.multiplyExact(totalBytes, 8L * sampleRate) / totalSamples
       Some(Mp3Meta(nFrames, sampleRate, durMs, bps, vbr || xingIsVbr,
         xingFrames))
+    } catch { case _: Exception => None }
+  }
+
+  /** Parsed ADTS (raw AAC stream) facts: audio frame count, sample
+    * rate, channel configuration (0 = "declared in-band", surfaced as
+    * is), the 2-bit profile (0 = Main, 1 = LC, 2 = SSR, 3 = LTP),
+    * integer-exact duration, mean bitrate over the whole stream, and
+    * whether frame byte lengths vary (ADTS carries no bitrate field, so
+    * varying frame lengths is the stream-level VBR observable). */
+  final case class AdtsMeta(
+      nFrames: Long, sampleRate: Int, channels: Int, profile: Int,
+      durationMs: Long, bitrateBps: Long, vbr: Boolean)
+
+  // AAC sampling rates by the ADTS header's 4-bit sampling_frequency
+  // _index (ISO 13818-7 / 14496-3 table); 13/14 reserved, 15 forbidden
+  private val AdtsSampleRate = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** REAL audio metadata from ADTS (raw AAC) streams — the fourth
+    * application of the frame-walk recipe (MP3 → FLAC → Ogg → this,
+    * public ISO 13818-7 header tables): each frame opens with a 12-bit
+    * syncword and a 7-byte header (9 with CRC) whose 13-bit
+    * aac_frame_length field (header INCLUDED) fully determines the
+    * walk's stride, and whose 2-bit number_of_raw_data_blocks field
+    * sets the frame's sample count (1024 × (blocks+1)). Duration and
+    * mean bitrate are pure header arithmetic; zero codec work.
+    *
+    * Hostile-input rules, same as every walk here: the MPEG-audio
+    * layer bits must be 00 (anything else is an MP3-family frame, a
+    * different walk), a reserved/forbidden sampling_frequency_index
+    * (13-15), a frame length smaller than its own header or past
+    * end-of-payload, and any mid-stream change of version bit /
+    * profile / sample rate / channel configuration (real streams are
+    * constant in all four) abort to None without a throw; a trailing
+    * fragment smaller than one header is ignored, the RIFF-walk
+    * lenience. Each step advances >= 7 bytes, so the walk terminates. */
+  def decodeAdtsMeta(payload: Array[Byte]): Option[AdtsMeta] = {
+    if (sniffContainer(payload) != "aac") return None
+    try {
+      var pos = 0
+      var nFrames = 0L
+      var totalSamples = 0L
+      var totalBytes = 0L
+      var sampleRate = -1
+      var channels = -1
+      var profile = -1
+      var verBit = -1
+      var firstLen = -1
+      var vbr = false
+      while (pos + 7 <= payload.length) {
+        val b0 = payload(pos) & 0xff
+        val b1 = payload(pos + 1) & 0xff
+        if (b0 != 0xff || (b1 & 0xf0) != 0xf0) return None
+        if (((b1 >> 1) & 3) != 0) return None // layer must be 00
+        val id = (b1 >> 3) & 1
+        val protAbsent = b1 & 1
+        val b2 = payload(pos + 2) & 0xff
+        val b3 = payload(pos + 3) & 0xff
+        val prof = (b2 >> 6) & 3
+        val freqIdx = (b2 >> 2) & 0xf
+        if (freqIdx >= AdtsSampleRate.length) return None
+        val sr = AdtsSampleRate(freqIdx)
+        val chan = ((b2 & 1) << 2) | ((b3 >> 6) & 3)
+        if (nFrames == 0L) {
+          sampleRate = sr; channels = chan; profile = prof; verBit = id
+        } else if (sr != sampleRate || chan != channels ||
+          prof != profile || id != verBit) return None
+        val b4 = payload(pos + 4) & 0xff
+        val b5 = payload(pos + 5) & 0xff
+        val b6 = payload(pos + 6) & 0xff
+        val frameLen = ((b3 & 3) << 11) | (b4 << 3) | ((b5 >> 5) & 7)
+        val headerLen = if (protAbsent == 1) 7 else 9
+        if (frameLen < headerLen || pos + frameLen > payload.length)
+          return None
+        val blocks = (b6 & 3) + 1
+        if (firstLen < 0) firstLen = frameLen
+        else if (frameLen != firstLen) vbr = true
+        nFrames += 1
+        totalSamples = Math.addExact(totalSamples, 1024L * blocks)
+        totalBytes = Math.addExact(totalBytes, frameLen.toLong)
+        pos += frameLen
+      }
+      if (nFrames == 0L) return None
+      val durMs = Math.multiplyExact(totalSamples, 1000L) / sampleRate
+      val bps = Math.multiplyExact(totalBytes, 8L * sampleRate) / totalSamples
+      Some(AdtsMeta(nFrames, sampleRate, channels, profile, durMs, bps, vbr))
     } catch { case _: Exception => None }
   }
 
@@ -1818,6 +2228,11 @@ object Multimodal {
               else null
             Row(id, kind, m.durationMs, m.nFrames, m.bitrateBps, m.vbr, xf)
           case None =>
+            decodeAdtsMeta(payload) match {
+              case Some(a) =>
+                Row(id, kind, a.durationMs, a.nFrames, a.bitrateBps,
+                  a.vbr, null)
+              case None =>
             decodeWavPcm(payload) match {
               case Some(pcm) if pcm.sampleRate > 0 =>
                 Row(id, kind,
@@ -1856,6 +2271,7 @@ object Multimodal {
                     }
                 }
             }
+            }
         }
       }
     }
@@ -1874,7 +2290,8 @@ object Multimodal {
     StructField("bitrate_bps", LongType, nullable = true),
     StructField("n_chunks", LongType, nullable = true),
     StructField("chunk_span_bytes", LongType, nullable = true),
-    StructField("codecs", StringType, nullable = true)))
+    StructField("codecs", StringType, nullable = true),
+    StructField("codec_params", StringType, nullable = true)))
 
   /** Per-payload container metadata: the magic-number `container` column
     * ([[sniffContainer]] — oracle-replayed from hex(payload)) plus REAL
@@ -1906,11 +2323,27 @@ object Multimodal {
             val cs = if (m.chunkSpanBytes >= 0)
               java.lang.Long.valueOf(m.chunkSpanBytes) else null
             val cd = if (m.codecs.nonEmpty) m.codecs.mkString(",") else null
+            val cp = if (m.codecParams.nonEmpty) m.codecParams.mkString(",")
+              else null
             Row(id, kind, m.durationMs, m.nTracks.toLong,
-              m.width.toLong, m.height.toLong, ns, sb, br, nc, cs, cd)
+              m.width.toLong, m.height.toLong, ns, sb, br, nc, cs, cd, cp)
           case None =>
-            Row(id, kind, null, null, null, null, null, null, null, null,
-              null, null)
+            decodeMkvMeta(payload) match {
+              case Some(k) =>
+                // EBML carries no sample/chunk tables — those stats are
+                // structurally unknown, not zero; a file with no
+                // declared Duration (live capture) surfaces NULL
+                val dm = if (k.durationMs >= 0)
+                  java.lang.Long.valueOf(k.durationMs) else null
+                val cd = if (k.codecs.nonEmpty) k.codecs.mkString(",")
+                  else null
+                Row(id, kind, dm, k.nTracks.toLong,
+                  k.width.toLong, k.height.toLong, null, null, null, null,
+                  null, cd, null)
+              case None =>
+                Row(id, kind, null, null, null, null, null, null, null,
+                  null, null, null, null)
+            }
         }
       }
     }

@@ -126,7 +126,9 @@ object Text {
     * q_mm_video_meta and q_mm_audio_meta oracles so the two cannot
     * drift. Same prefixes, same precedence: ftyp@4, RIFF families, GIF,
     * PNG, JPEG, BMP, FLAC, then MPEG audio (an ID3v2 tag, or a bare
-    * frame sync FF Ex/Fx — no overlap with jpeg's FF D8). */
+    * frame sync FF Ex/Fx — no overlap with jpeg's FF D8), with the
+    * layer-bits-00 sync pairs (FF F0/F1/F8/F9) carved out first as
+    * ADTS AAC. */
   private val sniffCaseSql = """
                CASE
                  WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
@@ -141,7 +143,11 @@ object Text {
                  WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
                  WHEN substr(hx, 1, 8) = '664C6143' THEN 'flac'
                  WHEN substr(hx, 1, 8) = '4F676753' THEN 'ogg'
+                 WHEN substr(hx, 1, 8) = '1A45DFA3' THEN 'mkv'
                  WHEN substr(hx, 1, 6) = '494433' THEN 'mp3'
+                 WHEN substr(hx, 1, 2) = 'FF'
+                      AND substr(hx, 3, 2) IN ('F0', 'F1', 'F8', 'F9')
+                   THEN 'aac'
                  WHEN substr(hx, 1, 2) = 'FF'
                       AND substr(hx, 3, 1) IN ('E', 'F') THEN 'mp3'
                  ELSE 'none'
@@ -734,7 +740,8 @@ object Text {
                CAST(NULL AS BIGINT) AS bitrate_bps,
                CAST(NULL AS BIGINT) AS n_chunks,
                CAST(NULL AS BIGINT) AS chunk_span_bytes,
-               CAST(NULL AS VARCHAR) AS codecs
+               CAST(NULL AS VARCHAR) AS codecs,
+               CAST(NULL AS VARCHAR) AS codec_params
         FROM b"""),
       (s, dir) => Multimodal.containerMeta(
         Multimodal.documentsAsMedia(Tables.load(s, dir, "documents")))),

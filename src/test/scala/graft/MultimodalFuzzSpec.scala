@@ -67,7 +67,9 @@ class MultimodalFuzzSpec extends AnyFunSuite with SparkSpec {
     Multimodal.decodeGifFrames(payload)
     Multimodal.decodeAviFrames(payload)
     Multimodal.decodeMp4Meta(payload)
+    Multimodal.decodeMkvMeta(payload)
     Multimodal.decodeMp3Meta(payload)
+    Multimodal.decodeAdtsMeta(payload)
     Multimodal.decodeFlacMeta(payload)
     Multimodal.decodeOggMeta(payload)
     Multimodal.sniffContainer(payload)

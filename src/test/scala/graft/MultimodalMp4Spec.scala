@@ -231,6 +231,70 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
       box("stsd", Array[Byte](1, 0, 0, 0) ++ be32(0)), stsd("mp4a"))).isEmpty)
   }
 
+  test("decodeMp4Meta: stsd decoder configs — avcC profile/level/NAL " +
+      "size, esds OTI + AAC AudioSpecificConfig; lying configs refused") {
+    def stsdRaw(entries: Array[Byte]*): Array[Byte] =
+      box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(entries.length.toLong) ++
+        entries.flatten.toArray)
+    def avc1Entry(children: Array[Byte]): Array[Byte] =
+      be32((86 + children.length).toLong) ++ fcc("avc1") ++
+        Array.fill[Byte](78)(0) ++ children
+    def avcC(version: Int, profile: Int, level: Int, nalM1: Int): Array[Byte] =
+      box("avcC", Array[Byte](version.toByte, profile.toByte, 0,
+        level.toByte, (0xFC | nalM1).toByte))
+    def mp4aEntry(children: Array[Byte]): Array[Byte] =
+      be32((36 + children.length).toLong) ++ fcc("mp4a") ++
+        Array.fill[Byte](28)(0) ++ children
+    // MPEG-4 descriptor stream: ES_Descriptor(0x03) wrapping a
+    // DecoderConfigDescriptor(0x04) wrapping a DecoderSpecificInfo(0x05)
+    def esds(oti: Int, asc: Array[Byte], twoByteLen: Boolean = false): Array[Byte] = {
+      val dsi = if (asc.isEmpty) Array.empty[Byte]
+        else Array[Byte](0x05, asc.length.toByte) ++ asc
+      val dcd = Array[Byte](oti.toByte, 0x15) ++ Array.fill[Byte](11)(0) ++ dsi
+      val tag4 = Array[Byte](0x04, dcd.length.toByte) ++ dcd
+      val esBody = Array[Byte](0, 0, 0) ++ tag4
+      val esLen = if (twoByteLen)
+        Array[Byte](0x80.toByte, esBody.length.toByte)
+        else Array[Byte](esBody.length.toByte)
+      box("esds", Array[Byte](0, 0, 0, 0) ++
+        Array[Byte](0x03) ++ esLen ++ esBody)
+    }
+    def mp4With(t1: Array[Byte]): Array[Byte] =
+      ftyp ++ box("moov", mvhdV0(600, 3000) ++
+        box("trak", tkhdV0(64, 64) ++ mediaChain(t1)))
+    // AAC-LC (aot 2), 44100 (freq index 4), stereo: 00010 0100 0010 ...
+    val aacLc = Array[Byte](0x12, 0x10)
+    val m = Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      avc1Entry(avcC(1, 100, 31, 3)), mp4aEntry(esds(0x40, aacLc))))).get
+    assert(m.codecs === Seq("avc1", "mp4a"))
+    assert(m.codecParams === Seq(
+      "avc1:profile=100;level=31;nal=4",
+      "mp4a:oti=64;aot=2;rate=44100;ch=2"))
+    // multi-byte expandable length (high-bit continuation) parses too
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(mp4aEntry(
+      esds(0x40, aacLc, twoByteLen = true))))).get.codecParams ===
+      Seq("mp4a:oti=64;aot=2;rate=44100;ch=2"))
+    // non-AAC OTI: identity surfaces without a config parse
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(mp4aEntry(
+      esds(0x6B, Array.empty))))).get.codecParams === Seq("mp4a:oti=107"))
+    // a minimal entry (no room for children) is absent params, not a lie
+    val bare = Multimodal.decodeMp4Meta(mp4With(stsd("avc1", "mp4a"))).get
+    assert(bare.codecs === Seq("avc1", "mp4a") && bare.codecParams === Nil)
+    // avcC configurationVersion != 1 is a lying config — refused
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      avc1Entry(avcC(2, 100, 31, 3))))).isEmpty)
+    // truncated avcC (under 5 config bytes) refused
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      avc1Entry(box("avcC", Array[Byte](1, 100, 0)))))).isEmpty)
+    // reserved AAC sampling-frequency index (13) is a lying config
+    val badAsc = Array[Byte](0x16, 0x90.toByte) // aot 2, freqIdx 13
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(mp4aEntry(
+      esds(0x40, badAsc))))).isEmpty)
+    // a child box whose size lies past its entry refuses the walk
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      avc1Entry(be32(9999) ++ fcc("avcC"))))).isEmpty)
+  }
+
   test("decodeMp4Meta: v1 mvhd/tkhd (64-bit times) parse at their own offsets") {
     val mp4 = ftyp ++
       box("moov", mvhdV1(90000, 90000L * 123) ++ box("trak", tkhdV1(1920, 1080)))
@@ -335,7 +399,14 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(Multimodal.sniffContainer(fcc("BMxx")) === "bmp")
     assert(Multimodal.sniffContainer(fcc("fLaC") ++ Array[Byte](0)) === "flac")
     assert(Multimodal.sniffContainer(fcc("OggS") ++ Array[Byte](0)) === "ogg")
+    assert(Multimodal.sniffContainer(Array(0x1a.toByte, 0x45.toByte,
+      0xdf.toByte, 0xa3.toByte)) === "mkv")
     assert(Multimodal.sniffContainer(fcc("ID3") ++ Array[Byte](4, 0, 0)) === "mp3")
+    // layer-bits-00 sync pairs are ADTS AAC, carved out before mp3
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0xf1.toByte, 0x50.toByte)) === "aac")
+    assert(Multimodal.sniffContainer(
+      Array(0xff.toByte, 0xf9.toByte)) === "aac")
     assert(Multimodal.sniffContainer(
       Array(0xff.toByte, 0xfb.toByte, 0x90.toByte)) === "mp3")
     assert(Multimodal.sniffContainer(
