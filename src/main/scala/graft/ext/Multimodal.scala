@@ -1242,6 +1242,21 @@ object Multimodal {
       // table 1.18); 13/14 reserved, 15 = explicit 24-bit rate follows
       val aacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
         24000, 22050, 16000, 12000, 11025, 8000, 7350)
+      def parseHvcC(cc: String, ds: Int, len: Long): Boolean = {
+        // HEVCDecoderConfigurationRecord (ISO 14496-15): version(1)=1,
+        // then profile_space(2)/tier(1)/profile_idc(5) in byte 1,
+        // 4 compat-flag bytes, 6 constraint bytes, level_idc in byte 12,
+        // lengthSizeMinusOne in the low 2 bits of byte 21
+        if (len < 22) return false
+        if ((payload(ds) & 0xff) != 1) return false
+        val b1 = payload(ds + 1) & 0xff
+        val tier = (b1 >> 5) & 1
+        val profile = b1 & 0x1f
+        val level = payload(ds + 12) & 0xff
+        val nal = (payload(ds + 21) & 3) + 1
+        codecParams += s"$cc:profile=$profile;tier=$tier;level=$level;nal=$nal"
+        true
+      }
       def parseEsds(ds: Int, len: Long): Boolean = {
         // fullbox v0, then an MPEG-4 descriptor stream. Expandable
         // lengths are 1-4 bytes, high bit = continuation; every
@@ -1329,7 +1344,7 @@ object Multimodal {
       // unparsed — absent params, not a refusal)
       def entryChildren(cc: String, entOff: Long, entEnd: Long): Boolean = {
         val bodyOff: Long = cc match {
-          case "avc1" | "avc3" => 86L
+          case "avc1" | "avc3" | "hev1" | "hvc1" => 86L
           case "mp4a" =>
             if (entOff + 18 > entEnd) return true
             val ver = ((payload((entOff + 16).toInt) & 0xff) << 8) |
@@ -1345,6 +1360,8 @@ object Multimodal {
           val typ4 = fourcc(payload, p.toInt + 4)
           if (typ4 == "avcC" && (cc == "avc1" || cc == "avc3")) {
             if (!parseAvcC(cc, p.toInt + 8, sz - 8)) return false
+          } else if (typ4 == "hvcC" && (cc == "hev1" || cc == "hvc1")) {
+            if (!parseHvcC(cc, p.toInt + 8, sz - 8)) return false
           } else if (typ4 == "esds" && cc == "mp4a") {
             if (!parseEsds(p.toInt + 8, sz - 8)) return false
           }
@@ -2267,7 +2284,18 @@ object Multimodal {
                           Math.multiplyExact(o.streamBytes,
                             8L * o.sampleRate) / o.totalSamples,
                           o.vbr, null)
-                      case _ => Row(id, kind, null, null, null, null, null)
+                      case _ =>
+                        decodeMkvMeta(payload) match {
+                          case Some(k) if k.durationMs >= 0 =>
+                            // an audio-in-EBML payload (A_OPUS/A_VORBIS
+                            // WebM): frames/bitrate live inside the
+                            // codec, but the declared duration is a
+                            // container fact and surfaces
+                            Row(id, kind, k.durationMs, null, null,
+                              null, null)
+                          case _ =>
+                            Row(id, kind, null, null, null, null, null)
+                        }
                     }
                 }
             }

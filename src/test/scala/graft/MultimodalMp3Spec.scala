@@ -211,6 +211,38 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
     bos.toByteArray
   }
 
+  /** One default-shape ADTS frame (MPEG-4, no CRC, AAC-LC, 44100,
+    * stereo) — the MultimodalAdtsSpec builder's happy case, inlined for
+    * the surface-routing row. */
+  private def adtsFrame(len: Int): Array[Byte] = {
+    val f = Array.fill[Byte](len)(0x33)
+    f(0) = 0xFF.toByte; f(1) = 0xF1.toByte
+    f(2) = ((1 << 6) | (4 << 2)).toByte
+    f(3) = ((2 << 6) | ((len >> 11) & 3)).toByte
+    f(4) = ((len >> 3) & 0xFF).toByte
+    f(5) = ((len & 7) << 5).toByte
+    f(6) = 0
+    f
+  }
+
+  /** Minimal audio-only WebM: EBML(DocType webm) + Segment(Info with a
+    * 4-byte-float Duration at the default TimestampScale, Tracks with
+    * one A_OPUS entry). */
+  private def webmAudio(durTicks: Float): Array[Byte] = {
+    def el(id: Array[Int], data: Array[Byte]): Array[Byte] =
+      id.map(_.toByte) ++ Array((data.length | 0x80).toByte) ++ data
+    val f4 = {
+      val b = java.lang.Float.floatToRawIntBits(durTicks)
+      (1 to 4).map(i => ((b >> (8 * (4 - i))) & 0xff).toByte).toArray
+    }
+    el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes("US-ASCII"))) ++
+      el(Array(0x18, 0x53, 0x80, 0x67),
+        el(Array(0x15, 0x49, 0xA9, 0x66), el(Array(0x44, 0x89), f4)) ++
+          el(Array(0x16, 0x54, 0xAE, 0x6B),
+            el(Array(0xAE), el(Array(0x86), "A_OPUS".getBytes("US-ASCII")))))
+  }
+
   test("audioMeta: parsed MP3s carry frame-walk facts, PCM WAVs carry " +
       "header facts, everything else carries nulls with its family") {
     import spark.implicits._
@@ -219,7 +251,9 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
       (2L, wav(800)),
       (3L, "just prose".getBytes("UTF-8")),
       (4L, "ID3 but prose".getBytes("UTF-8")),
-      (5L, Array.concat(xingFrame("Xing", 2), v1l3_128(), v1l3_160)))
+      (5L, Array.concat(xingFrame("Xing", 2), v1l3_128(), v1l3_160)),
+      (6L, Array.concat(adtsFrame(256), adtsFrame(256))),
+      (7L, webmAudio(250.0f)))
       .toDF("doc_id", "payload")
     val rows = Multimodal.audioMeta(media.repartition(2)).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -242,5 +276,16 @@ class MultimodalMp3Spec extends AnyFunSuite with SparkSpec {
     assert(rows(5L).getString(1) === "mp3")
     assert(rows(5L).getLong(3) === 2L && rows(5L).getBoolean(5))
     assert(rows(5L).getLong(6) === 2L)
+    // ADTS: 2 x 1024 samples at 44100, 512 bytes -> 46 ms, 88200 bps
+    assert(rows(6L).getString(1) === "aac")
+    assert(rows(6L).getLong(2) === 2L * 1024 * 1000 / 44100)
+    assert(rows(6L).getLong(3) === 2L)
+    assert(rows(6L).getLong(4) === 512L * 8 * 44100 / 2048)
+    assert(!rows(6L).getBoolean(5) && rows(6L).isNullAt(6))
+    // WebM audio: the declared container duration surfaces; frame and
+    // bitrate facts live inside the codec -> null
+    assert(rows(7L).getString(1) === "mkv")
+    assert(rows(7L).getLong(2) === 250L)
+    assert((3 to 6).forall(rows(7L).isNullAt))
   }
 }

@@ -270,6 +270,28 @@ class MultimodalMp4Spec extends AnyFunSuite with SparkSpec {
     assert(m.codecParams === Seq(
       "avc1:profile=100;level=31;nal=4",
       "mp4a:oti=64;aot=2;rate=44100;ch=2"))
+    // hvcC (HEVC): profile_idc from byte 1's low 5 bits, tier from its
+    // bit 5, level_idc byte 12, NAL length size byte 21's low 2 bits
+    def hevcEntry(children: Array[Byte]): Array[Byte] =
+      be32((86 + children.length).toLong) ++ fcc("hev1") ++
+        Array.fill[Byte](78)(0) ++ children
+    def hvcC(version: Int, tier: Int, profile: Int, level: Int,
+        nalM1: Int): Array[Byte] = {
+      val rec = Array.fill[Byte](22)(0)
+      rec(0) = version.toByte
+      rec(1) = ((tier << 5) | profile).toByte
+      rec(12) = level.toByte
+      rec(21) = (0xFC | nalM1).toByte
+      box("hvcC", rec)
+    }
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      hevcEntry(hvcC(1, 1, 2, 120, 3))))).get.codecParams ===
+      Seq("hev1:profile=2;tier=1;level=120;nal=4"))
+    // hvcC with a lying version, or truncated under the 22-byte record
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      hevcEntry(hvcC(0, 1, 2, 120, 3))))).isEmpty)
+    assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(
+      hevcEntry(box("hvcC", Array.fill[Byte](10)(1)))))).isEmpty)
     // multi-byte expandable length (high-bit continuation) parses too
     assert(Multimodal.decodeMp4Meta(mp4With(stsdRaw(mp4aEntry(
       esds(0x40, aacLc, twoByteLen = true))))).get.codecParams ===
