@@ -266,7 +266,27 @@ object Dedup {
     // row-deserializer projection just to read a count
     val meta = docs.queryExecution.executedPlan.outputPartitioning.numPartitions
     val n = if (meta > 0) meta else docs.queryExecution.toRdd.getNumPartitions
-    if (n < target) docs.repartition(target) else docs
+    if (n >= target) return docs
+    // Inject the round-robin repartition BELOW the caller's deterministic
+    // Project chain, not above it: a `.repartition` on the projected frame
+    // leaves the projection in the scan stage, so a per-row kernel the
+    // caller attached (FeatureHash, tokenizers) runs at the SCAN's
+    // parallelism — one core for a single-row-group local file (measured:
+    // q_semdedup's sizing count spent 0.4-1.0 s evaluating FeatureHash on
+    // one task before this). Catalyst never moves projections across a
+    // user repartition on its own. Only deterministic projections are
+    // descended (a non-deterministic expression may not be re-ordered
+    // across a shuffle); anything else gets the repartition directly on
+    // top, which is the old behavior. Row multiset is unchanged either
+    // way, so results are identical.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Repartition}
+    def inject(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        pr.copy(child = inject(pr.child))
+      case other => Repartition(target, shuffle = true, other)
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(
+      docs.sparkSession, inject(docs.queryExecution.analyzed))
   }
 
   /** Shingle-set sizes per doc. */
