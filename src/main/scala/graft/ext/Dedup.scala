@@ -258,7 +258,7 @@ object Dedup {
     * tokens) doc rows across the cluster when, and only when, the source
     * has fewer partitions than cores; a 100 TB input already arrives with
     * >= parallelism splits and passes through untouched. */
-  private[ext] def spread(docs: DataFrame): DataFrame = {
+  private[graft] def spread(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     // partition count from plan metadata when the partitioning is known;
     // file scans report UnknownPartitioning(0), so fall back to the
@@ -279,10 +279,22 @@ object Dedup {
     // across a shuffle); anything else gets the repartition directly on
     // top, which is the old behavior. Row multiset is unchanged either
     // way, so results are identical.
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Repartition}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Repartition}
+    // "really deterministic": deterministic after stripping PlanBarrier
+    // wrappers, which are value-deterministic but MARKED non-deterministic
+    // to pin their Filter (see graft.functions.PlanBarrier)
+    def reallyDet(e: Expression): Boolean =
+      e.transformUp { case graft.functions.PlanBarrier(c) => c }.deterministic
     def inject(p: LogicalPlan): LogicalPlan = p match {
-      case pr: Project if pr.projectList.forall(_.deterministic) =>
+      case pr: Project if pr.projectList.forall(reallyDet) =>
         pr.copy(child = inject(pr.child))
+      // filters are row-local, so shuffling before or after them is
+      // equivalent — descend them too (a TRULY non-deterministic
+      // condition, e.g. rand(), draws per-partition streams and may NOT
+      // move across a repartition; reallyDet excludes those)
+      case f: Filter if reallyDet(f.condition) =>
+        f.copy(child = inject(f.child))
       case other => Repartition(target, shuffle = true, other)
     }
     org.apache.spark.sql.GraftSqlBridge.ofRows(

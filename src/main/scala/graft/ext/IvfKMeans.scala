@@ -27,10 +27,16 @@ object IvfKMeans {
     val assign = Array.fill(n)(-1)
     var iter = 0
     var changed = true
+    val newAssign = new Array[Int](n)
     while (iter < maxIter && changed) {
       changed = false
-      var i = 0
-      while (i < n) {
+      // the O(n·k·dim) assignment scan is the hot loop and every element
+      // is independent — parallelize it across driver cores. Each slot of
+      // newAssign is written by exactly one element and the per-element
+      // arithmetic is untouched, so the result is BIT-identical to the
+      // sequential loop (the float accumulations below stay sequential,
+      // preserving summation order and thus exact centroid values).
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < k) {
@@ -39,7 +45,11 @@ object IvfKMeans {
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        if (assign(i) != best) { assign(i) = best; changed = true }
+        newAssign(i) = best
+      }
+      var i = 0
+      while (i < n) {
+        if (assign(i) != newAssign(i)) { assign(i) = newAssign(i); changed = true }
         i += 1
       }
       val sums = Array.fill(k, dim)(0.0)

@@ -39,14 +39,18 @@ object IvfPq {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val dim = sample.head.length
-    val residuals = sample.map { x =>
+    // per-sample residual assignment is independent element-wise:
+    // parallel over driver cores, bit-identical to the sequential map
+    val residuals = new Array[Array[Double]](sample.length)
+    java.util.stream.IntStream.range(0, sample.length).parallel().forEach { i =>
+      val x = sample(i)
       var best = 0; var bestD = Double.MaxValue
       for (c <- centroids.indices) {
         var d = 0.0; var j = 0
         while (j < dim) { val t = x(j) - centroids(c)(j); d += t * t; j += 1 }
         if (d < bestD) { bestD = d; best = c }
       }
-      Array.tabulate(dim)(j => x(j) - centroids(best)(j))
+      residuals(i) = Array.tabulate(dim)(j => x(j) - centroids(best)(j))
     }
     Model(centroids, centroids.flatten, ProductQuantize.trainOnSample(residuals, m, kPq))
   }

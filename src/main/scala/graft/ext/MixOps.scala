@@ -125,10 +125,14 @@ object MixOps {
   def selectUnderBudget(
       docs: DataFrame, budget: Long, maxBucketRows: Long = 4000000L,
       subSplits: Int = 32): DataFrame = {
-    val scored = docs
+    // n_tokens is barrier-wrapped so the >0 filter stays above this
+    // projection instead of re-running the tokenizer regex in the scan
+    // below the spread exchange
+    val scored = Dedup.spread(docs)
       .select(
         col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        graft.functions.PlanBarrier(docs.sparkSession,
+          size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
         TextOps.matchCount(col("text"), TextOps.LangStopwords.head._2)
           .as("n_stop"))
       .where(col("n_tokens") > 0)

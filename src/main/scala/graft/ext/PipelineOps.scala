@@ -694,7 +694,12 @@ object PipelineOps {
       maxTopBigramFrac: Double = 0.2, minUniqRatio: Double = 0.3,
       maxDup3Frac: Double = 0.2, maxRareRate: Double = 0.2,
       tokenBudget: Long = 10000L): DataFrame = {
-    val scored0 = TextOps.LangStopwords.foldLeft(docs) {
+    // one spread at the pipeline entry: every per-row stage below scans
+    // the corpus with heavy regex/kernel projections, which otherwise run
+    // at the (single-task, for a local single-row-group file) scan
+    // parallelism; sub-operators' own spread then no-ops
+    val d = Dedup.spread(docs)
+    val scored0 = TextOps.LangStopwords.foldLeft(d) {
       case (df2, (l, pat)) =>
         df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
     }
@@ -710,19 +715,19 @@ object PipelineOps {
       md5(regexp_replace(
         regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("red_fp"))
-    val boil = boilerplateFractional(docs, maxBoilerRatio)
+    val boil = boilerplateFractional(d, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
-    val survivors = docs
+    val survivors = d
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__f"))
       .groupBy("__f").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val decon = decontaminate(docs, evalFilter, maxContamFrac)
+    val decon = decontaminate(d, evalFilter, maxContamFrac)
       .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    val rep = repetitionScore(docs)
+    val rep = repetitionScore(d)
       .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
-    val chars = TextOps.repetitionSignals(docs)
+    val chars = TextOps.repetitionSignals(d)
       .select(col("doc_id"), col("dup3_frac"))
-    val fit = TextOps.trigramRareRate(docs)
+    val fit = TextOps.trigramRareRate(d)
       .select(col("doc_id"), col("rare_rate"))
     val hygiene = Lineage.cut(scored
       .join(boil, Seq("doc_id"))
@@ -745,7 +750,7 @@ object PipelineOps {
         col("top_bigram_frac"), col("dup3_frac"), col("rare_rate"),
         col("red_fp")))
     val selected = MixOps.selectUnderBudget(
-        docs.join(hygiene.select("doc_id"), Seq("doc_id"), "left_semi"),
+        d.join(hygiene.select("doc_id"), Seq("doc_id"), "left_semi"),
         tokenBudget)
       .where(col("selected"))
       .select(col("doc_id"), col("cum_tokens"))
@@ -803,7 +808,10 @@ object PipelineOps {
       maxBoilerRatio: Double = 0.3, maxContamFrac: Double = 0.3,
       maxTopBigramFrac: Double = 0.2, minUniqRatio: Double = 0.3,
       maxDup3Frac: Double = 0.2, maxRareRate: Double = 0.2): DataFrame = {
-    val scored0 = TextOps.LangStopwords.foldLeft(docs) {
+    // same entry spread as hygienePipeline: a streaming microbatch frame
+    // arrives with the source's (often single) partitioning
+    val d = Dedup.spread(docs)
+    val scored0 = TextOps.LangStopwords.foldLeft(d) {
       case (df2, (l, pat)) =>
         df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
     }
@@ -819,15 +827,15 @@ object PipelineOps {
       md5(regexp_replace(
         regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("red_fp"))
-    val boil = boilerplateAgainst(profile.refDf, docs, profile.minDf, maxBoilerRatio)
+    val boil = boilerplateAgainst(profile.refDf, d, profile.minDf, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
-    val decon = decontaminateScore(docs, profile.evalShingles, maxContamFrac)
+    val decon = decontaminateScore(d, profile.evalShingles, maxContamFrac)
       .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    val rep = repetitionScore(docs)
+    val rep = repetitionScore(d)
       .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
-    val chars = TextOps.repetitionSignals(docs)
+    val chars = TextOps.repetitionSignals(d)
       .select(col("doc_id"), col("dup3_frac"))
-    val fit = TextOps.trigramScoreAgainst(docs, profile.commonTrigrams)
+    val fit = TextOps.trigramScoreAgainst(d, profile.commonTrigrams)
       .select(col("doc_id"), col("rare_rate"))
     scored
       .join(boil, Seq("doc_id"))
@@ -884,10 +892,13 @@ object PipelineOps {
     val spark = docs.sparkSession
     val toks = TextOps.tokens(col("text"))
     val chunks = graft.functions.TextKernels.chunkArray(spark, col("text"), chunkK)
-    val perRow = docs
+    // n_tokens is barrier-wrapped so the >=2 filter stays above this
+    // projection instead of re-running the tokenizer in the scan below
+    // the spread exchange
+    val perRow = Dedup.spread(docs)
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+        graft.functions.PlanBarrier(spark, size(toks).cast("long")).as("n_tokens"),
         (size(array_distinct(toks)).cast("double") / size(toks)).as("uniq_ratio"),
         (lit(1.0) - size(array_distinct(chunks)).cast("double") / size(chunks))
           .as("dup_chunk_ratio"))

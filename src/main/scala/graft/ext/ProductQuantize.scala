@@ -44,7 +44,10 @@ object ProductQuantize {
     val dsub = dim / m
     val flat = new Array[Double](m * k * dsub)
     val normSq = new Array[Double](m * k)
-    for (s <- 0 until m) {
+    // subspaces are independent k-means problems writing disjoint ranges
+    // of flat/normSq — parallel over driver cores, bit-identical per
+    // subspace to the sequential loop
+    java.util.stream.IntStream.range(0, m).parallel().forEach { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       val centroids = IvfKMeans.lloyd(sub, k, maxIter = 10)
       for (cid <- 0 until k) {

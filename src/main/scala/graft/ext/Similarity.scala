@@ -271,8 +271,13 @@ object Similarity {
     // (measured 22 s single-threaded vs 0.7 s spread, x10 gate). Same
     // plan-metadata probe as Dedup.spread (no .rdd lineage instantiation).
     val spreadVecs = Dedup.spread(vecs)
+    // nrm is barrier-wrapped so the nrm>0 filter cannot be substituted
+    // through this projection down into the (single-task) scan — which
+    // would re-evaluate the caller's embedding projection (FeatureHash)
+    // below the spread exchange once for the filter and once here
     val prepped = spreadVecs
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm",
+        graft.functions.PlanBarrier(spark, sqrt(dot(col("v"), col("v")))))
       .where(col("nrm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBits = if (bits > 0) bits else srpAutoBits(prepped.count())

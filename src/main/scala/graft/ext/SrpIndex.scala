@@ -62,7 +62,8 @@ object SrpIndex {
     val proj = graft.functions.VectorExpressions.matVecConst(
       spark, flat, col("v"), h)
     Dedup.spread(vecs)
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .withColumn("nrm",
+        graft.functions.PlanBarrier(spark, sqrt(Similarity.dot(col("v"), col("v")))))
       .where(col("nrm") > 0)
       .withColumn("__proj", proj)
       .select(
@@ -98,7 +99,8 @@ object SrpIndex {
       bits: Int = 0, bands: Int = 0, seed: Long = 42L): Loaded = {
     val spark = vecs.sparkSession
     val prepped = Dedup.spread(vecs)
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .withColumn("nrm",
+        graft.functions.PlanBarrier(spark, sqrt(Similarity.dot(col("v"), col("v")))))
       .where(col("nrm") > 0)
       .persist(Lvl)
     try {

@@ -104,10 +104,13 @@ object TextOps {
   def repetitionSignals(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    docs
+    // the kernel projection is barrier-wrapped so the isNotNull filter
+    // cannot be substituted through it into the single-task scan below
+    // the spread exchange (one kernel evaluation, at shuffle parallelism)
+    Dedup.spread(docs)
       .select(col("doc_id"),
-        graft.functions.TextKernels
-          .repetitionStatsCol(spark, col("text")).as("r"))
+        graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+          .repetitionStatsCol(spark, col("text"))).as("r"))
       .where(col("r").isNotNull)
       .select(
         col("doc_id"),
@@ -155,10 +158,10 @@ object TextOps {
   def trigramCommonSet(
       docs: org.apache.spark.sql.DataFrame, relDenom: Long = 2000L): Seq[String] = {
     val spark = docs.sparkSession
-    val tris = docs
+    val tris = Dedup.spread(docs)
       .select(col("doc_id"),
-        graft.functions.TextKernels
-          .charNgramArray(spark, col("text"), 3).as("tris"))
+        graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+          .charNgramArray(spark, col("text"), 3)).as("tris"))
       .where(size(col("tris")) > 0)
     val total = tris
       .agg(sum(size(col("tris")).cast("long"))).collect()(0).getLong(0)
@@ -176,10 +179,10 @@ object TextOps {
       docs: org.apache.spark.sql.DataFrame, common: Seq[String])
       : org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
-    docs
+    Dedup.spread(docs)
       .select(col("doc_id"),
-        graft.functions.TextKernels
-          .charNgramArray(spark, col("text"), 3).as("tris"))
+        graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+          .charNgramArray(spark, col("text"), 3)).as("tris"))
       .where(size(col("tris")) > 0)
       .select(
         col("doc_id"),
@@ -222,7 +225,7 @@ object TextOps {
       docs: org.apache.spark.sql.DataFrame, k: Int = 3)
       : org.apache.spark.sql.DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var st = docs.select(
+    var st = Dedup.spread(docs).select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_before"),
       concat(lit("|"), array_join(tokens(col("text")), "|"), lit("|"))
@@ -347,7 +350,7 @@ object TextOps {
   def bpeSubwordLoop(
       docs: org.apache.spark.sql.DataFrame, k: Int = 6)
       : org.apache.spark.sql.DataFrame = {
-    val words = docs
+    val words = Dedup.spread(docs)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     bpeSubwordTrain(words, k)._1
@@ -379,7 +382,8 @@ object TextOps {
   def bpeEncode(
       docs: org.apache.spark.sql.DataFrame, k: Int = 6)
       : org.apache.spark.sql.DataFrame = {
-    val words = docs
+    val d = Dedup.spread(docs)
+    val words = d
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val merges = bpeSubwordTrain(words, k)._2
@@ -391,7 +395,7 @@ object TextOps {
       val rep = lit("|" + m.replace('|', '_') + "|")
       replace(replace(c, pat, rep), pat, rep)
     }
-    docs
+    d
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         stEnc.as("st"))
       .select(col("doc_id"), col("n_tokens"),
@@ -470,7 +474,7 @@ object TextOps {
       nBuckets: Int = 65536): Array[Long] = {
     val spark = docs.sparkSession
     graft.functions.TextKernels.register(spark)
-    val feats = docs
+    val feats = Dedup.spread(docs)
       .select(labelCol.as("pos"),
         concat(
           call_function("graft_shingles", col("text"), lit(1)),

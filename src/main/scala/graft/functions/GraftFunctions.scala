@@ -20,6 +20,7 @@ object GraftFunctions {
     CompressionRatio.register(spark)
     FeatureHash.register(spark)
     Md5Sim.register(spark)
+    PlanBarrier.register(spark)
     SortedIntersect.register(spark)
     TextKernels.register(spark)
     VecAgg.register(spark)

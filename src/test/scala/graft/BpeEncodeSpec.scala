@@ -43,13 +43,19 @@ class BpeEncodeSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(2) === 6L) // n_subtokens
   }
 
-  test("encode plan is one map-side pass: no exchange, no join") {
+  test("encode plan is one map-side pass after the spread: no key exchange, no join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // training runs its aggregations during construction; the RETURNED
-    // frame must be scan -> project only (merges are plan literals)
+    // frame must be scan -> (round-robin spread) -> project only (merges
+    // are plan literals). The spread exchange exists solely to lift a
+    // single-row-group local file to core parallelism (no-op at scale)
+    // and is the only exchange allowed — any hash/range exchange or join
+    // would mean the encode recomputes per-key state.
     val plan = graft.ext.TextOps.bpeEncode(docs, k = 2)
       .queryExecution.executedPlan.toString()
-    assert(!plan.contains("Exchange"), s"encode plan shuffles:\n$plan")
+    val keyExchanges = "Exchange (?!RoundRobinPartitioning)".r
+      .findAllIn(plan).size
+    assert(keyExchanges === 0, s"encode plan shuffles on a key:\n$plan")
     assert(!plan.contains("Join"), s"encode plan joins:\n$plan")
   }
 

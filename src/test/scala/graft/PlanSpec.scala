@@ -154,13 +154,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "inside the scan's codegen span, scan pruned to (doc_id, text)") {
     val df = graft.queries.Registry.queries("q_repetition_chars")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      "repetition signals must not shuffle: " + plan.toString.take(2000))
+    // the only exchange allowed is the round-robin spread that lifts a
+    // single-row-group local scan to core parallelism (no-op at scale);
+    // any KEY exchange would mean the kernel stopped being per-row
+    assert(plan.collect { case e: ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+      }.isEmpty,
+      "repetition signals must not shuffle on a key: " + plan.toString.take(2000))
     val s = plan.toString
-    assert(s.contains("graft_repetition_stats"), s.take(2000))
-    assert(s.contains("*(1)"), "kernel fell out of codegen: " + s.take(500))
+    // exactly ONE kernel evaluation: the PlanBarrier wrapper must keep
+    // the isNotNull filter from substituting a second
+    // graft_repetition_stats call below the exchange into the scan
+    assert("graft_repetition_stats".r.findAllIn(s).size === 1,
+      "kernel evaluated more than once: " + s.take(2000))
     val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       readSchema)
+    // codegen check needs the POST-execution adaptive plan (the pre-
+    // execution AdaptiveSparkPlan string carries no WholeStageCodegen
+    // spans); collect() executes THIS df's own QueryExecution (a write
+    // would plan a fresh one and leave this plan un-finalized)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("),
+      "kernel fell out of codegen: " + executed.take(1500))
   }
 }
