@@ -699,22 +699,19 @@ object PipelineOps {
     // at the (single-task, for a local single-row-group file) scan
     // parallelism; sub-operators' own spread then no-ops
     val d = Dedup.spread(docs)
-    val scored0 = TextOps.LangStopwords.foldLeft(d) {
-      case (df2, (l, pat)) =>
-        df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
-    }
-    val scored = scored0.select(
-      col("doc_id"),
-      when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "other")
-        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
-        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-        .when(col("s_fr") >= col("s_es"), "fr")
-        .otherwise("es").as("predicted"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-      col("s_en").as("n_stop"),
-      md5(regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>")).as("red_fp"))
+    // ONE fused scan computes every signal that depends only on
+    // (doc_id, text) — langid scores, token count, PII fingerprint,
+    // unique-token ratio, repetition kernel, trigram-LM fit — replacing
+    // the four separate scans (scored/rep-perRow/chars/fit) and their
+    // three doc_id joins the previous formulation paid. Each expression
+    // is byte-identical to its standalone operator's; the trailing
+    // filter reproduces the exact row-drop semantics the inner joins
+    // had (repetitionSignals drops null-kernel rows, trigramScoreAgainst
+    // drops trigram-less rows, repetitionScore's perRow drops
+    // sub-2-token rows). Corpus-level branches (shingle-df boilerplate,
+    // eval-set decontamination, the bigram-mode aggregation, exact-dup
+    // survivors) keep their own shuffles below.
+    val scored = fusedPerRowSignals(d, TextOps.trigramCommonSet(d))
     val boil = boilerplateFractional(d, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
     val survivors = d
@@ -723,18 +720,11 @@ object PipelineOps {
       .select("doc_id")
     val decon = decontaminate(d, evalFilter, maxContamFrac)
       .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    val rep = repetitionScore(d)
-      .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
-    val chars = TextOps.repetitionSignals(d)
-      .select(col("doc_id"), col("dup3_frac"))
-    val fit = TextOps.trigramRareRate(d)
-      .select(col("doc_id"), col("rare_rate"))
+    val top = bigramTopFrac(d)
     val hygiene = Lineage.cut(scored
       .join(boil, Seq("doc_id"))
       .join(decon, Seq("doc_id"))
-      .join(rep, Seq("doc_id"))
-      .join(chars, Seq("doc_id"))
-      .join(fit, Seq("doc_id"))
+      .join(top, Seq("doc_id"))
       .join(survivors, Seq("doc_id"), "left_semi")
       .where(col("predicted") === lang && col("n_tokens") >= minTokens &&
         col("n_stop").cast("double") / col("n_tokens") >= minStopRatio &&
@@ -764,6 +754,100 @@ object PipelineOps {
 
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** The fused per-row hygiene stage shared by [[hygienePipeline]] and
+    * [[hygieneScore]]: one scan/projection computes every signal that
+    * depends only on (doc_id, text). Expressions are copied verbatim
+    * from the standalone operators (TextOps.matchCount langid scores,
+    * repetitionScore's uniq_ratio, repetitionSignals' dup3_frac,
+    * trigramScoreAgainst's rare_rate, the PII-redact md5), so each value
+    * is byte-identical; the trailing filter reproduces the row-drop
+    * semantics of the inner joins this fusion replaces (null repetition
+    * kernel, trigram-less doc, < 2 tokens). With `evalShingles` set,
+    * also computes decontaminateScore's per-row columns (the streaming
+    * profile form) including its empty-shingle-set drop. Expensive
+    * kernel projections are PlanBarrier-wrapped so no filter re-derives
+    * them below the spread exchange (see PlanBarrier). */
+  private def fusedPerRowSignals(
+      d: DataFrame, commonTrigrams: Seq[String],
+      evalShingles: Option[(Seq[String], Double)] = None): DataFrame = {
+    val spark = d.sparkSession
+    val toks = TextOps.tokens(col("text"))
+    val deconCols = evalShingles.toSeq.map { _ =>
+      graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+        .shingleArray(spark, col("text"), 3, distinct = true)).as("__sh")
+    }
+    val base = TextOps.LangStopwords.foldLeft(d) {
+      case (df2, (l, pat)) =>
+        df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
+    }.select(Seq(
+      col("doc_id"),
+      col("s_en"), col("s_de"), col("s_fr"), col("s_es"),
+      graft.functions.PlanBarrier(spark, size(toks).cast("long"))
+        .as("n_tokens"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("red_fp"),
+      (size(array_distinct(toks)).cast("double") / size(toks))
+        .as("uniq_ratio"),
+      graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+        .repetitionStatsCol(spark, col("text"))).as("__r"),
+      graft.functions.PlanBarrier(spark, graft.functions.TextKernels
+        .charNgramArray(spark, col("text"), 3)).as("__tris")) ++ deconCols: _*)
+    val withDecon = evalShingles match {
+      case None => base
+      case Some((shingles, maxFrac)) =>
+        base
+          .withColumn("n_sh", size(col("__sh")).cast("long"))
+          .withColumn("shared_sh", graft.functions.BloomMembership
+            .countSetHits(spark, col("__sh"), shingles).cast("long"))
+          .withColumn("contam_frac",
+            col("shared_sh").cast("double") / col("n_sh"))
+          .withColumn("contaminated",
+            col("shared_sh").cast("double") / col("n_sh") >= maxFrac)
+    }
+    val deconFilter = evalShingles match {
+      case None => lit(true)
+      case Some(_) => size(col("__sh")) > 0
+    }
+    withDecon
+      .withColumn("predicted",
+        when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "other")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .withColumn("n_stop", col("s_en"))
+      .withColumn("dup3_frac",
+        col("__r.dup3_chars").cast("double") / col("__r.alpha_chars"))
+      .withColumn("n_tri", size(col("__tris")).cast("long"))
+      .withColumn("n_rare",
+        (size(col("__tris")) - graft.functions.BloomMembership
+          .countSetHits(spark, col("__tris"), commonTrigrams)).cast("long"))
+      .withColumn("rare_rate",
+        col("n_rare").cast("double") / col("n_tri"))
+      .where(col("__r").isNotNull && size(col("__tris")) > 0 &&
+        col("n_tokens") >= 2 && deconFilter)
+      .drop("s_de", "s_fr", "s_es", "__r", "__tris", "__sh",
+        "n_tri", "n_rare")
+  }
+
+  /** repetitionScore's top-bigram-mode branch, standalone: the one
+    * per-row hygiene signal that genuinely needs a shuffle (true
+    * per-(doc, bigram) counts). Expressions verbatim from
+    * [[repetitionScore]]. */
+  private def bigramTopFrac(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    Dedup.spread(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.shingleArray(
+          spark, col("text"), 2, distinct = false)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
+      .select(col("doc_id"),
+        (col("top").cast("double") / col("tot")).as("top_bigram_frac"))
+  }
 
   /** Frozen corpus profile for ON-INGEST hygiene scoring: the corpus-wide
     * statistics every per-document stage needs, computed ONCE from a
@@ -811,38 +895,18 @@ object PipelineOps {
     // same entry spread as hygienePipeline: a streaming microbatch frame
     // arrives with the source's (often single) partitioning
     val d = Dedup.spread(docs)
-    val scored0 = TextOps.LangStopwords.foldLeft(d) {
-      case (df2, (l, pat)) =>
-        df2.withColumn(s"s_$l", TextOps.matchCount(col("text"), pat))
-    }
-    val scored = scored0.select(
-      col("doc_id"),
-      when(col("s_en") === 0 && col("s_de") === 0 && col("s_fr") === 0 && col("s_es") === 0, "other")
-        .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
-        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
-        .when(col("s_fr") >= col("s_es"), "fr")
-        .otherwise("es").as("predicted"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-      col("s_en").as("n_stop"),
-      md5(regexp_replace(
-        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>")).as("red_fp"))
+    // same fusion as hygienePipeline, plus decontaminateScore's per-row
+    // columns (streaming decon scores against the frozen eval set, so it
+    // fuses too — only the boilerplate-vs-reference join and the bigram
+    // mode keep their shuffles)
+    val scored = fusedPerRowSignals(d, profile.commonTrigrams,
+      evalShingles = Some((profile.evalShingles, maxContamFrac)))
     val boil = boilerplateAgainst(profile.refDf, d, profile.minDf, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
-    val decon = decontaminateScore(d, profile.evalShingles, maxContamFrac)
-      .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    val rep = repetitionScore(d)
-      .select(col("doc_id"), col("uniq_ratio"), col("top_bigram_frac"))
-    val chars = TextOps.repetitionSignals(d)
-      .select(col("doc_id"), col("dup3_frac"))
-    val fit = TextOps.trigramScoreAgainst(d, profile.commonTrigrams)
-      .select(col("doc_id"), col("rare_rate"))
+    val top = bigramTopFrac(d)
     scored
       .join(boil, Seq("doc_id"))
-      .join(decon, Seq("doc_id"))
-      .join(rep, Seq("doc_id"))
-      .join(chars, Seq("doc_id"))
-      .join(fit, Seq("doc_id"))
+      .join(top, Seq("doc_id"))
       .where(col("predicted") === lang && col("n_tokens") >= minTokens &&
         col("n_stop").cast("double") / col("n_tokens") >= minStopRatio &&
         col("__b_keep") && !col("contaminated") &&
