@@ -1939,7 +1939,17 @@ object Multimodal {
     * is), the 2-bit profile (0 = Main, 1 = LC, 2 = SSR, 3 = LTP),
     * integer-exact duration, mean bitrate over the whole stream, and
     * whether frame byte lengths vary (ADTS carries no bitrate field, so
-    * varying frame lengths is the stream-level VBR observable). */
+    * varying frame lengths is the stream-level VBR observable).
+    *
+    * CAVEAT on the `vbr` name (r20 verdict, adjudicated low): a CBR AAC
+    * encode can legitimately vary frame byte lengths (bit reservoir;
+    * padding at non-integer bytes-per-frame rates), so this flag reads
+    * true for such streams too — it measures FRAME-LENGTH VARIATION,
+    * the only observable this header family exposes, not the encoder's
+    * rate-control mode. The q_mm_audio_meta oracle replays the same
+    * rule, so both engines agree by construction; the column name is
+    * kept for schema stability (a rename would change the declared
+    * query's schema). */
   final case class AdtsMeta(
       nFrames: Long, sampleRate: Int, channels: Int, profile: Int,
       durationMs: Long, bitrateBps: Long, vbr: Boolean)

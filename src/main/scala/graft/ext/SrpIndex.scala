@@ -237,7 +237,13 @@ object SrpIndex {
       // unlike anything pair-shaped), so the guard total is one sum over
       // the tagged frame and the candidate join reuses it as its corpus
       // side — the corpus band table is scanned and shuffled ONCE per
-      // probe instead of once for the guard and again for the join
+      // probe instead of once for the guard and again for the join.
+      // (r20 ADVICE raised that the finally-block unpersist could force
+      // a recompute at the caller's terminal action: it cannot — the
+      // returned frame is Lineage.cut, i.e. eagerly materialized to a
+      // LogicalRDD inside the try block while `matched` is still
+      // cached, so the caller's action reads checkpointed rows and the
+      // once-per-probe claim holds for the whole call.)
       val bCnt = bBands.groupBy("bkey").agg(count(lit(1)).as("bc"))
       matched = corpusBands.select(col("doc_id").as("doc_b"), col("bkey"))
         .join(bCnt, Seq("bkey"))
