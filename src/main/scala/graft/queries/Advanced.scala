@@ -71,13 +71,13 @@ object Advanced {
         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
                true AS approx_users_ok, true AS approx_median_ok
         FROM events GROUP BY event_type"""),
-      // spread before the groupBy: the partial aggregation (exact
-      // percentile buffers over every event) otherwise runs inside the
-      // single-task scan stage of a one-row-group local file — measured
-      // 2.2 s single-core vs the shuffled 32-way partial agg. No-op when
-      // the source arrives with >= parallelism splits; all five
-      // aggregates are merge-order-independent.
-      (s, dir) => graft.ext.Dedup.spread(Tables.events(s, dir))
+      // NO spread here (negative result, r21): parallelizing the partial
+      // aggregation looked attractive for the single-task local scan, but
+      // exact-percentile partial buffers hold EVERY value, so a spread
+      // turns the plan into shuffle-all-rows + shuffle-all-buffers —
+      // measured +53% at x10 (9.7 -> 14.8 s) for a wash at sf0.1. The
+      // single-pass in-place aggregation is the right shape.
+      (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
