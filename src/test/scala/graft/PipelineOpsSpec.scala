@@ -44,6 +44,29 @@ class PipelineOpsSpec extends AnyFunSuite with SparkSpec {
     assert(hyg.size > got.size, "the token budget must bite")
   }
 
+  test("fused per-row hygiene signals == standalone operators, value-for-value") {
+    // r21 fused the per-row stages into one projection; the conjunction
+    // test above pins the KEEP SET, this pins the surfaced VALUES: every
+    // signal column of the pipeline output must equal the standalone
+    // operator's value for that doc (exact doubles — the expressions are
+    // required to be copied verbatim, not re-derived)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    val got = PipelineOps.hygienePipeline(docs, col("doc_id") < 25)
+    val rep = PipelineOps.repetitionScore(docs)
+      .select(col("doc_id"), col("uniq_ratio").as("u2"), col("top_bigram_frac").as("t2"))
+    val chars = graft.ext.TextOps.repetitionSignals(docs)
+      .select(col("doc_id"), col("dup3_frac").as("d2"))
+    val fit = graft.ext.TextOps.trigramRareRate(docs)
+      .select(col("doc_id"), col("rare_rate").as("r2"))
+    val joined = got.join(rep, "doc_id").join(chars, "doc_id").join(fit, "doc_id")
+    val bad = joined.where(
+      col("uniq_ratio") =!= col("u2") || col("top_bigram_frac") =!= col("t2") ||
+      col("dup3_frac") =!= col("d2") || col("rare_rate") =!= col("r2")).count()
+    assert(bad === 0L)
+    assert(joined.count() > 0)
+  }
+
   test("chunk kernel == HOF slice formulation on all sf0.001 documents") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val k = 16
