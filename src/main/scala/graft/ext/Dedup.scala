@@ -259,6 +259,14 @@ object Dedup {
     * has fewer partitions than cores; a 100 TB input already arrives with
     * >= parallelism splits and passes through untouched. */
   private[graft] def spread(docs: DataFrame): DataFrame = {
+    // streaming frames: the partition-count probe below eagerly plans a
+    // BATCH execution (queryExecution.executedPlan / toRdd), which throws
+    // AnalysisException on an unstarted stream — and the probe is
+    // meaningless there anyway (each microbatch plans its own scan, and
+    // foreachBatch hands operators a batch frame that takes the normal
+    // path). No-op so operators built on spread stay composable on
+    // streaming frames.
+    if (docs.isStreaming) return docs
     val target = docs.sparkSession.sparkContext.defaultParallelism
     // partition count from plan metadata when the partitioning is known;
     // file scans report UnknownPartitioning(0), so fall back to the

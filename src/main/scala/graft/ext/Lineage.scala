@@ -33,7 +33,26 @@ object Lineage {
     * validation fails the batch with "expected N commits but got 0").
     * A composed double cut costs one extra pass over the (small) result
     * rows; correctness beats that. */
-  def cut(df: DataFrame): DataFrame =
+  /** Diagnostic hook: GRAFT_EXPLAIN_CUTS=1 prints the formatted physical
+    * plan of every frame passing through [[cut]] BEFORE it executes —
+    * the only way to see the internal plan shape of operators that
+    * return checkpointed frames (their .explain is just a LogicalRDD
+    * scan). Read once; unset in bench/driver runs, so the hot path pays
+    * one boolean. */
+  private val explainCuts: Boolean = sys.env.contains("GRAFT_EXPLAIN_CUTS")
+
+  def cut(df: DataFrame): DataFrame = {
+    if (explainCuts) {
+      val site = Thread.currentThread.getStackTrace
+        .find(e => e.getClassName.startsWith("graft.") &&
+          !e.getClassName.contains("Lineage"))
+        .map(e => s"${e.getClassName}.${e.getMethodName}:${e.getLineNumber}")
+        .getOrElse("?")
+      println(s"==== lineage-cut @ $site ====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
+  }
 }

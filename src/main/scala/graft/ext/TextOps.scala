@@ -216,9 +216,14 @@ object TextOps {
     * shuffle BPE training inherently costs — production trainers run it
     * on a corpus sample; pass a sampled frame for that) + a ONE-row
     * driver collect (the argmax pair — same bounded-collect pattern as
-    * Lloyd's centroids) + a map-side rewrite of the persisted symbol
-    * stream. Streams are re-persisted per iteration so iteration i never
-    * recomputes rewrites 1..i-1.
+    * Lloyd's centroids). The map-side rewrite of the persisted symbol
+    * stream is NOT materialized by its own count() job: the NEXT
+    * iteration's pair-count aggregation reads through the freshly
+    * persisted generation and caches it as a side effect, so each merge
+    * costs ONE pass over the stream instead of two (rewrite-count pass +
+    * aggregation pass). The previous generation stays cached until that
+    * aggregation has run (deferred one-generation unpersist), so
+    * iteration i still never recomputes rewrites 1..i-1.
     * Output: (doc_id, n_before, n_after, merged_fp) — one row per doc;
     * merged_fp pins every rewrite byte-for-byte. */
   def bpeMergeLoop(
@@ -231,6 +236,9 @@ object TextOps {
       concat(lit("|"), array_join(tokens(col("text")), "|"), lit("|"))
         .as("st"))
       .persist(lvl)
+    // previous symbol-stream generation, kept cached until the current
+    // one has been materialized by the next aggregation (see scaladoc)
+    var prevGen: org.apache.spark.sql.DataFrame = null
     var i = 0
     var exhausted = false
     while (i < k && !exhausted) {
@@ -245,16 +253,17 @@ object TextOps {
         .groupBy("pair").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
         .collect()
+      // the aggregation above materialized st's cache; the generation it
+      // was rewritten from is now droppable
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
         val pat = lit("|" + pair + "|")
         val rep = lit("|" + pair.replace('|', '_') + "|")
-        val prev = st
-        st = prev.withColumn("st",
+        prevGen = st
+        st = st.withColumn("st",
           replace(replace(col("st"), pat, rep), pat, rep)).persist(lvl)
-        st.count()
-        prev.unpersist()
       }
       i += 1
     }
@@ -263,11 +272,12 @@ object TextOps {
       size(filter(split(col("st"), "\\|"), x => x =!= ""))
         .cast("long").as("n_after"),
       md5(col("st")).as("merged_fp"))
-    // safe to drop the loop cache here: the argmax pairs are baked into
+    // safe to drop the loop caches here: the argmax pairs are baked into
     // the plan as literals, so recomputing `out` downstream is ONE
     // map-side scan of docs through k chained replaces — no shuffle, no
     // repeat of the per-iteration pair-count aggregations
     st.unpersist()
+    if (prevGen != null) prevGen.unpersist()
     out
   }
 
@@ -287,11 +297,13 @@ object TextOps {
     * Scale shape: the corpus-sized work is the ONE tokenize+count
     * aggregation building the vocabulary; every iteration after that
     * runs on |vocab| rows (sublinear in corpus, Heaps' law) — one
-    * freq-weighted pair aggregation + a one-row argmax collect + a
-    * map-side rewrite, re-persisted per iteration. The final frame is
-    * unpersisted before returning: downstream recompute replays the
-    * vocab aggregation plus k literal-pattern replaces, never the
-    * pair-count aggregations.
+    * freq-weighted pair aggregation + a one-row argmax collect. As in
+    * [[bpeMergeLoop]], the rewrite is materialized by the NEXT
+    * iteration's aggregation, not by a count() job of its own (deferred
+    * one-generation unpersist): one pass per merge instead of two. The
+    * final frame is unpersisted before returning: downstream recompute
+    * replays the vocab aggregation plus k literal-pattern replaces,
+    * never the pair-count aggregations.
     *
     * Returns (per-word frame (word, freq, n_syms, st), merge list in
     * order, e.g. "e|s" meaning symbols 'e','s' merged to 'e_s'). */
@@ -305,6 +317,7 @@ object TextOps {
         regexp_replace(col("word"), "(.)", "$1|"),
         lit("</w>|")).as("st"))
       .persist(lvl)
+    var prevGen: org.apache.spark.sql.DataFrame = null
     val merges = Seq.newBuilder[String]
     var i = 0
     var exhausted = false
@@ -321,17 +334,18 @@ object TextOps {
         .groupBy("pair").agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("pair")).limit(1)
         .collect()
+      // st's cache is materialized now; the generation it was rewritten
+      // from is droppable (deferred unpersist — see bpeMergeLoop)
+      if (prevGen != null) { prevGen.unpersist(); prevGen = null }
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
         merges += pair
         val pat = lit("|" + pair + "|")
         val rep = lit("|" + pair.replace('|', '_') + "|")
-        val prev = st
-        st = prev.withColumn("st",
+        prevGen = st
+        st = st.withColumn("st",
           replace(replace(col("st"), pat, rep), pat, rep)).persist(lvl)
-        st.count()
-        prev.unpersist()
       }
       i += 1
     }
@@ -341,6 +355,7 @@ object TextOps {
         .cast("long").as("n_syms"),
       col("st"))
     st.unpersist()
+    if (prevGen != null) prevGen.unpersist()
     (out, merges.result())
   }
 

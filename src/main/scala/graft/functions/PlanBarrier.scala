@@ -23,7 +23,15 @@ import org.apache.spark.sql.types.DataType
   *
   * Use sparingly — a pinned predicate also blocks LEGITIMATE pushdown,
   * so wrap only predicates whose recomputation below the exchange is the
-  * dominant cost (guide §4.4's "expensive UDFs, not blanket" rule). */
+  * dominant cost (guide §4.4's "expensive UDFs, not blanket" rule).
+  *
+  * Positional constraint: because the expression CLAIMS to be
+  * non-deterministic, CheckAnalysis only admits it in Project, Filter,
+  * Aggregate and Window operators — a barrier-wrapped column used
+  * DIRECTLY in a join condition, sort order, or groupBy key fails
+  * analysis, and CollapseProject / common-subexpression elimination stop
+  * firing around it. Materialize the wrapped value to a plain attribute
+  * (one .select/.withColumn) before using it in keys or ordering. */
 case class PlanBarrier(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = child.dataType

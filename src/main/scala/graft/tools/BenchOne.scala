@@ -18,7 +18,9 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" layers extra
-    // session confs on the bench baseline without editing the tool
+    // session confs on the bench baseline without editing the tool.
+    // LIMITATION: values may not contain ';' (the pair separator) —
+    // a semicolon-bearing value is silently truncated at the first ';'
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
       _.split(";").filter(_.contains("=")).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
@@ -32,7 +34,13 @@ object BenchOne {
       .groupBy("l_returnflag").count().collect()
     // repeat the whole list REPS times (default 1): interleaved A/B runs
     // read min-of-N per query from one JVM
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCHONE_REPS", "1").toInt
+    val repsRaw = sys.env.getOrElse("SPARK_GRAFT_BENCHONE_REPS", "1")
+    val reps =
+      try repsRaw.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCHONE_REPS must be an int (got '$repsRaw')")
+      }
     (1 to reps).foreach { rep =>
       names.foreach { name =>
         spark.catalog.clearCache()

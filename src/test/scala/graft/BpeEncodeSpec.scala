@@ -51,11 +51,18 @@ class BpeEncodeSpec extends AnyFunSuite with SparkSpec {
     // single-row-group local file to core parallelism (no-op at scale)
     // and is the only exchange allowed — any hash/range exchange or join
     // would mean the encode recomputes per-key state.
-    val plan = graft.ext.TextOps.bpeEncode(docs, k = 2)
-      .queryExecution.executedPlan.toString()
-    val keyExchanges = "Exchange (?!RoundRobinPartitioning)".r
-      .findAllIn(plan).size
-    assert(keyExchanges === 0, s"encode plan shuffles on a key:\n$plan")
+    // inspect plan NODES, not the plan string: a regex over the string
+    // also matches ReusedExchange ("Exchange " substring), which would
+    // falsely fail on a reused round-robin exchange
+    val exec = graft.ext.TextOps.bpeEncode(docs, k = 2)
+      .queryExecution.executedPlan
+    val plan = exec.toString()
+    val keyExchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+    assert(keyExchanges.isEmpty, s"encode plan shuffles on a key:\n$plan")
     assert(!plan.contains("Join"), s"encode plan joins:\n$plan")
   }
 
