@@ -15,6 +15,48 @@ import org.apache.spark.sql.functions._
   */
 object Advanced {
 
+  /** Distributed exact interpolated median of `value` per `event_type` —
+    * the two-pass count+select replacement for `percentile(value, 0.5)`
+    * used by q_approx_agg (see the QueryDef comment there). Factored out
+    * so ApproxAggSpec pins it value-for-value against the in-buffer
+    * Percentile aggregate it replaced. Output: (event_type,
+    * exact_median); event_types whose values are all null emit no row
+    * (the caller left-joins). */
+  private[graft] def exactMedianByType(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Percentile ignores null inputs; the window must too
+    val vc = ev.where(col("value").isNotNull)
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val marked = vc
+      .withColumn("cum",
+        sum(col("cnt")).over(
+          Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("tot",
+        sum(col("cnt")).over(Window.partitionBy("event_type")))
+      .withColumn("pos", lit(0.5) * (col("tot") - lit(1)).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+      // keep only the row(s) whose [cum-cnt, cum) index range covers
+      // the lo or hi order statistic — at most two per event_type
+      .where(col("cum") > col("lo") && col("cum") - col("cnt") <= col("hi"))
+    marked.groupBy("event_type")
+      .agg(
+        max(when(col("cum") - col("cnt") <= col("lo") &&
+          col("lo") < col("cum"), col("value"))).as("vlo"),
+        max(when(col("cum") - col("cnt") <= col("hi") &&
+          col("hi") < col("cum"), col("value"))).as("vhi"),
+        max(col("pos")).as("pos"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select(col("event_type"),
+        when(col("hi") === col("lo"), col("vlo"))
+          .when(col("vhi") === col("vlo"), col("vlo"))
+          .otherwise(
+            (col("hi").cast("double") - col("pos")) * col("vlo") +
+              (col("pos") - col("lo").cast("double")) * col("vhi"))
+          .as("exact_median"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- equi + time-range join ------------------------------------------
@@ -71,25 +113,49 @@ object Advanced {
         SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
                true AS approx_users_ok, true AS approx_median_ok
         FROM events GROUP BY event_type"""),
-      // NO spread here (negative result, r21): parallelizing the partial
-      // aggregation looked attractive for the single-task local scan, but
-      // exact-percentile partial buffers hold EVERY value, so a spread
-      // turns the plan into shuffle-all-rows + shuffle-all-buffers —
-      // measured +53% at x10 (9.7 -> 14.8 s) for a wash at sf0.1. The
-      // single-pass in-place aggregation is the right shape.
-      (s, dir) => Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          count_distinct(col("user_id")).as("n_users"),
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
-          expr("percentile(value, 0.5)").as("exact_median"))
-        .select(col("event_type"), col("n"), col("n_users"),
-          (abs(col("approx_users") - col("n_users"))
-            <= lit(0.1) * col("n_users")).as("approx_users_ok"),
-          (abs(col("approx_median") - col("exact_median"))
-            <= lit(0.05) * abs(col("exact_median"))).as("approx_median_ok"))),
+      // The exact median is DISTRIBUTED (r22): the previous
+      // `percentile(value, 0.5)` aggregate carried every value in its
+      // partial buffers and merged them in ONE task per event_type (the
+      // dominant 2.1 s job at sf0.1, and an OOM shape at 100 TB — a
+      // type's whole value multiset in a single aggregation buffer).
+      // Restructured as the two-pass count+select: (event_type, value)
+      // counts reduce fully in parallel, a cumulative-count window over
+      // the DISTINCT values (bounded — the generator rounds values, and
+      // duplicates collapse regardless of corpus size) selects the two
+      // order statistics flanking position p*(n-1), and the final value
+      // replays Percentile's exact interpolation
+      // (hi-pos)*v_lo + (pos-lo)*v_hi, including its hi==lo and
+      // v_hi==v_lo short-circuits — verified value-equal to the old
+      // aggregate on every SF (ApproxAggSpec) and hash-equal under the
+      // oracle. (The r21 negative result — spreading the scan ahead of
+      // the old exact-percentile aggregate, +53% at x10 — was about
+      // THOSE all-values buffers; this restructure removes them instead
+      // of re-partitioning them.)
+      (s, dir) => {
+        // spread is safe again now that the all-values exact-percentile
+        // buffers are gone (see the r21 note above): the remaining
+        // partial buffers (count / HLL / KLL-sketch) are bounded, so
+        // lifting the single-row-group local scan to core parallelism
+        // parallelizes the per-(type,user) sketch building; no-op on
+        // multi-split real inputs
+        val ev = graft.ext.Dedup.spread(Tables.events(s, dir))
+        val base = ev
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count_distinct(col("user_id")).as("n_users"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        // left join: an event_type whose values are ALL null has no medv
+        // row, and must still emit its output row (with a null boolean,
+        // exactly as the old all-null percentile did)
+        base.join(exactMedianByType(ev), Seq("event_type"), "left")
+          .select(col("event_type"), col("n"), col("n_users"),
+            (abs(col("approx_users") - col("n_users"))
+              <= lit(0.1) * col("n_users")).as("approx_users_ok"),
+            (abs(col("approx_median") - col("exact_median"))
+              <= lit(0.05) * abs(col("exact_median"))).as("approx_median_ok"))
+      }),
 
     // ---- exact statistical aggregates ------------------------------------
     // Median (exact interpolated percentile), sample variance, and the
