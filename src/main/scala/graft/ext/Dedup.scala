@@ -313,20 +313,33 @@ object Dedup {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
 
-  /** Exact Jaccard over candidate pairs: join both docs' shingle sets.
-    * `pairs` must have columns (doc_a, doc_b) and is assumed small relative
-    * to the corpus (candidates from LSH) — it broadcasts, so only the
-    * (doc_b, shingle) equi-join shuffles. */
+  /** Exact Jaccard over candidate pairs: ONE doc_id aggregation builds
+    * each candidate doc's (distinct-shingle array, size), and every pair
+    * is scored map-side via array_intersect — the [[DedupIndex]] sets
+    * pattern. The former formulation replayed the row-level shingle
+    * join (pairs ⋈ (doc, shingle) rows on (doc_b, shingle), a count
+    * aggregation, then TWO size joins — 4 exchanges where this needs 1,
+    * measured as the repeated 0.2-0.4 s 33/65-task jobs on every LSH
+    * query). `pairs` must have columns (doc_a, doc_b) and is assumed
+    * small relative to the corpus (LSH candidates under the volume
+    * guard) — it broadcasts, so the sets frame never shuffles. `sh` must
+    * be distinct (doc_id, shingle) rows, as [[docShingles]] emits; the
+    * intersection size is then exactly the old join's match count and
+    * the emitted double is bit-identical. */
   def jaccardFor(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sz = shingleSizes(sh)
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(broadcast(pairs), Seq("doc_a"))
-      .join(b, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("hs"), count(lit(1)).as("n_sh"))
+    broadcast(pairs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n_sh").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n_sh").as("nb")), "doc_b")
+      // c is projected to an attribute FIRST: whole-stage codegen has no
+      // cross-expression CSE, so a fused (c / (na+nb-c)) would evaluate
+      // the array intersection twice per pair (CollapseProject keeps the
+      // two projects apart — non-cheap expression used twice)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -429,11 +442,18 @@ object Dedup {
     // the signature aggregation's input (min over set == min over multiset)
     val raw = docShingles(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band rows and candidates are tiny (docs x bands / a few hundred
-    // pairs) but their subtrees are expensive (the signature aggregation)
-    // and consumed multiple times (self-join sides, two broadcasts) —
-    // persist both so signatures are computed exactly once
-    val bandRows = minhashBandRows(raw, bands, rowsPerBand)
+    // ONE exchange groups the band rows into per-bucket doc lists, and
+    // BOTH the guard's pair accounting and the candidate pairs read it —
+    // the former formulation shuffled the band rows three times (guard
+    // aggregate + both sides of a (band, bkey) self-join). Buckets with a
+    // single doc can produce neither pairs nor volume, so they are
+    // dropped before the (tiny) frame is cached. The sorted list makes
+    // pair emission deterministic and already doc_a < doc_b ordered.
+    val buckets = minhashBandRows(raw, bands, rowsPerBand)
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+        count(lit(1)).as("c"))
+      .where(col("c") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // corpus-scale cached blocks must not outlive an abort: a guard
     // throw would otherwise leave them cached for the session's
@@ -442,27 +462,30 @@ object Dedup {
     // to prevent
     var candidates: DataFrame = null
     try {
-      // refuse-before-shuffle accounting: Σ c·(c-1)/2 over per-bucket
-      // counts of the tiny persisted band rows (docs × bands rows — ONE
-      // small aggregation), so a degenerate corpus (every doc sharing a
-      // band key) aborts with the bucket named instead of burying the
-      // candidate shuffle; the top-bucket job runs only on the abort path
+      // refuse-before-shuffle accounting: Σ c·(c-1)/2 over the bucket
+      // counts — the SAME cached frame the pair explosion reads, so a
+      // degenerate corpus (every doc sharing a band key) aborts with the
+      // bucket named instead of burying the candidate explosion; the
+      // top-bucket job runs only on the abort path. Bucket LISTS are
+      // linear in the band rows (safe to group before the guard); only
+      // the pair explosion below is quadratic, and it runs after.
       val cap = candidatePairCap(docs.sparkSession)
       if (cap > 0) {
-        val perBucket = bandRows.groupBy("band", "bkey")
-          .agg(count(lit(1)).as("c"))
-          .select(concat_ws("/", col("band"), col("bkey")).as("k"),
-            shiftright(col("c") * (col("c") - 1), 1).as("p"))
-        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        val total = buckets
+          .agg(coalesce(sum(shiftright(col("c") * (col("c") - 1), 1)),
+            lit(0L))).head.getLong(0)
         enforceCandidateCap("minhashNearDup", total, cap,
-          perBucket.orderBy(col("p").desc).limit(5).collect()
+          buckets.select(concat_ws("/", col("band"), col("bkey")).as("k"),
+              shiftright(col("c") * (col("c") - 1), 1).as("p"))
+            .orderBy(col("p").desc).limit(5).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toSeq)
       }
-      val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-      candidates = l.join(r, Seq("band", "bkey"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+      // all i<j pairs within each bucket, straight off the sorted lists —
+      // map-side (no join), same multiset of pairs the self-join produced
+      candidates = buckets
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"),
+          explode(expr("filter(ds, x -> x > doc_a)")).as("doc_b"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candDocs = candidates.select(col("doc_a").as("doc_id"))
@@ -476,7 +499,7 @@ object Dedup {
         jaccardFor(candidates, shCand).where(col("jaccard") >= threshold))
     } finally {
       raw.unpersist()
-      bandRows.unpersist()
+      buckets.unpersist()
       if (candidates != null) candidates.unpersist()
     }
   }

@@ -304,33 +304,59 @@ object Similarity {
     // corpus-scale cached blocks must not outlive a guard abort (the
     // minhashNearDup rule): unpersist in finally, not after the cut
     var survivors: DataFrame = null
+    var buckets: DataFrame = null
     try {
-      val bandRows = sigs
+      // ONE exchange groups the band rows into per-bucket doc lists; the
+      // guard accounting AND the candidate pairs both read it (the former
+      // formulation shuffled the band rows three times: guard aggregate +
+      // both sides of a (band, bval) self-join). Single-doc buckets can
+      // produce neither pairs nor volume — dropped before the cache.
+      buckets = sigs
         .select(col("doc_id"), posexplode(col("bb")).as(Seq("band", "bval")))
+        .groupBy("band", "bval")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"),
+          count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // refuse-before-shuffle accounting (the minhashNearDup recipe):
-      // Σ c·(c-1)/2 over per-(band, bval) bucket counts — ONE aggregation
-      // over the band rows, which re-read the cached signatures, so a
-      // degenerate embedding corpus (mass-identical vectors collapsing
-      // every band bucket) aborts with the hot buckets named instead of
-      // burying the candidate self-join. Covers semanticDedup too (it
-      // generates pairs exclusively through here). The top-bucket job is
-      // by-name — paid only on the abort path.
+      // Σ c·(c-1)/2 over the bucket counts, so a degenerate embedding
+      // corpus (mass-identical vectors collapsing every band bucket)
+      // aborts with the hot buckets named instead of burying the
+      // candidate explosion. Covers semanticDedup too (it generates
+      // pairs exclusively through here). The top-bucket job is by-name —
+      // paid only on the abort path. Bucket lists are linear in the band
+      // rows; only the pair explosion is quadratic, and it runs after.
       val cap = Dedup.candidatePairCap(spark)
+      var totalOpt: Option[Long] = None
       if (cap > 0) {
-        val perBucket = bandRows.groupBy("band", "bval")
-          .agg(count(lit(1)).as("c"))
-          .select(concat_ws("/", col("band"), col("bval")).as("k"),
-            shiftright(col("c") * (col("c") - 1), 1).as("p"))
-        val total = perBucket.agg(coalesce(sum("p"), lit(0L))).head.getLong(0)
+        val total = buckets
+          .agg(coalesce(sum(shiftright(col("c") * (col("c") - 1), 1)),
+            lit(0L))).head.getLong(0)
+        totalOpt = Some(total)
         Dedup.enforceCandidateCap("srpNearDup", total, cap,
-          perBucket.orderBy(col("p").desc).limit(5).collect()
+          buckets.select(concat_ws("/", col("band"), col("bval")).as("k"),
+              shiftright(col("c") * (col("c") - 1), 1).as("p"))
+            .orderBy(col("p").desc).limit(5).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toSeq)
       }
-      val l = bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-      val r = bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-      val candidates = l.join(r, Seq("band", "bval"))
-        .where(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+      // the guard's accounted volume doubles as a size-adaptive join
+      // plan: when the pair volume is measured small, broadcast the
+      // candidate side of the hamming/verify joins so the corpus-sized
+      // signature and vector frames are never shuffled by doc id (they
+      // stream from cache under a broadcast hash join). Past the bound —
+      // or with the guard disabled, where no measurement exists — fall
+      // back to plain joins and let the planner decide. 2M pairs ≈ tens
+      // of MB broadcast; scales with the measurement, not with local
+      // core count.
+      val smallCand = totalOpt.exists(_ <= 2000000L)
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (smallCand) broadcast(df) else df
+      // all i<j pairs within each bucket, straight off the sorted lists —
+      // map-side (no join), the same pair set the self-join produced
+      val candidates = buckets
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"),
+          explode(expr("filter(ds, x -> x > doc_a)")).as("doc_b"))
         .distinct()
       // HAMMING PREFILTER: candidates carry only the two h-bit signatures
       // (h/64 longs each — e.g. 24 longs vs 128 doubles + norm), and a
@@ -346,8 +372,9 @@ object Similarity {
       // survivors (~true pairs), so the expensive verification join runs
       // on thousands of rows, not millions.
       val hamMax = srpHamMax(h, threshold, hamSigma)
-      survivors = candidates
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      survivors = maybeBroadcast(
+        maybeBroadcast(candidates)
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
         .where(graft.functions.VectorExpressions.hamming(
           spark, col("sa"), col("sb")) <= hamMax)
@@ -356,8 +383,9 @@ object Similarity {
       val candIds = survivors.select(col("doc_a").as("doc_id"))
         .union(survivors.select(col("doc_b").as("doc_id"))).distinct()
       val vv = prepped.join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      val out = survivors
-        .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a")
+      val out = maybeBroadcast(
+        maybeBroadcast(survivors)
+          .join(vv.select(col("doc_id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), "doc_a"))
         .join(vv.select(col("doc_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
@@ -367,6 +395,7 @@ object Similarity {
     } finally {
       prepped.unpersist()
       sigs.unpersist()
+      if (buckets != null) buckets.unpersist()
       if (survivors != null) survivors.unpersist()
     }
   }
