@@ -867,6 +867,13 @@ object Dedup {
               .map(r => r.get(0).toString -> r.getLong(1)).toSeq)
         }
       }
+      // NOT broadcastIfSmall here (negative result, r22): eagerly
+      // materializing the candidate pairs to broadcast them into the
+      // verification joins measured +18-21% at sf0.1 (q_winnow_neardup
+      // 3.48->4.10, q_winnow_fast 4.90->5.94 min-of-3) — the extra
+      // checkpoint+count action costs more than the doc_id shuffles it
+      // avoids, and AQE already converts the post-shuffle verification
+      // joins when the candidate side materializes small
       val cand = sets
         .select(col("doc_id"), explode(expr(
           s"slice(rare_first, 1, $prefixLen)"))

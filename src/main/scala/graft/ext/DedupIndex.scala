@@ -251,15 +251,25 @@ object DedupIndex {
         corpusSets0.where(col("dp").isin(dps: _*) &&
           col("doc_id").isin(candIds.toIndexedSeq: _*))
       } else corpusSets0
-    val inter = graft.functions.SortedIntersect(
-      spark, col("ha"), col("hb")).cast("double")
-    val out = candidates
+    // the candIds collect above already measured the candidate set: when
+    // it fit the IN-list bound, broadcast the candidate pairs so the two
+    // verification joins stream the set frames instead of shuffling them
+    // by doc id (the giant-backfill fallback keeps planner-chosen joins)
+    val candB =
+      if (candIds.length <= maxInList) broadcast(candidates) else candidates
+    // the intersection is projected to an attribute FIRST: codegen has no
+    // cross-expression CSE, so a fused (c / (na+nb-c)) would run the
+    // two-pointer merge twice per candidate pair
+    val out = candB
       .join(bSets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
         col("n_sh").as("na")), Seq("doc_a"))
       .join(corpusSets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
         col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.SortedIntersect(
+          spark, col("ha"), col("hb")).cast("double").as("c"))
       .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
-        (inter / (col("na") + col("nb") - inter)).as("jaccard"))
+        (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
     val cut = Lineage.cut(out)
     bSh.unpersist(); bBands.unpersist(); bSets.unpersist(); candidates.unpersist()

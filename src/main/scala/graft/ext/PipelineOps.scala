@@ -463,6 +463,9 @@ object PipelineOps {
     // candidate generation: prefix shingles against the full inverted
     // index (recall 1 by the pigeonhole bound); candidate volume is
     // Σ over PREFIX shingles of df — hot shingles never enter a prefix
+    // NOT broadcastIfSmall here (negative result, r22 — see
+    // winnowNearDup): the eager materialize+count action costs more at
+    // local scale than the verification shuffles it avoids
     val cand = aSets
       .select(col("doc_id").as("doc_a"), explode(col("prefix")).as("shingle"))
       .join(index.sh.select(col("doc_id").as("doc_b"), col("shingle")),
