@@ -177,8 +177,16 @@ object PipelineOps {
     * floor column reads from. */
   private def boilerplateImpl(
       docs: DataFrame, attachFloor: DataFrame => DataFrame,
+      minDf: Column, maxRatio: Double): DataFrame =
+    boilerplateShImpl(Dedup.docShingles(docs), attachFloor, minDf, maxRatio)
+
+  /** [[boilerplateImpl]] from an already-exploded (doc_id, shingle)
+    * frame — lets [[hygienePipeline]] feed all corpus branches from ONE
+    * shared shingle scan instead of re-running the tokenize+shingle
+    * kernel per branch. Expressions verbatim. */
+  private def boilerplateShImpl(
+      sh: DataFrame, attachFloor: DataFrame => DataFrame,
       minDf: Column, maxRatio: Double): DataFrame = {
-    val sh = Dedup.docShingles(docs)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     attachFloor(sh.join(df, Seq("shingle")))
       .groupBy("doc_id")
@@ -504,8 +512,14 @@ object PipelineOps {
     * contaminated). */
   def decontaminate(
       docs: DataFrame, evalFilter: org.apache.spark.sql.Column,
-      maxFrac: Double = 0.3, n: Int = 3): DataFrame = {
-    val sh = Dedup.docShingles(docs, n)
+      maxFrac: Double = 0.3, n: Int = 3): DataFrame =
+    decontaminateSh(Dedup.docShingles(docs, n), evalFilter, maxFrac)
+
+  /** [[decontaminate]] from an already-exploded (doc_id, shingle) frame
+    * (see [[boilerplateShImpl]]). Expressions verbatim. */
+  private def decontaminateSh(
+      sh: DataFrame, evalFilter: org.apache.spark.sql.Column,
+      maxFrac: Double): DataFrame = {
     val evalSh = sh.where(evalFilter).select("shingle").distinct()
     sh.where(!evalFilter)
       .join(broadcast(evalSh.withColumn("__hit", lit(1))), Seq("shingle"), "left")
@@ -715,15 +729,36 @@ object PipelineOps {
     // eval-set decontamination, the bigram-mode aggregation, exact-dup
     // survivors) keep their own shuffles below.
     val scored = fusedPerRowSignals(d, TextOps.trigramCommonSet(d))
-    val boil = boilerplateFractional(d, maxBoilerRatio)
+    // ONE shared shingle scan feeds the three corpus-level branches:
+    // boilerplate consumes the 3-shingle rows twice (df aggregate + the
+    // per-doc join back), decontamination twice (eval set + scoring),
+    // and the bigram mode reads the 2-shingle rows — previously FIVE
+    // independent corpus scans each re-running the tokenize+shingle
+    // regex kernel. The per-doc arrays persist once; every branch
+    // explodes from cache. Same kernels, same args, so each branch's
+    // rows are byte-identical to its standalone operator's.
+    val spark = d.sparkSession
+    val shFrame = d.select(col("doc_id"),
+      graft.functions.TextKernels.shingleArray(
+        spark, col("text"), 3, distinct = true).as("__sh3"),
+      graft.functions.TextKernels.shingleArray(
+        spark, col("text"), 2, distinct = false).as("__sh2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh3 = shFrame.select(col("doc_id"), explode(col("__sh3")).as("shingle"))
+    val nDocs = broadcast(d.agg(count(lit(1)).as("__n_docs")))
+    val minDfCol = greatest(
+      lit(3L), ceil(lit(0.01) * col("__n_docs")).cast("long"))
+    val boil = boilerplateShImpl(
+        sh3, _.crossJoin(nDocs), minDfCol, maxBoilerRatio)
       .select(col("doc_id"), col("boiler_ratio"), col("keep").as("__b_keep"))
     val survivors = d
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("__f"))
       .groupBy("__f").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val decon = decontaminate(d, evalFilter, maxContamFrac)
+    val decon = decontaminateSh(sh3, evalFilter, maxContamFrac)
       .select(col("doc_id"), col("contam_frac"), col("contaminated"))
-    val top = bigramTopFrac(d)
+    val top = bigramTopFracSh(
+      shFrame.select(col("doc_id"), explode(col("__sh2")).as("b")))
     val hygiene = Lineage.cut(scored
       .join(boil, Seq("doc_id"))
       .join(decon, Seq("doc_id"))
@@ -742,6 +777,9 @@ object PipelineOps {
         col("boiler_ratio"), col("contam_frac"), col("uniq_ratio"),
         col("top_bigram_frac"), col("dup3_frac"), col("rare_rate"),
         col("red_fp")))
+    // the cut above materialized every consumer of the shared shingle
+    // frame; the budget stage below reads only d and the cut survivors
+    shFrame.unpersist()
     val selected = MixOps.selectUnderBudget(
         d.join(hygiene.select("doc_id"), Seq("doc_id"), "left_semi"),
         tokenBudget)
@@ -841,10 +879,16 @@ object PipelineOps {
     * [[repetitionScore]]. */
   private def bigramTopFrac(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    Dedup.spread(docs)
+    bigramTopFracSh(Dedup.spread(docs)
       .select(col("doc_id"),
         explode(graft.functions.TextKernels.shingleArray(
-          spark, col("text"), 2, distinct = false)).as("b"))
+          spark, col("text"), 2, distinct = false)).as("b")))
+  }
+
+  /** [[bigramTopFrac]] from an already-exploded (doc_id, b) bigram frame
+    * (see [[boilerplateShImpl]]). Expressions verbatim. */
+  private def bigramTopFracSh(bi: DataFrame): DataFrame = {
+    bi
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max(col("c")).as("top"), sum(col("c")).as("tot"))
