@@ -334,12 +334,16 @@ object Dedup {
         col("n_sh").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
         col("n_sh").as("nb")), "doc_b")
-      // c is projected to an attribute FIRST: whole-stage codegen has no
-      // cross-expression CSE, so a fused (c / (na+nb-c)) would evaluate
-      // the array intersection twice per pair (CollapseProject keeps the
-      // two projects apart — non-cheap expression used twice)
+      // c is projected to an attribute FIRST and BARRIER-wrapped: codegen
+      // has no cross-expression CSE, and the caller's jaccard>=t filter
+      // would otherwise substitute the whole division — intersection
+      // kernel included — into the join condition AND keep it in the
+      // project (measured: 3 array_intersect evaluations per candidate
+      // pair in the plan). The barrier pins the kernel to this one
+      // projection; the filter then tests plain attributes.
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"))
+        graft.functions.PlanBarrier(sh.sparkSession,
+          size(array_intersect(col("ha"), col("hb"))).cast("long")).as("c"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -884,15 +888,20 @@ object Dedup {
         .select(least(col("doc_p"), col("doc_q")).as("doc_a"),
           greatest(col("doc_p"), col("doc_q")).as("doc_b"))
         .distinct()
-      val inter = graft.functions.SortedIntersect(
-        spark, col("ha"), col("hb")).cast("double")
+      // the intersection is projected to a BARRIER-wrapped attribute
+      // first: the ov>=threshold filter would otherwise substitute the
+      // two-pointer merge into the join condition and keep it in the
+      // round() project — 2 kernel evaluations per candidate pair
+      // (measured in the committed plan dump); the barrier pins it to one
       val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
           col("n").as("na")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
           col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (inter / least(col("na"), col("nb"))).as("ov"))
+          (graft.functions.PlanBarrier(spark, graft.functions.SortedIntersect(
+            spark, col("ha"), col("hb")).cast("double"))
+            / least(col("na"), col("nb"))).as("ov"))
         .where(col("ov") >= threshold)
         .select(col("doc_a"), col("doc_b"), round(col("ov"), 6).as("overlap"))
       Lineage.cut(out)

@@ -257,17 +257,20 @@ object DedupIndex {
     // by doc id (the giant-backfill fallback keeps planner-chosen joins)
     val candB =
       if (candIds.length <= maxInList) broadcast(candidates) else candidates
-    // the intersection is projected to an attribute FIRST: codegen has no
-    // cross-expression CSE, so a fused (c / (na+nb-c)) would run the
-    // two-pointer merge twice per candidate pair
+    // the intersection is projected to a BARRIER-wrapped attribute FIRST:
+    // codegen has no cross-expression CSE, and the jaccard>=t filter
+    // would otherwise substitute the whole division — two-pointer merge
+    // included — into the join condition AND keep it in the project
+    // (measured: 4 kernel evaluations per candidate pair in the plan;
+    // the barrier pins it to one)
     val out = candB
       .join(bSets.select(col("doc_id").as("doc_a"), col("seth").as("ha"),
         col("n_sh").as("na")), Seq("doc_a"))
       .join(corpusSets.select(col("doc_id").as("doc_b"), col("seth").as("hb"),
         col("n_sh").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        graft.functions.SortedIntersect(
-          spark, col("ha"), col("hb")).cast("double").as("c"))
+        graft.functions.PlanBarrier(spark, graft.functions.SortedIntersect(
+          spark, col("ha"), col("hb")).cast("double")).as("c"))
       .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_of"),
         (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .where(col("jaccard") >= threshold)

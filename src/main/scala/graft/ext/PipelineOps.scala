@@ -493,9 +493,13 @@ object PipelineOps {
         // batch frame lives in the cloned streaming session, and that
         // clone's registry is what analyzes this plan — registering the
         // kernel into the index's (outer) session would leave it
-        // unresolvable here
-        (graft.functions.SortedIntersect(
-          aSets.sparkSession, col("ha"), col("hb")).cast("double") /
+        // unresolvable here. BARRIER-wrapped so the >=threshold filter
+        // cannot substitute the two-pointer merge into the join
+        // condition (2 kernel evaluations per candidate pair otherwise —
+        // see Dedup.jaccardFor)
+        (graft.functions.PlanBarrier(aSets.sparkSession,
+          graft.functions.SortedIntersect(
+            aSets.sparkSession, col("ha"), col("hb")).cast("double")) /
           col("na")).as("containment"))
       .where(col("containment") >= threshold)
   }
